@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Q, Relational}
+import graft.queries.{Nested, Q, Relational}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full catalog (grows per SURVEY §2 / §7.2). */
-  def catalog: Seq[Q] = Relational.all
+  def catalog: Seq[Q] = Relational.all ++ Nested.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join revenue rollup: fact ⨝ 3 dims (broadcast) → grouped agg —
@@ -33,9 +33,10 @@ object SparkEntry {
       .orderBy($"r_name")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Queries surface
+    * in their deterministic verify view (scale plan + oracle sort). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalog.map(q => q.name -> q.run).toMap
+    catalog.map(q => q.name -> q.verifyRun).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

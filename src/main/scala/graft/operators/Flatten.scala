@@ -15,8 +15,7 @@ import org.apache.spark.sql.types._
   * Spark-first: instead of a row-at-a-time UDF, the *schema* is compiled once
   * on the driver into a flat `select` of nested-field accessor Columns —
   * pure Catalyst expressions, codegen'd, prunable, no shuffle. Two dynamic
-  * aspects of the dict world need data statistics (one distributed agg with a
-  * single-row result):
+  * aspects of the dict world need data statistics:
   *
   *  - array lengths (the reference emits one column per observed index) —
   *    we take max(size) per array path;
@@ -30,9 +29,12 @@ import org.apache.spark.sql.types._
   * get NULL columns — relational null-padding, = the reference's
   * `align_row_data` P8 semantics (`Utils/sql.py:21-22`).
   *
-  * Stats are keyed by *canonical* path: the `_`-joined path EXCLUDING array
-  * indices and map keys, so one statistic covers every index/key of the same
-  * container (conservative max / key-union).
+  * Stats are keyed by *canonical* path: the `_`-joined path where array
+  * indices / map keys are replaced by the markers `[]` / `{}`. The markers
+  * keep a container nested directly inside a same-kind container (e.g.
+  * `array<array<int>>`) on a DISTINCT stat key from its parent — without
+  * them both levels would share one key and the inner stat would silently
+  * overwrite the outer one.
   */
 object Flatten {
 
@@ -47,8 +49,18 @@ object Flatten {
 
   val emptyStats: NestedStats = NestedStats(Map.empty, Map.empty)
 
-  /** One aggregation pass collecting every array length / map key set the
-    * schema mentions. Column-pruned scan; result is a single row. */
+  private val strArr = ArrayType(StringType)
+
+  /** Collect every array length / map key set the schema mentions.
+    *
+    * Scale notes (100 TB design point):
+    *  - array max-lengths: ONE aggregation pass, single-row result — max()
+    *    partial-aggregates map-side, nothing unbounded crosses the shuffle;
+    *  - map key sets: a second pass that explodes (path, key) pairs and
+    *    takes a DISTRIBUTED distinct before the per-path collect_set — the
+    *    per-reducer state is bounded by the number of DISTINCT keys, never
+    *    by row count (collect_list-of-all-rows would OOM one reducer).
+    */
   def stats(df: DataFrame): NestedStats = {
     val lenExprs = mutable.ArrayBuffer.empty[(String, Column)]
     val keyExprs = mutable.ArrayBuffer.empty[(String, Column)]
@@ -59,11 +71,11 @@ object Flatten {
         st.fields.foreach(f => walk(path :+ f.name, f.dataType, c.getField(f.name)))
       case ArrayType(et, _) =>
         lenExprs += ((path.mkString("_"), coalesce(size(c), lit(0))))
-        lifted(path, et, c)
+        lifted(path :+ "[]", et, c)
       case MapType(_, vt, _) =>
         keyExprs += ((path.mkString("_"),
-          coalesce(map_keys(c).cast(ArrayType(StringType)), array().cast(ArrayType(StringType)))))
-        lifted(path, vt, map_values(c))
+          coalesce(map_keys(c).cast(strArr), array().cast(strArr))))
+        lifted(path :+ "{}", vt, map_values(c))
       case _ => ()
     }
 
@@ -75,32 +87,47 @@ object Flatten {
       case ArrayType(et, _) =>
         lenExprs += ((path.mkString("_"),
           coalesce(array_max(transform(c, e => coalesce(size(e), lit(0)))), lit(0))))
-        lifted(path, et, F.flatten(c))
+        lifted(path :+ "[]", et, F.flatten(c))
       case MapType(_, vt, _) =>
         keyExprs += ((path.mkString("_"),
-          coalesce(F.flatten(transform(c, e => coalesce(map_keys(e).cast(ArrayType(StringType)), array().cast(ArrayType(StringType))))),
-            array().cast(ArrayType(StringType)))))
-        lifted(path, vt, F.flatten(transform(c, e => map_values(e))))
+          coalesce(F.flatten(transform(c, e => coalesce(map_keys(e).cast(strArr), array().cast(strArr)))),
+            array().cast(strArr))))
+        lifted(path :+ "{}", vt, F.flatten(transform(c, e => map_values(e))))
       case _ => ()
     }
 
     df.schema.fields.foreach(f => walk(Seq(f.name), f.dataType, col(f.name)))
     if (lenExprs.isEmpty && keyExprs.isEmpty) return emptyStats
 
-    val aggs =
-      lenExprs.zipWithIndex.map { case ((_, e), i) => max(e).as(s"l$i") } ++
-      keyExprs.zipWithIndex.map { case ((_, e), i) =>
-        array_distinct(F.flatten(collect_list(e))).as(s"k$i") }
-    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    val lens: Map[String, Int] =
+      if (lenExprs.isEmpty) Map.empty
+      else {
+        val aggs = lenExprs.zipWithIndex.map { case ((_, e), i) => max(e).as(s"l$i") }
+        val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+        lenExprs.zipWithIndex.map { case ((p, _), i) =>
+          p -> (if (row.isNullAt(i)) 0 else row.getInt(i))
+        }.toMap
+      }
 
-    val lens = lenExprs.zipWithIndex.map { case ((p, _), i) =>
-      p -> (if (row.isNullAt(i)) 0 else row.getInt(i))
-    }.toMap
-    val keys = keyExprs.zipWithIndex.map { case ((p, _), i) =>
-      val idx = lenExprs.size + i
-      val ks = if (row.isNullAt(idx)) Seq.empty[String] else row.getSeq[String](idx)
-      p -> sortKeys(ks)
-    }.toMap
+    val keys: Map[String, Seq[String]] =
+      if (keyExprs.isEmpty) Map.empty
+      else {
+        // (pathIdx, keyArray) structs → explode twice → distributed distinct
+        // on (pathIdx, key) → tiny per-path collect_set.
+        val tagged = keyExprs.zipWithIndex.map { case ((_, e), i) =>
+          struct(lit(i).as("pi"), e.as("ks"))
+        }
+        val rows = df
+          .select(explode(array(tagged.toSeq: _*)).as("x"))
+          .select(col("x.pi").as("pi"), explode(col("x.ks")).as("k"))
+          .distinct()
+          .groupBy("pi").agg(collect_set("k").as("ks"))
+          .collect()
+        val found = rows.map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+        keyExprs.zipWithIndex.map { case ((p, _), i) =>
+          p -> sortKeys(found.getOrElse(i, Seq.empty))
+        }.toMap
+      }
     NestedStats(lens, keys)
   }
 
@@ -112,11 +139,14 @@ object Flatten {
   }
 
   /** A queue entry: display path (with indices/keys), canonical path
-    * (containers only), type, accessor. */
-  private type Node = (Seq[String], Seq[String], DataType, Column)
+    * (container markers), type, accessor. */
+  private[graft] type Node = (Seq[String], Seq[String], DataType, Column)
 
   /** BFS-flatten arbitrary roots into aliased leaf Columns — the core
-    * compiler, reference emission order. */
+    * compiler, reference emission order. `try_element_at` (not
+    * `element_at`) so rows shorter than the observed max length / missing
+    * a map key null-pad instead of raising under ANSI mode (Spark 4
+    * default). */
   private def bfs(
       roots: Seq[Node],
       blacklist: Seq[String],
@@ -133,10 +163,10 @@ object Flatten {
         case ArrayType(et, _) =>
           val n = st.arrayLens.getOrElse(canon.mkString("_"), 0)
           (0 until n).foreach(i =>
-            queue.enqueue((path :+ i.toString, canon, et, element_at(c, i + 1))))
+            queue.enqueue((path :+ i.toString, canon :+ "[]", et, try_element_at(c, lit(i + 1)))))
         case MapType(_, vt, _) =>
           st.mapKeys.getOrElse(canon.mkString("_"), Nil).foreach(k =>
-            queue.enqueue((path :+ k, canon, vt, element_at(c, k))))
+            queue.enqueue((path :+ k, canon :+ "{}", vt, try_element_at(c, lit(k)))))
         case _ =>
           val pathStr = path.mkString("_")
           if (!blacklist.exists(pathStr.contains)) {
@@ -200,11 +230,11 @@ object Flatten {
     // reproduces the reference's level-by-level emission order exactly
     // (statPerks scalars surface BEFORE the slot structs' children).
     def side(idx: Int, n: Int): (StructType, Column) = {
-      val style = element_at(perksCol.getField("styles"), idx + 1)
+      val style = try_element_at(perksCol.getField("styles"), lit(idx + 1))
       val fields = (0 until n).map(i => StructField(s"slot_${i + 1}", selElem)) :+
         StructField("style", styleStruct("style").dataType)
       val cols = (0 until n).map(i =>
-        element_at(style.getField("selections"), i + 1).as(s"slot_${i + 1}")) :+
+        try_element_at(style.getField("selections"), lit(i + 1)).as(s"slot_${i + 1}")) :+
         style.getField("style").as("style")
       (StructType(fields), struct(cols: _*))
     }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-name / row-shape normalizations (SURVEY §2.3 P2/P3, §2.8 F4).
+  *
+  * All pure projections — rename via a single `select` of aliases (one
+  * plan node), never a chain of `withColumnRenamed` (which stacks O(n)
+  * Project nodes and slows analysis on wide flattened schemas).
+  */
+object Normalize {
+
+  /** Strip the FIRST matching prefix, once, from each column name —
+    * `challenges_*`→`*`, `missions_*`→`*` replace-first semantics
+    * (`Lambda/lambda_function.py:236-244`). A name like
+    * `challenges_challenges_x` keeps one prefix. */
+  def stripPrefixes(df: DataFrame, prefixes: Seq[String]): DataFrame = {
+    val renamed = df.columns.map { c =>
+      val stripped = prefixes.collectFirst {
+        case p if c.startsWith(p) => c.substring(p.length)
+      }.getOrElse(c)
+      col(c).as(stripped)
+    }
+    df.select(renamed.toSeq: _*)
+  }
+
+  /** P3: `rank`→`player_rank` rename + batch timestamp stamp
+    * (`EC2/fetcher.py:98-103`). */
+  def stampTimestamp(df: DataFrame, tsEpoch: Long,
+      renames: Map[String, String] = Map("rank" -> "player_rank")): DataFrame = {
+    val cols = df.columns.map(c => col(c).as(renames.getOrElse(c, c))) :+
+      lit(tsEpoch).as("time_stamp")
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Null-pad projection to a target column order — `align_row_data`
+    * (`Utils/sql.py:21-22`, P8): target columns in target order, NULL for
+    * columns the frame lacks. */
+  def alignTo(df: DataFrame, targetCols: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(targetCols.map { case (n, t) =>
+      (if (have(n)) col(n) else lit(null).cast(t)).as(n)
+    }: _*)
+  }
+}

@@ -44,16 +44,16 @@ object Relational {
 
   /** A1: dedup (`set(matchesList)`, `EC2/fetcher.py:136`) — distinct on a key
     * projection. Column pruning reaches the scan; distinct is a partial-agg
-    * shuffle on the key. */
+    * shuffle on the key. No sort in the scale plan (oracle sort = sortCols). */
   val dedup = Q("dedup", (s, d) => {
     import s.implicits._
     Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey")
       .distinct()
-      .orderBy($"l_orderkey", $"l_partkey", $"l_suppkey")
   }, Some("""
     SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
-    ORDER BY l_orderkey, l_partkey, l_suppkey"""))
+    ORDER BY l_orderkey, l_partkey, l_suppkey"""),
+    sortCols = Seq("l_orderkey", "l_partkey", "l_suppkey"))
 
   /** L1: head-N limit on the player list (`fetcher.py:107`). Deterministic
     * form = ORDER BY key + LIMIT → Spark TakeOrderedAndProject (no full sort
@@ -122,11 +122,11 @@ object Relational {
     val li = Tables.lineitem(s, d).select($"l_orderkey")
     o.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
       .select($"o_orderkey", $"o_orderstatus")
-      .orderBy($"o_orderkey")
   }, Some("""
     SELECT o_orderkey, o_orderstatus FROM orders
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-    ORDER BY o_orderkey"""))
+    ORDER BY o_orderkey"""),
+    sortCols = Seq("o_orderkey"))
 
   /** A4: category census (games-by-queue pie, `dsa.ipynb`) —
     * groupBy+count+order. */
@@ -192,12 +192,12 @@ object Relational {
     o.join(c, $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", to_date($"o_orderdate").as("o_date"),
         $"o_totalprice", $"c_name", $"c_mktsegment")
-      .orderBy($"o_orderkey")
   }, Some("""
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
            o_totalprice, c_name, c_mktsegment
     FROM orders JOIN customer ON o_custkey = c_custkey
-    ORDER BY o_orderkey"""))
+    ORDER BY o_orderkey"""),
+    sortCols = Seq("o_orderkey"))
 
   /** P10: null/error row filters (`fetcher.py:114-116`, `processor.py:133`). */
   val filterNull = Q("filter_null", (s, d) => {
@@ -205,11 +205,11 @@ object Relational {
     Tables.events(s, d)
       .filter($"user_id".isNotNull && $"event_type" =!= "error")
       .select($"event_id", $"user_id", $"event_type", $"value")
-      .orderBy($"event_id")
   }, Some("""
     SELECT event_id, user_id, event_type, value FROM events
     WHERE user_id IS NOT NULL AND event_type <> 'error'
-    ORDER BY event_id"""))
+    ORDER BY event_id"""),
+    sortCols = Seq("event_id"))
 
   /** F11: numeric id extraction from a string id (`int(s[4:])`, `dsa.ipynb`). */
   val idExtract = Q("id_extract", (s, d) => {
@@ -217,10 +217,10 @@ object Relational {
     Tables.customer(s, d)
       .select($"c_custkey",
         substring($"c_name", 10, 18).cast("long").as("extracted_id"))
-      .orderBy($"c_custkey")
   }, Some("""
     SELECT c_custkey, CAST(substr(c_name, 10, 18) AS BIGINT) AS extracted_id
-    FROM customer ORDER BY c_custkey"""))
+    FROM customer ORDER BY c_custkey"""),
+    sortCols = Seq("c_custkey"))
 
   /** P4/P5/J2: vertical split + key propagation + rejoin = identity
     * (`Utils/json.py:72-100`). Exercises [[VerticalSplit]]. */
@@ -237,12 +237,15 @@ object Relational {
       Seq(parts("qty"), parts("price")), keys)
       .select($"l_orderkey", $"l_linenumber", $"l_quantity",
         $"l_returnflag", $"l_extendedprice", $"l_discount")
-      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
-        $"l_returnflag", $"l_extendedprice", $"l_discount")
   }, Some("""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
            l_extendedprice, l_discount
-    FROM lineitem ORDER BY 1, 2, 3, 4, 5, 6"""))
+    FROM lineitem ORDER BY 1, 2, 3, 4, 5, 6"""),
+    sortCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_returnflag", "l_extendedprice", "l_discount"),
+    // split∘rejoin=identity is a correctness demo: two full-width shuffles
+    // for zero information — intentionally excluded from the bench set.
+    headline = false)
 
   /** E1-analog over driver data: explode an array column to rows
     * (participants→rows, `lambda_function.py:221-258`). */
@@ -250,10 +253,10 @@ object Relational {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
-      .orderBy($"doc_id", $"word")
   }, Some("""
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
-    FROM documents ORDER BY doc_id, word"""))
+    FROM documents ORDER BY doc_id, word"""),
+    sortCols = Seq("doc_id", "word"))
 
   /** F12: JSON parse of a string payload (`json.loads`, `S3.py:261`) —
     * from_json with an explicit schema (codegen'd, no UDF). */
@@ -262,10 +265,10 @@ object Relational {
     Tables.events(s, d)
       .select($"event_id",
         from_json($"props", lit("k LONG")).getField("k").as("k"))
-      .orderBy($"event_id")
   }, Some("""
-    SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
-    FROM events ORDER BY event_id"""))
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events ORDER BY event_id"""),
+    sortCols = Seq("event_id"))
 
   val all: Seq[Q] = Seq(
     q1Agg, dedup, limitPlayers, topkRank, unionTiers, leftoverAnti,

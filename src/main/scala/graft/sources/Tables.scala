@@ -16,6 +16,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session confs every graft session must set at BUILD time (Smoke /
+    * Verify / Bench / tests). `events.ts` is parquet TIMESTAMP(NANOS),
+    * which the vectorized reader rejects — read it as long nanos instead.
+    * Set here once, NOT as a reader side-effect (a reader mutating shared
+    * session conf would silently change how sibling queries parse nanos). */
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   /** One driver table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -27,14 +36,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which the Spark vectorized
-    * reader rejects; read it as long nanos and surface a micros-precision
-    * TimestampType column (DuckDB's own ns→µs truncation matches). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Raw long-nanos `ts` surfaced as a micros-precision TimestampType
+    * (DuckDB's own ns→µs truncation matches). `div` truncates toward zero,
+    * which equals floor division only for post-epoch data — all driver
+    * events are 2024+; pre-epoch nanos would need floordiv. Requires
+    * [[requiredConfs]] set at session build. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
