@@ -34,6 +34,16 @@ object Normalize {
     df.select(cols.toSeq: _*)
   }
 
+  /** Coerce a dynamic-key struct (what `spark.read.json` infers for the
+    * reference's `participantFrames` map keyed "1".."10" —
+    * `lambda_function.py:145-148`, SURVEY §7.3) into a real MapType column
+    * so it can be exploded. Field values must share a type (cast upstream
+    * if not). */
+  def structToMap(c: Column, st: org.apache.spark.sql.types.StructType): Column =
+    map_from_arrays(
+      array(st.fieldNames.map(lit(_)).toSeq: _*),
+      array(st.fieldNames.map(c.getField(_)).toSeq: _*))
+
   /** Null-pad projection to a target column order — `align_row_data`
     * (`Utils/sql.py:21-22`, P8): target columns in target order, NULL for
     * columns the frame lacks. */

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Normalize, VerticalSplit}
+
+/** VerticalSplit / Normalize / league+player-map explode semantics. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assigns each column to the FIRST matching group; rejoin restores the row") {
+    val df = Seq((1, "k", 10, 20.0, "x")).toDF("id", "key", "perks_a", "challenges_b", "other")
+    val parts = VerticalSplit.split(df, Seq("id", "key"), Seq(
+      "perks" -> ((c: String) => c.startsWith("perks")),
+      "challenges" -> ((c: String) => c.startsWith("challenges"))))
+    assert(parts("perks").columns.toSeq == Seq("id", "key", "perks_a"))
+    assert(parts("challenges").columns.toSeq == Seq("id", "key", "challenges_b"))
+    assert(parts("rest").columns.toSeq == Seq("id", "key", "other"))
+    val back = VerticalSplit.rejoin(
+      Seq(parts("perks"), parts("challenges"), parts("rest")), Seq("id", "key"))
+    assert(back.select("id", "key", "perks_a", "challenges_b", "other").head() ==
+      Row(1, "k", 10, 20.0, "x"))
+  }
+
+  test("P7/L4: tier broadcast onto exploded league entries + union of tiers") {
+    val league = readLol("league.json")
+    val entries = league.select($"tier", explode($"entries").as("e"))
+      .select($"e.*", $"tier")
+    assert(entries.count() == 3)
+    assert(entries.filter($"tier" === "CHALLENGER").count() == 2)
+    // P3: rename rank→player_rank + stamp time_stamp
+    val stamped = Normalize.stampTimestamp(entries, 1753700000L)
+    assert(stamped.columns.contains("player_rank"))
+    assert(!stamped.columns.contains("rank"))
+    assert(stamped.select("time_stamp").distinct().as[Long].head() == 1753700000L)
+  }
+
+  test("E7: player-map document (struct of puuids) explodes to rows") {
+    val pm = readLol("player_map.json")
+    val mapped = Normalize.structToMap(
+      struct(pm.columns.map(c => col(c).as(c)): _*),
+      pm.schema)
+    val rows = pm.select(explode(mapped).as(Seq("puuid", "stats")))
+      .select($"puuid", $"stats.*")
+    assert(rows.count() == 3)
+    val p2 = rows.filter($"puuid" === "p-002").head()
+    assert(p2.getAs[String]("tier") == "GRANDMASTER")
+    assert(p2.getAs[Long]("leaguePoints") == 744L)
+  }
+
+  test("stripPrefixes strips only the first occurrence and only one prefix") {
+    val df = Seq((1, 2, 3, 4)).toDF("challenges_kda", "missions_x",
+      "challenges_challenges_y", "plain")
+    val out = Normalize.stripPrefixes(df, Seq("challenges_", "missions_"))
+    assert(out.columns.toSeq == Seq("kda", "x", "challenges_y", "plain"))
+  }
+
+  test("alignTo null-pads to the target order (align_row_data)") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = Normalize.alignTo(df, Seq(
+      ("name", org.apache.spark.sql.types.StringType),
+      ("score", org.apache.spark.sql.types.DoubleType),
+      ("id", org.apache.spark.sql.types.IntegerType)))
+    assert(out.columns.toSeq == Seq("name", "score", "id"))
+    assert(out.head() == Row("a", null, 1))
+  }
+}
