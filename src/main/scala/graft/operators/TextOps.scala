@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.queries.hash60
+
+/** Text-analysis / dedup primitives for LLM-training-data pipelines
+  * (builder brief; SURVEY §7.2 step 7): tokenization, shingling, MinHash
+  * signatures + LSH banding, SimHash, rolling fingerprints, quality stats.
+  *
+  * Everything is a pure Column expression (codegen'd, no UDFs, no shuffle)
+  * built on the portable [[graft.queries.hash60]] md5 hash so every
+  * operator has a bit-identical DuckDB oracle. Per-doc cost is linear in
+  * token count; nothing here collects or groups — callers decide the
+  * shuffle (e.g. groupBy(band_key) for LSH bucketing), which keeps the
+  * 100 TB plan: hash-partition by bucket, never all-pairs.
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1 — modulus for MinHash permutations and
+    * fingerprints; keeps `a*h+b` within long range. */
+  val P: Long = 2147483647L
+
+  /** Fixed MinHash permutation constants (k=16): h_i(x) = (a_i·x + b_i) mod P. */
+  val minhashA: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+  val minhashB: Seq[Long] = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+  /** 4 bands × 4 rows over the 16-element signature. */
+  val bands = 4
+  val rowsPerBand = 4
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** `n`-word shingles ("w1 w2 w3" strings); docs shorter than `n` words
+    * collapse to a single whole-doc shingle. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Shingle hashes reduced mod P — computed ONCE, shared by all k
+    * permutations (md5 per shingle, not per shingle×permutation). */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, x => pmod(hash60(x), lit(P)))
+
+  /** The k MinHash signature values for pre-hashed shingles. */
+  def minhashSig(hashes: Column): Seq[Column] =
+    minhashA.zip(minhashB).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(lit(a) * h + lit(b), lit(P))))
+    }
+
+  /** LSH band keys: hash of each band's concatenated signature rows.
+    * Equal band_key within a band ⇒ candidate near-duplicate pair. */
+  def bandKeys(sig: Seq[Column]): Seq[Column] =
+    (0 until bands).map { j =>
+      val rows = sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand)
+      hash60(concat_ws("_", rows.map(_.cast("string")): _*))
+    }
+
+  /** 32-bit SimHash over tokens: bit j set iff the sum of (±1 per token,
+    * by token-hash bit j) is positive. Unrolled over the 32 literal bit
+    * positions (Spark's shift functions take literal shift amounts); a
+    * production deployment would pre-materialize the token hashes once —
+    * documented cost, shape identical. */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => hash60(t))
+    (0 until 32).map { j =>
+      val bitBalance = aggregate(hashes, lit(0L),
+        (s, h) => s + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(bitBalance > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Rolling polynomial fingerprint: fold (acc·31 + h(w) mod P) mod P over
+    * tokens — an order-sensitive content fingerprint (exact-dup detection
+    * robust to container/metadata diffs). */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, w) => pmod(acc * 31 + pmod(hash60(w), lit(P)), lit(P)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: list order. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "y", "las", "una", "por"))
+
+  /** Per-language stopword hit counts. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, ws) =>
+      lang -> size(filter(toks, w => w.isin(ws.map(lit(_)): _*)))
+    }
+
+  /** Arg-max language with first-listed tie-break. */
+  def langId(toks: Column): Column = {
+    val scores = langScores(toks)
+    scores.zipWithIndex.foldRight(lit("und")) { case (((lang, score), i), els) =>
+      val laterMax = scores.drop(i + 1).map(_._2)
+      val isMax = laterMax.foldLeft(score > 0)((c, other) => c && score >= other)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{TextOps, Vectors}
+
+/** LLM-training-data pipeline operators (builder brief; SURVEY §7.2 step 7):
+  * exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup, cosine similarity
+  * search (brute-force baseline + bucketed scale path), text analysis over
+  * `documents`, ANN over `embeddings`.
+  *
+  * Determinism: all hashing goes through [[graft.queries.hash60]] (md5 —
+  * engine-portable), all float math through the scaled-integer contract in
+  * [[graft.operators.Vectors]], so every query has an exact DuckDB oracle.
+  *
+  * Scale design notes are on each query; the common rules: shuffle on
+  * bucket/hash keys only (never all-pairs), broadcast the small side
+  * (query vectors), partial top-k before any global ranking.
+  */
+object LlmOps {
+
+  private val P = TextOps.P
+  private def h60(e: String): String = hash60Sql(e)
+
+  /** Exact content-hash dedup (brief: "exact (hash-groupBy)"): group by
+    * sha256 of the content, keep the minimum id as canonical. One shuffle
+    * on the 64-hex hash — at 100 TB the hash (32 B) shuffles, never the
+    * document body. */
+  val docDedup = Q("doc_dedup", (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+  }, Some("""
+    SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY content_hash"""),
+    sortCols = Seq("content_hash"))
+
+  private def bandsSqlCte: String = {
+    val sigs = TextOps.minhashA.zip(TextOps.minhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hv, h -> ($a * h + $b) % $P)) AS s$i"
+    }.mkString(",\n      ")
+    val bandRows = (0 until TextOps.bands).map { j =>
+      val cols = (j * TextOps.rowsPerBand until (j + 1) * TextOps.rowsPerBand)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $j AS band, ${h60(s"concat_ws('_', $cols)")} AS band_key FROM g"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        THEN list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+        ELSE [array_to_string(w, ' ')] END AS s FROM t),
+    hs AS (SELECT doc_id, list_transform(s, x -> ${h60("x")} % $P) AS hv FROM sh),
+    g AS (SELECT doc_id,
+      $sigs
+      FROM hs),
+    b AS ($bandRows)"""
+  }
+
+  private def minhashBandsDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val hv = TextOps.shingleHashes(TextOps.shingles(TextOps.tokens($"text")))
+    val withSig = Tables.documents(s, d).select($"doc_id", hv.as("hv"))
+    val keys = TextOps.bandKeys(TextOps.minhashSig($"hv"))
+    withSig.select($"doc_id", explode(array(
+      keys.zipWithIndex.map { case (k, j) =>
+        struct(lit(j).as("band"), k.as("band_key"))
+      }: _*)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.band_key".as("band_key"))
+  }
+
+  /** MinHash LSH banding (brief: "shingle→minhash→band→bucket"): 3-word
+    * shingles → 16 portable-hash permutations → 4 bands × 4 rows → one
+    * band_key per (doc, band). The bucket table IS the scale artifact:
+    * near-dup candidates are found by shuffling on (band, band_key), not
+    * by comparing documents pairwise. */
+  val minhashBands = Q("minhash_bands", (s, d) => {
+    minhashBandsDf(s, d)
+  }, Some(s"""
+    $bandsSqlCte
+    SELECT doc_id, band, band_key FROM b ORDER BY doc_id, band"""),
+    sortCols = Seq("doc_id", "band"))
+
+  /** Candidate near-dup pairs: equi-join of the band table with itself on
+    * (band, band_key) — bucket-local, broadcast-free, skew bounded by
+    * bucket size. (Random synthetic docs may yield few/zero pairs; the
+    * crafted near-dup fixture in TextOpsSpec exercises the positive path.) */
+  val minhashPairs = Q("minhash_pairs", (s, d) => {
+    import s.implicits._
+    val b = minhashBandsDf(s, d)
+    b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }, Some(s"""
+    $bandsSqlCte
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    ORDER BY doc_a, doc_b"""),
+    sortCols = Seq("doc_a", "doc_b"))
+
+  /** n-gram (word-set) Jaccard similarity on a bounded candidate window
+    * (doc_id < 30 here; at scale the window comes from LSH buckets — this
+    * query is the verifier that runs INSIDE a bucket, never all-pairs
+    * globally). |A∪B| via |A|+|B|−|A∩B| (DuckDB lacks list_union). */
+  val ngramJaccard = Q("ngram_jaccard", (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter($"doc_id" < 30)
+      .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("w"))
+    val l = docs.select($"doc_id".as("doc_a"), $"w".as("wa"))
+    val r = docs.select($"doc_id".as("doc_b"), $"w".as("wb"))
+    val inter = size(array_intersect($"wa", $"wb"))
+    l.join(broadcast(r), $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (inter.cast("double") / (size($"wa") + size($"wb") - inter)).as("jaccard"))
+      .withColumn("is_near_dup", $"jaccard" >= 0.5)
+  }, Some("""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+               FROM documents WHERE doc_id < 30)
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      CAST(len(list_intersect(l.w, r.w)) AS DOUBLE)
+        / (len(l.w) + len(r.w) - len(list_intersect(l.w, r.w))) AS jaccard,
+      (CAST(len(list_intersect(l.w, r.w)) AS DOUBLE)
+        / (len(l.w) + len(r.w) - len(list_intersect(l.w, r.w)))) >= 0.5 AS is_near_dup
+    FROM t l JOIN t r ON l.doc_id < r.doc_id
+    ORDER BY doc_a, doc_b"""),
+    sortCols = Seq("doc_a", "doc_b"))
+
+  /** 32-bit SimHash fingerprints (brief: "SimHash") — near-dup docs land
+    * within small Hamming distance; single narrow pass, no shuffle. */
+  val simhash = Q("simhash", (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.simhash32(TextOps.tokens($"text")).as("simhash"))
+  }, Some {
+    val terms = (0 until 32).map { j =>
+      s"CASE WHEN list_sum(list_transform(hv, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n      + ")
+    s"""
+    WITH t AS (SELECT doc_id,
+        list_transform(string_split(trim(text), ' '), x -> ${h60("x")}) AS hv
+      FROM documents)
+    SELECT doc_id, $terms AS simhash
+    FROM t ORDER BY doc_id"""
+  },
+    sortCols = Seq("doc_id"))
+
+  /** Rolling polynomial document fingerprint (brief: "document
+    * fingerprinting (rolling hash)") — order-sensitive, so reordered docs
+    * differ where bag-of-words methods collide. */
+  val docFingerprint = Q("doc_fingerprint", (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.fingerprint(TextOps.tokens($"text")).as("fp"))
+  }, Some(s"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT), list_transform(w, x -> ${h60("x")} % $P)),
+        (acc, h) -> (acc * 31 + h) % $P) AS fp
+    FROM t ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  /** Quality scoring (brief: "length/punct/stopword ratios"): per-doc
+    * length stats + stopword ratio + an integer quality score (integer
+    * scoring keeps the oracle exact; the ratios themselves are
+    * deterministic int/int divisions). */
+  val textStats = Q("text_stats", (s, d) => {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val en = TextOps.stopwords.head._2
+    Tables.documents(s, d).select(
+      $"doc_id",
+      length($"text").as("n_chars"),
+      size(toks).as("n_words"),
+      (aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / size(toks))
+        .as("avg_word_len"),
+      (size(filter(toks, w => w.isin(en.map(lit(_)): _*))).cast("double") / size(toks))
+        .as("stop_ratio"))
+      .withColumn("quality",
+        ($"n_words" >= 20).cast("int") + ($"stop_ratio" > 0.05).cast("int") +
+        ($"avg_word_len" < 8.0).cast("int"))
+  }, Some {
+    val en = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+        length(text) AS n_chars,
+        CAST(len(w) AS INTEGER) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_word_len,
+        CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE) / len(w) AS stop_ratio
+      FROM t)
+    SELECT doc_id, n_chars, n_words, avg_word_len, stop_ratio,
+      CAST(n_words >= 20 AS INTEGER) + CAST(stop_ratio > 0.05 AS INTEGER)
+        + CAST(avg_word_len < 8.0 AS INTEGER) AS quality
+    FROM s ORDER BY doc_id"""
+  },
+    sortCols = Seq("doc_id"))
+
+  /** Token counting (brief): whitespace tokens, regex word/punct tokens
+    * (the BPE-ish pre-tokenizer split), and the chars/4 LLM estimate. */
+  val tokenCount = Q("token_count", (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      size(split(trim($"text"), " ")).as("tok_ws"),
+      size(regexp_extract_all($"text", lit("\\w+|[^\\w\\s]"), lit(0))).as("tok_re"),
+      ceil(length($"text") / lit(4.0)).cast("long").as("tok_est"))
+  }, Some("""
+    SELECT doc_id,
+      CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS tok_ws,
+      CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS tok_re,
+      CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok_est
+    FROM documents ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  /** Stopword-profile language ID (brief: "language-ID (n-gram
+    * heuristic)"): per-language stopword hits, arg-max with fixed
+    * tie-break; compared against the dataset's `lang` label. */
+  val langId = Q("lang_id", (s, d) => {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.langId(toks).as("lang_pred"), $"lang")
+      .withColumn("matches_label", $"lang_pred" === $"lang")
+  }, Some {
+    val scores = TextOps.stopwords.map { case (lang, ws) =>
+      s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+    }.mkString(",\n        ")
+    val langs = TextOps.stopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+      val conds = (later :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n        ")
+    s"""
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id, lang,
+        $scores
+      FROM t)
+    SELECT doc_id,
+      CASE $cases ELSE 'und' END AS lang_pred,
+      lang,
+      (CASE $cases ELSE 'und' END) = lang AS matches_label
+    FROM s ORDER BY doc_id"""
+  },
+    sortCols = Seq("doc_id"))
+
+  private val knnSqlBody = """
+    WITH v AS (SELECT vec_id, label, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, n2 AS qn2
+      FROM v WHERE vec_id < 10),
+    s AS (SELECT q.qid, v.vec_id AS cid,
+        list_sum(list_transform(list_zip(q.qe, v.embedding),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12))) AS dot,
+        q.qn2 AS qn2, v.n2 AS cn2
+      FROM q JOIN v ON v.vec_id <> q.qid%BUCKET%),
+    s2 AS (SELECT qid, cid, dot / sqrt(qn2 * cn2) AS cos_sim FROM s),
+    r AS (SELECT qid, cid, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid)
+          AS INTEGER) AS rank
+      FROM s2)
+    SELECT qid, cid, rank, cos_sim FROM r WHERE rank <= 10
+    ORDER BY qid, rank"""
+
+  private def knnDf(s: org.apache.spark.sql.SparkSession, d: String, bucketed: Boolean) = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val q = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"), $"embedding".as("qe"), $"n2".as("qn2"))
+    val cond =
+      if (bucketed) $"vec_id" =!= $"qid" && $"label" === $"qlabel"
+      else $"vec_id" =!= $"qid"
+    val sims = v.join(broadcast(q), cond)
+      .select($"qid", $"vec_id".as("cid"),
+        Vectors.cosine(Vectors.dotScaled($"qe", $"embedding"), $"qn2", $"n2").as("cos_sim"))
+    Vectors.topKPerKey(sims, $"qid", $"cos_sim", $"cid", 10)
+      .select($"qid", $"cid", $"rank", $"cos_sim")
+  }
+
+  /** Brute-force cosine top-10 (brief baseline): query vectors broadcast
+    * (tiny side), per-partition partial top-k, then the per-query final
+    * rank — no all-to-one shuffle of raw similarity rows at scale. */
+  val knnCosine = Q("knn_cosine", (s, d) => knnDf(s, d, bucketed = false),
+    Some(knnSqlBody.replace("%BUCKET%", "")),
+    sortCols = Seq("qid", "rank"))
+
+  /** Bucketed ANN (brief: "IVF or LSH-bucketed variant as the scale
+    * path"): candidates restricted to the query's coarse partition (the
+    * `label` column stands in for the IVF centroid assignment — the
+    * assignment-by-nearest-centroid step is exercised in VectorsSpec).
+    * Probing 1/K of the corpus per query is what survives 100 TB. */
+  val knnBucketed = Q("knn_bucketed", (s, d) => knnDf(s, d, bucketed = true),
+    Some(knnSqlBody.replace("%BUCKET%", " AND v.label = q.qlabel")),
+    sortCols = Seq("qid", "rank"))
+
+  val all: Seq[Q] = Seq(
+    docDedup, minhashBands, minhashPairs, ngramJaccard, simhash,
+    docFingerprint, textStats, tokenCount, langId, knnCosine, knnBucketed)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** TextOps semantics — especially the POSITIVE near-dup path that the
+  * random driver corpus can't guarantee. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60-word base doc; near-dup changes ONE word (Jaccard ≈ 55/61 ≈ 0.90 on
+  // 3-shingles — high enough that ≥1 of the 4 fixed-constant bands collides).
+  private val baseWords = (0 until 60).map(i => s"tok$i")
+  private val nearDups = Seq(
+    (1L, baseWords.mkString(" ")),
+    (2L, baseWords.updated(30, "CHANGED").mkString(" ")), // near-duplicate
+    (3L, "spark shuffles partition data across executors during wide transformations"),
+    (4L, baseWords.mkString(" "))) // exact duplicate of 1
+
+  private def bands(df: org.apache.spark.sql.DataFrame) = {
+    val hv = TextOps.shingleHashes(TextOps.shingles(TextOps.tokens($"text")))
+    val sig = TextOps.minhashSig($"hv")
+    df.select($"doc_id", hv.as("hv"))
+      .select($"doc_id", explode(array(TextOps.bandKeys(sig).zipWithIndex.map {
+        case (k, j) => struct(lit(j).as("band"), k.as("band_key"))
+      }: _*)).as("b"))
+      .select($"doc_id", $"b.band", $"b.band_key")
+  }
+
+  test("minhash LSH: exact dups share all bands, near-dups share some, unrelated none") {
+    val df = nearDups.toDF("doc_id", "text")
+    val b = bands(df)
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == TextOps.bands.toLong) // identical: all 4 bands collide
+    assert(pairs.contains((1L, 2L)))                // near-dup: ≥1 band collides
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L))) // unrelated: none
+  }
+
+  test("shingles: n-1 shingles for n tokens, whole-doc fallback under n words") {
+    val df = Seq(("a b c d e", 3), ("a b", 1)).toDF("text", "expected")
+    val out = df.select(size(TextOps.shingles(TextOps.tokens($"text"))).as("n"), $"expected")
+    assert(out.collect().forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance, unrelated far") {
+    val df = nearDups.toDF("doc_id", "text")
+    val hs = df.select($"doc_id", TextOps.simhash32(TextOps.tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(4L)) == 0)              // exact dup
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L))) // near-dup closer than unrelated
+  }
+
+  test("fingerprint is order-sensitive where bag-of-words is not") {
+    val df = Seq(("a b c", 1), ("c b a", 2)).toDF("text", "id")
+    val fps = df.select($"id", TextOps.fingerprint(TextOps.tokens($"text")).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fps(1) != fps(2))
+  }
+
+  test("langId picks the language with most stopword hits, 'und' when none") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze das haus", "de"),
+      ("le chat et la maison les arbres", "fr"),
+      ("xyzzy plugh quux", "und")).toDF("text", "expected")
+    val out = df.select(TextOps.langId(TextOps.tokens($"text")).as("got"), $"expected")
+    assert(out.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Vectors
+
+/** Vector similarity semantics + the IVF centroid-assignment step that the
+  * label-bucketed oracle query stands in for. */
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scaled-integer cosine matches the analytic value") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val cos = df.select(
+      Vectors.cosine(Vectors.dotScaled($"a", $"b"),
+        Vectors.normScaled($"a"), Vectors.normScaled($"b")).as("c"))
+      .as[Double].head()
+    assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-9)
+  }
+
+  test("topKPerKey = exact global top-k per key, rank deterministic") {
+    val rows = for (k <- 1 to 3; i <- 1 to 50) yield (k, i.toLong, (i * 37 % 50).toDouble)
+    val df = rows.toDF("k", "id", "score").repartition(4)
+    val got = Vectors.topKPerKey(df, $"k", $"score", $"id", 5)
+      .select($"k", $"id", $"rank", $"score").collect()
+      .map(r => (r.getInt(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val expect = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(t => (-t._3, t._2)).take(5)
+    }
+    for ((k, top) <- expect; (t, i) <- top.zipWithIndex)
+      assert(got((k, i + 1)) == ((t._2, t._3)))
+  }
+
+  test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
+    // 2 obvious clusters on the axes; centroids from the true means.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.0f)),
+      (3L, Array(0.1f, 1.0f)), (4L, Array(0.0f, 0.9f))).toDF("vec_id", "v")
+    val cents = Seq((0, Array(1.0f, 0.05f)), (1, Array(0.05f, 1.0f))).toDF("cid", "c")
+    val scored = vecs.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        Vectors.cosine(Vectors.dotScaled($"v", $"c"),
+          Vectors.normScaled($"v"), Vectors.normScaled($"c")).as("cos_sim"))
+    val assigned = Vectors.topKPerKey(scored, $"vec_id", $"cos_sim", $"cid", 1)
+      .select($"vec_id", $"cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+}
