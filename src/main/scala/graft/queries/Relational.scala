@@ -270,8 +270,32 @@ object Relational {
     FROM events ORDER BY event_id"""),
     sortCols = Seq("event_id"))
 
+  /** S8/S9/J3: left-outer enrichment with string error sentinels
+    * (`Utils/api.py:222-321`): customers with no orders get the
+    * reference's "Error503"-style marker in an otherwise-numeric column
+    * (mixed-type columns are a SURVEY §1.2 semantic to preserve). Build
+    * side is pre-aggregated to one row per key before the join. */
+  val enrichLeft = Q("enrich_left", (s, d) => {
+    import s.implicits._
+    val perCust = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sumd($"o_totalprice").as("spend"))
+    Tables.customer(s, d)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_name",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce(dec2($"spend").cast("string"), lit("Error503")).as("spend_or_error"))
+  }, Some(s"""
+    SELECT c_custkey, c_name,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(CAST(CAST(spend AS DECIMAL(20,2)) AS VARCHAR), 'Error503') AS spend_or_error
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders, ${sumdSql("o_totalprice")} AS spend
+      FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+    ORDER BY c_custkey"""),
+    sortCols = Seq("c_custkey"))
+
   val all: Seq[Q] = Seq(
     q1Agg, dedup, limitPlayers, topkRank, unionTiers, leftoverAnti,
     existsSemi, censusByQueue, linearFit, lookupJoin, enrichMatch,
-    filterNull, idExtract, rejoinSplit, explodeWords, jsonProps)
+    enrichLeft, filterNull, idExtract, rejoinSplit, explodeWords, jsonProps)
 }

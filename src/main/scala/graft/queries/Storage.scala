@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.sinks.Writers
+import graft.operators.Evolve
+
+/** Sink-side semantics as runnable queries (SURVEY §2.2 K2-K4, §2.7 L6):
+  * hive-partitioned write + pruned read-back, schema-evolving union, batch
+  * slicing. */
+object Storage {
+
+  /** K2 + partition pruning: write `orders` hive-partitioned by
+    * year/month (derived from the order date), read back with a partition
+    * filter, aggregate. The filter must prune at the FILE level — the scan
+    * reads only the `year=1997` directories; `.explain` shows the pruned
+    * partition count. The oracle computes the same thing straight from the
+    * unpartitioned table. */
+  val partitionPrune = Q("partition_prune", (s, d) => {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.orders(s, d)
+      .withColumn("year", date_format($"o_orderdate", "yyyy"))
+      .withColumn("month", date_format($"o_orderdate", "MM"))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(path)
+    // partition-value type inference reads year/month back as ints —
+    // normalize month to the zero-padded hive string for the oracle
+    s.read.parquet(path)
+      .filter($"year" === 1997)
+      .groupBy(lpad($"month".cast("string"), 2, "0").as("month"))
+      .agg(count(lit(1)).as("n"), sumd($"o_totalprice").as("revenue"))
+  }, Some(s"""
+    SELECT strftime(o_orderdate, '%m') AS month, COUNT(*) AS n,
+           ${sumdSql("o_totalprice")} AS revenue
+    FROM orders WHERE strftime(o_orderdate, '%Y') = '1997'
+    GROUP BY 1 ORDER BY month"""),
+    sortCols = Seq("month"))
+
+  /** K4 as a query: two differently-shaped batches (narrow INT-keyed vs
+    * wide BIGINT-keyed) unioned through [[Evolve.unionEvolve]] — key
+    * widens INT→BIGINT, the new column null-pads the old batch. */
+  val evolveUnion = Q("evolve_union", (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val b1 = c.filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey".cast("int").as("id"), $"c_name".as("name"))
+    val b2 = c.filter($"c_custkey" % 2 === 1)
+      .select($"c_custkey".as("id"), $"c_name".as("name"), $"c_acctbal".as("acctbal"))
+    Evolve.unionEvolve(Seq(b1, b2))
+  }, Some("""
+    SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS acctbal
+    FROM customer ORDER BY id"""),
+    sortCols = Seq("id"))
+
+  /** L6 batch slicing (`all_data[i:i+batch_size]`,
+    * `lambda_function.py:336-340`): key-range batching — the scale-safe
+    * equivalent of positional slicing (no global row_number; the batch id
+    * is a pure projection, so batching distributes). */
+  val batchSlice = Q("batch_slice", (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select($"c_custkey", expr("c_custkey div 200").as("batch_id"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n"),
+        min($"c_custkey").as("from_key"), max($"c_custkey").as("to_key"))
+  }, Some("""
+    SELECT c_custkey // 200 AS batch_id, COUNT(*) AS n,
+           min(c_custkey) AS from_key, max(c_custkey) AS to_key
+    FROM customer GROUP BY 1 ORDER BY batch_id"""),
+    sortCols = Seq("batch_id"))
+
+  val all: Seq[Q] = Seq(partitionPrune, evolveUnion, batchSlice)
+}

@@ -1,0 +1,66 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink layer (SURVEY §2.2): hive-partitioned batch writes (K2), event-time
+  * partitioned writes (K3), local/debug dumps (K7), window-state documents
+  * (K9), batch slicing (L6 `maxRecordsPerFile`).
+  *
+  * Spark-first: partitioned parquet + the job commit protocol replace the
+  * reference's hand-built S3 keys, metadata envelopes, and upload threads
+  * (`Utils/S3.py:57-217`) — partition directories ARE the hive key, the
+  * task scheduler IS the thread pool, and `_SUCCESS` + atomic rename are
+  * the transactional load (K6 analog on files). */
+object Writers {
+
+  /** K2: ingest-date partitioned batch write — partition columns derived
+    * from a timestamp, hive layout `year=/month=/day=`. Partition pruning
+    * on read-back is what makes the 100 TB scan cheap; `maxRecordsPerFile`
+    * is the reference's 200-rows-per-object batch slicing (L6). */
+  def partitionedByDate(df: DataFrame, tsCol: String, path: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df
+      .withColumn("year", date_format(col(tsCol), "yyyy"))
+      .withColumn("month", date_format(col(tsCol), "MM"))
+      .withColumn("day", date_format(col(tsCol), "dd"))
+      .write.mode("overwrite").partitionBy("year", "month", "day")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+
+  /** K3: event-time partitioned write — same layout, but the partition
+    * date comes from the EVENT's timestamp (late data lands in its event
+    * partition, not the ingest partition). */
+  def partitionedByEventTime(df: DataFrame, eventTsCol: String, path: String): Unit =
+    partitionedByDate(df, eventTsCol, path)
+
+  /** K7: local debug dump (`save_json`, `S3.py:345-349`). */
+  def jsonDump(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** K9: the incremental-window state document
+    * (`{"start_epoch": s, "end_epoch": e}` — `utils.sh:362-384`). Tiny
+    * driver-side JSON, the checkpoint/offset analog. */
+  def writeState(path: String, startEpoch: Long, endEpoch: Long): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p,
+      s"""{"start_epoch": $startEpoch, "end_epoch": $endEpoch}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read the state document back; None if absent (first run). */
+  def readState(path: String): Option[(Long, Long)] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val num = """"(start_epoch|end_epoch)"\s*:\s*(-?\d+)""".r
+      val m = num.findAllMatchIn(s).map(x => x.group(1) -> x.group(2).toLong).toMap
+      for (a <- m.get("start_epoch"); b <- m.get("end_epoch")) yield (a, b)
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, window}
+
+/** Structured Streaming surface (SURVEY §2.10): the reference's
+  * micro-batch loop re-expressed as real streams — file-arrival source
+  * (S11: the S3-event-triggered Lambda), tumbling event-time windows with
+  * watermark (St2/St3), at-least-once + dedup (St7).
+  *
+  * At scale: the file source lists new objects per trigger (the S3
+  * notification analog), state lives in the checkpoint dir (K9 analog),
+  * and `withWatermark` bounds window state exactly where the reference's
+  * clamp-to-now logic did. */
+object Streams {
+
+  /** S11: file-arrival source over a JSON drop directory — one new file
+    * per trigger batch, schema fixed up front (streams can't infer). */
+  def jsonFileSource(spark: SparkSession, dir: String, schemaDdl: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schemaDdl)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // St5 backpressure
+      .json(dir)
+
+  /** St2+St3: tumbling event-time window counts with a watermark — late
+    * rows beyond `lateness` are dropped and their windows finalized
+    * (append mode emits each window exactly once, the exactly-once-ish
+    * K6 analog for aggregations). */
+  def tumblingCounts(events: DataFrame, tsCol: String,
+      windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"), col("n"))
+
+  /** St7: at-least-once delivery + dedup — drop redelivered events by id
+    * within the watermark horizon (state bounded by the horizon). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
+      lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+/** Structured Streaming semantics: tumbling windows + watermark late-drop,
+  * file-arrival source, streaming dedup (St2/St3/St7/S11). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 +min
+
+  test("tumbling window with watermark: append mode finalizes windows, drops too-late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = Streams.tumblingCounts(mem.toDF().toDF("ts", "id"), "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("append")
+      .start()
+    mem.addData((ts(1), 1L), (ts(2), 2L), (ts(11), 3L))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first two windows
+    mem.addData((ts(40), 4L))
+    q.processAllAvailable()
+    // a row behind the watermark is dropped, not re-opened
+    mem.addData((ts(3), 99L), (ts(41), 5L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win_counts").select($"win_start", $"n")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(out(ts(0)) == 2L)   // minutes 1,2 — late row 99 NOT counted
+    assert(out(ts(10)) == 1L)  // minute 11
+  }
+
+  test("file-arrival source processes dropped JSON files (S11)") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_ck").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      """{"matchId":"NA1_1","queue":420}
+        |{"matchId":"NA1_2","queue":440}""".stripMargin)
+    val q = Streams.jsonFileSource(spark, dir, "matchId STRING, queue INT")
+      .writeStream.format("memory").queryName("arrivals")
+      .option("checkpointLocation", out)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("arrivals").count() == 2)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = Streams.dedupWithinWatermark(mem.toDF().toDF("ts", "id"), "ts", "id", "10 minutes")
+      .writeStream.format("memory").queryName("deduped").outputMode("append")
+      .start()
+    mem.addData((ts(1), 1L), (ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped").count() == 2) // ids 1 and 2 once each
+  }
+}
