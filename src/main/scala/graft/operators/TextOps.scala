@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.queries.hash60
 
@@ -57,6 +57,50 @@ object TextOps {
       val rows = sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand)
       hash60(concat_ws("_", rows.map(_.cast("string")): _*))
     }
+
+  /** The MinHash band table as a PLAN, not a per-row lambda: explode
+    * shingles → hash once per shingle → 16 codegen'd `min` partial
+    * aggregates per doc → 4 band keys → one row per (doc, band).
+    *
+    * This is the 100 TB shape: higher-order array functions
+    * (transform/aggregate) are CodegenFallback in Spark — interpreted,
+    * and re-evaluated per signature — while explode + HashAggregate is
+    * whole-stage-codegen'd with map-side partial aggregation, so each
+    * shingle is hashed exactly once and the shuffle carries 16 longs per
+    * doc. Near-dup candidates then come from a shuffle on (band,
+    * band_key), never from comparing docs pairwise. */
+  def minhashBandTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("_mh_id"), explode(shingles(tokens(col(textCol)))).as("sh"))
+      .select(col("_mh_id"), pmod(hash60(col("sh")), lit(P)).as("h"))
+    val sigAggs = minhashA.zip(minhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
+    }
+    val sigs = hashed.groupBy(col("_mh_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val keys = bandKeys((0 until minhashA.size).map(i => col(s"s$i")))
+    sigs.select(col("_mh_id"), explode(array(keys.zipWithIndex.map { case (k, j) =>
+        struct(lit(j).as("band"), k.as("band_key"))
+      }: _*)).as("b"))
+      .select(col("_mh_id").as(idCol), col("b.band").as("band"),
+        col("b.band_key").as("band_key"))
+  }
+
+  /** SimHash as a plan (same rationale as [[minhashBandTable]]): explode
+    * tokens → hash once → 32 codegen'd bit-balance sums per doc →
+    * recombine bits. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("_sh_id"), explode(tokens(col(textCol))).as("w"))
+      .select(col("_sh_id"), hash60(col("w")).as("h"))
+    val bitAggs = (0 until 32).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
+    hashed.groupBy(col("_sh_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("_sh_id").as(idCol),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+  }
 
   /** 32-bit SimHash over tokens: bit j set iff the sum of (±1 per token,
     * by token-hash bit j) is positive. Unrolled over the 32 literal bit

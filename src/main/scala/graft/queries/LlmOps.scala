@@ -58,17 +58,8 @@ object LlmOps {
     b AS ($bandRows)"""
   }
 
-  private def minhashBandsDf(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import s.implicits._
-    val hv = TextOps.shingleHashes(TextOps.shingles(TextOps.tokens($"text")))
-    val withSig = Tables.documents(s, d).select($"doc_id", hv.as("hv"))
-    val keys = TextOps.bandKeys(TextOps.minhashSig($"hv"))
-    withSig.select($"doc_id", explode(array(
-      keys.zipWithIndex.map { case (k, j) =>
-        struct(lit(j).as("band"), k.as("band_key"))
-      }: _*)).as("b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.band_key".as("band_key"))
-  }
+  private def minhashBandsDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    TextOps.minhashBandTable(Tables.documents(s, d), "doc_id", "text")
 
   /** MinHash LSH banding (brief: "shingle→minhash→band→bucket"): 3-word
     * shingles → 16 portable-hash permutations → 4 bands × 4 rows → one
@@ -133,9 +124,7 @@ object LlmOps {
   /** 32-bit SimHash fingerprints (brief: "SimHash") — near-dup docs land
     * within small Hamming distance; single narrow pass, no shuffle. */
   val simhash = Q("simhash", (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextOps.simhash32(TextOps.tokens($"text")).as("simhash"))
+    TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text")
   }, Some {
     val terms = (0 until 32).map { j =>
       s"CASE WHEN list_sum(list_transform(hv, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"

@@ -17,15 +17,8 @@ class TextOpsSpec extends SparkSpec {
     (3L, "spark shuffles partition data across executors during wide transformations"),
     (4L, baseWords.mkString(" "))) // exact duplicate of 1
 
-  private def bands(df: org.apache.spark.sql.DataFrame) = {
-    val hv = TextOps.shingleHashes(TextOps.shingles(TextOps.tokens($"text")))
-    val sig = TextOps.minhashSig($"hv")
-    df.select($"doc_id", hv.as("hv"))
-      .select($"doc_id", explode(array(TextOps.bandKeys(sig).zipWithIndex.map {
-        case (k, j) => struct(lit(j).as("band"), k.as("band_key"))
-      }: _*)).as("b"))
-      .select($"doc_id", $"b.band", $"b.band_key")
-  }
+  private def bands(df: org.apache.spark.sql.DataFrame) =
+    TextOps.minhashBandTable(df, "doc_id", "text")
 
   test("minhash LSH: exact dups share all bands, near-dups share some, unrelated none") {
     val df = nearDups.toDF("doc_id", "text")
@@ -49,8 +42,12 @@ class TextOpsSpec extends SparkSpec {
 
   test("simhash: near-identical docs are close in Hamming distance, unrelated far") {
     val df = nearDups.toDF("doc_id", "text")
-    val hs = df.select($"doc_id", TextOps.simhash32(TextOps.tokens($"text")).as("h"))
+    val hs = TextOps.simhashTable(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the expression form computes the same hash (small-input path)
+    val expr = df.select($"doc_id", TextOps.simhash32(TextOps.tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs == expr)
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(hs(1L), hs(4L)) == 0)              // exact dup
     assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L))) // near-dup closer than unrelated
