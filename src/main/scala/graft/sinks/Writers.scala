@@ -41,6 +41,28 @@ object Writers {
   def jsonDump(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** K5: delete one object/prefix (`alter_s3_file` delete mode,
+    * `Utils/S3.py:270-311`); overwrite mode is `SaveMode.Overwrite` on the
+    * writers above. */
+  def deletePath(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** K8: persist the unprocessed tail as a leftover dataset
+    * (`EC2/processor.py:108-124` writes `backfill/leftovers/...`). */
+  def saveLeftovers(keys: DataFrame, path: String): Unit =
+    keys.write.mode("overwrite").parquet(path)
+
+  /** K8 re-drive: leftovers minus what a later run processed — left-anti
+    * on the key; overwrite-with-tail when non-empty, delete-when-drained
+    * is the caller's call (`EC2/leftover.py:93,166,213-221`). */
+  def remainingLeftovers(spark: SparkSession, path: String,
+      processed: DataFrame, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .join(processed, Seq(keyCol), "left_anti")
+
   /** K9: the incremental-window state document
     * (`{"start_epoch": s, "end_epoch": e}` — `utils.sh:362-384`). Tiny
     * driver-side JSON, the checkpoint/offset analog. */
