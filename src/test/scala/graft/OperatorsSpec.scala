@@ -48,6 +48,19 @@ class OperatorsSpec extends SparkSpec {
     assert(p2.getAs[Long]("leaguePoints") == 744L)
   }
 
+  test("J4: ranks ⨝ player-map linkage on shared puuid") {
+    val league = readLol("league.json")
+    val entries = league.select($"tier", explode($"entries").as("e"))
+      .select($"e.puuid".as("puuid"), $"e.leaguePoints".as("lp"), $"tier")
+    val pm = readLol("player_map.json")
+    val players = pm.select(explode(Normalize.structToMap(
+        struct(pm.columns.map(col): _*), pm.schema)).as(Seq("puuid", "stats")))
+      .select($"puuid", $"stats.wins".as("wins"))
+    val linked = entries.join(players, "puuid")
+    assert(linked.count() == 3)
+    assert(linked.filter($"puuid" === "p-001").select("wins").head().getLong(0) == 300L)
+  }
+
   test("stripPrefixes strips only the first occurrence and only one prefix") {
     val df = Seq((1, 2, 3, 4)).toDF("challenges_kda", "missions_x",
       "challenges_challenges_y", "plain")

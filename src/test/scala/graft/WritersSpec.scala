@@ -26,6 +26,9 @@ class WritersSpec extends SparkSpec {
     val pruned = back.filter($"year" === 2025)
     assert(pruned.count() == 2)
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // K6 analog: the job commit protocol marks the atomic, all-or-nothing
+    // load — readers never see a half-written batch
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
   }
 
   test("K8: leftover persistence, re-drive shrinks, drained deletes (K5)") {
