@@ -85,6 +85,30 @@ object TextOps {
         col("b.band_key").as("band_key"))
   }
 
+  /** Candidate near-dup pairs from a band table, bucket-locally and in ONE
+    * pass: group doc ids per (band, band_key), emit the in-bucket pairs
+    * (i<j over the sorted id set), distinct across bands. A self-join of
+    * the band table would compute the whole MinHash pipeline twice (Spark
+    * doesn't reuse the exchange across join sides here); the group-and-pair
+    * shape scans once and its state is bounded by bucket size — exactly
+    * the LSH contract (buckets stay small; a skewed bucket means the band
+    * parameters are wrong, not that the plan should absorb it). */
+  def minhashCandidatePairs(bandTable: DataFrame, idCol: String): DataFrame = {
+    val buckets = bandTable
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(
+      sequence(lit(0), size(col("ids")) - 2),
+      i => transform(
+        sequence(i + 1, size(col("ids")) - 1),
+        j => struct(try_element_at(col("ids"), i + 1).as("a"),
+          try_element_at(col("ids"), j + 1).as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
   /** SimHash as a plan (same rationale as [[minhashBandTable]]): explode
     * tokens → hash once → 32 codegen'd bit-balance sums per doc →
     * recombine bits. */

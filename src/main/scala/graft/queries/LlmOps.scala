@@ -78,14 +78,7 @@ object LlmOps {
     * bucket size. (Random synthetic docs may yield few/zero pairs; the
     * crafted near-dup fixture in TextOpsSpec exercises the positive path.) */
   val minhashPairs = Q("minhash_pairs", (s, d) => {
-    import s.implicits._
-    val b = minhashBandsDf(s, d)
-    b.as("l").join(b.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.band_key") === col("r.band_key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    TextOps.minhashCandidatePairs(minhashBandsDf(s, d), "doc_id")
   }, Some(s"""
     $bandsSqlCte
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -282,6 +275,40 @@ object LlmOps {
     Some(knnSqlBody.replace("%BUCKET%", "")),
     sortCols = Seq("qid", "rank"))
 
+  /** Embedding-cosine near-dup detection (brief's fifth dedup mode):
+    * bucket-local pairwise cosine with a threshold — the verifier stage of
+    * an embedding dedup pipeline, run INSIDE coarse buckets (label =
+    * centroid assignment stand-in), never globally all-pairs. τ=0.4 keeps
+    * the synthetic corpus (max within-bucket cosine ≈ 0.47) non-trivial;
+    * real corpora use ≈0.95. Bounded to a deterministic 1/3 sample: at
+    * scale the pair set comes from ANN candidates (`knn_bucketed`), not
+    * from exhaustive in-bucket pairing — this query is the verifier that
+    * runs on that bounded candidate set. */
+  val embeddingNeardup = Q("embedding_neardup", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"label", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val l = v.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"n2".as("na"))
+    val r = v.select($"label".as("lb"), $"vec_id".as("vec_b"), $"embedding".as("eb"), $"n2".as("nb"))
+    l.join(r, $"label" === $"lb" && $"vec_a" < $"vec_b")
+      .select($"label", $"vec_a", $"vec_b",
+        Vectors.cosine(Vectors.dotScaled($"ea", $"eb"), $"na", $"nb").as("cos_sim"))
+      .filter($"cos_sim" >= 0.4)
+  }, Some("""
+    WITH v AS (SELECT vec_id, label, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings WHERE vec_id % 3 = 0),
+    s AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(a.n2 * b.n2) AS cos_sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT label, vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.4
+    ORDER BY vec_a, vec_b"""),
+    sortCols = Seq("vec_a", "vec_b"))
+
   /** Bucketed ANN (brief: "IVF or LSH-bucketed variant as the scale
     * path"): candidates restricted to the query's coarse partition (the
     * `label` column stands in for the IVF centroid assignment — the
@@ -293,5 +320,6 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, ngramJaccard, simhash,
-    docFingerprint, textStats, tokenCount, langId, knnCosine, knnBucketed)
+    docFingerprint, textStats, tokenCount, langId, knnCosine, knnBucketed,
+    embeddingNeardup)
 }
