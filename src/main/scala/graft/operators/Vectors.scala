@@ -34,6 +34,67 @@ object Vectors {
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot / sqrt(n2a * n2b)
 
+  /** IVF index build: seed centroids from the first k vectors, one
+    * Lloyd iteration with DETERMINISTIC means (per-dimension scaled-int
+    * sums ÷ counts — no float accumulation order anywhere). Returns
+    * (centroid_id, centroid: array<double>). Plan shape at scale: assign =
+    * broadcast(centroids) nested-loop + partial top-1; means = posexplode
+    * dims → grouped sum/count (partial-agg, one shuffle on (cid, dim)). */
+  def buildCentroids(v: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val seeds = v.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    val assigned = ivfAssign(v, idCol, vecCol, seeds)
+    val sums = v.join(assigned, idCol)
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * 1e7)).as("sx"), count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("dim"), (col("sx") / 1e7 / col("n")).as("m"))
+    sums.groupBy(col("centroid_id"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (broadcast the
+    * centroid table; partial top-1 per vector). */
+  def ivfAssign(v: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = v.select(col(idCol), col(vecCol).as("_v"), normScaled(col(vecCol)).as("_n2"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        cosine(dotScaled(col("_v"), col("centroid")),
+          col("_n2"), normScaled(col("centroid"))).as("_cos"))
+    topKPerKey(scored, col(idCol), col("_cos"), col("centroid_id"), 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF probe: answer each query from its `nprobe` nearest centroid
+    * buckets only — the 1/(k/nprobe) corpus fraction that survives 100 TB.
+    * Exact within the probed buckets; recall vs brute force is the
+    * nprobe/k tradeoff. */
+  def ivfSearch(v: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val vAssigned = v.join(ivfAssign(v, idCol, vecCol, centroids), idCol)
+    val qBuckets = {
+      val scored = queries
+        .select(col(qIdCol), col(qVecCol).as("_q"), normScaled(col(qVecCol)).as("_qn"))
+        .crossJoin(broadcast(centroids))
+        .select(col(qIdCol), col("_q"), col("_qn"), col("centroid_id"),
+          cosine(dotScaled(col("_q"), col("centroid")),
+            col("_qn"), normScaled(col("centroid"))).as("_cos"))
+      topKPerKey(scored, col(qIdCol), col("_cos"), col("centroid_id"), nprobe)
+        .select(col(qIdCol), col("_q"), col("_qn"), col("centroid_id"))
+    }
+    val sims = vAssigned.join(broadcast(qBuckets), Seq("centroid_id"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("cand_id"),
+        cosine(dotScaled(col("_q"), col(vecCol)),
+          col("_qn"), normScaled(col(vecCol))).as("cos_sim"))
+    topKPerKey(sims, col(qIdCol), col("cos_sim"), col("cand_id"), k)
+      .select(col(qIdCol), col("cand_id"), col("rank"), col("cos_sim"))
+  }
+
   /** Exact top-k rows per key, scale-safely: a partial top-k inside each
     * shuffle partition first (heap-sized window over (key, partition)),
     * THEN the global per-key window over the ≤ numPartitions·k survivors —

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Beyond-reference extensions SURVEY explicitly earmarks (§2.6 "Catalyst
+  * provides if we extend", §2.10 "Spark built-ins if extended"): sliding
+  * windows, session windows, rollup aggregation. Each stays a single
+  * shuffle with partial aggregation. */
+object Extensions {
+
+  /** Sliding event-time windows (4-day window, 2-day slide): each event
+    * lands in len/slide windows; Spark's `window` generates them
+    * map-side, then one grouped aggregation. */
+  val windowSliding = Q("window_sliding", (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "4 days", "2 days").as("w"))
+      .agg(count(lit(1)).as("n"), sumd($"value").as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format($"w.end", "yyyy-MM-dd HH:mm:ss").as("win_end"), $"n", $"sum_value")
+  }, Some(s"""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL 2 DAYS, ts, TIMESTAMP '1970-01-01') AS win_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 2 DAYS, ts, TIMESTAMP '1970-01-01') - INTERVAL 2 DAYS, value FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           strftime(win_start + INTERVAL 4 DAYS, '%Y-%m-%d %H:%M:%S') AS win_end,
+           COUNT(*) AS n, ${sumdSql("value")} AS sum_value
+    FROM shifted GROUP BY 1, 2 ORDER BY win_start"""),
+    sortCols = Seq("win_start"))
+
+  /** Session windows (1-hour inactivity gap) per user: Spark's
+    * `session_window` merges in one aggregation; the oracle sessionizes
+    * classically (lag → break flags → running session id). Session end =
+    * last event + gap (Spark semantics). */
+  val sessionWindow = Q("session_window", (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id", session_window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id",
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format($"w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        $"n")
+  }, Some("""
+    WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+    m AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      COUNT(*) AS n
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""),
+    sortCols = Seq("user_id", "session_start"))
+
+  /** Rollup census: event counts at (user, type), per-user, and grand
+    * totals in one pass — the reference's per-level counters (A2/A6)
+    * collapsed into a single grouping-sets aggregation. */
+  val rollupCensus = Q("rollup_census", (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"user_id" < 20)
+      .rollup($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }, Some("""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events WHERE user_id < 20
+    GROUP BY ROLLUP(user_id, event_type)
+    ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, n"""),
+    sortCols = Seq("user_id", "event_type", "n"))
+
+  val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus)
+}

@@ -30,6 +30,46 @@ class VectorsSpec extends SparkSpec {
       assert(got((k, i + 1)) == ((t._2, t._3)))
   }
 
+  test("IVF build+probe: clusters recovered; full-probe search = brute force") {
+    // two obvious clusters; seeds are vec_id 0 and 1, one from each
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)), (1L, Array(0.0f, 1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.1f, 0.95f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.1f)), (5L, Array(0.05f, 1.05f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Vectors.buildCentroids(vecs, "vec_id", "embedding", 2)
+    assert(cents.count() == 2)
+    val assigned = Vectors.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned(2L) == assigned(0L) && assigned(4L) == assigned(0L))
+    assert(assigned(3L) == assigned(1L) && assigned(5L) == assigned(1L))
+    // nprobe = k (all buckets) reproduces brute force exactly
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val ivf = Vectors.ivfSearch(vecs, "vec_id", "embedding", cents,
+      queries, "qid", "qe", nprobe = 2, k = 3)
+      .select($"qid", $"cand_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val brute = {
+      val v = vecs.select($"vec_id", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+      val q = queries.withColumn("qn", Vectors.normScaled($"qe"))
+      val sims = v.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cand_id"),
+          Vectors.cosine(Vectors.dotScaled($"qe", $"embedding"), $"qn", $"n2").as("cos_sim"))
+      Vectors.topKPerKey(sims, $"qid", $"cos_sim", $"cand_id", 3)
+        .select($"qid", $"cand_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    }
+    assert(ivf == brute)
+    // nprobe = 1 searches only the query's own cluster
+    val narrow = Vectors.ivfSearch(vecs, "vec_id", "embedding", cents,
+      queries, "qid", "qe", nprobe = 1, k = 3)
+      .select($"qid", $"cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(narrow(0L).subsetOf(Set(2L, 4L)))
+    assert(narrow(1L).subsetOf(Set(3L, 5L)))
+  }
+
   test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
     // 2 obvious clusters on the axes; centroids from the true means.
     val vecs = Seq(
