@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** The two shuffle-shaping techniques the 100 TB design leans on:
+  * salting (hot keys) and bucketing (co-located joins with no exchange). */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join and salts the shuffle key") {
+    // 90% of fact rows share one hot key
+    val facts = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i.toLong))
+      .toDF("key", "v")
+    val dims = (Seq("HOT") ++ (1 to 1000).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"dim_$i") }.toDF("key", "attr")
+    val salted = Skew.saltedJoin(facts, dims, Seq("key"), "v", saltN = 8)
+    val plain = facts.join(dims, Seq("key"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("key", "v", "attr").except(plain.select("key", "v", "attr")).isEmpty)
+    assert(plain.select("key", "v", "attr").except(salted.select("key", "v", "attr")).isEmpty)
+  }
+
+  test("saltedCollect equals direct collect_list modulo order") {
+    val df = (1 to 500).map(i => ("user", i.toLong)).toDF("key", "v")
+    val out = Skew.saltedCollect(df, "key", "v", "v", saltN = 4)
+      .select($"vs").as[Seq[Long]].head()
+    assert(out == (1L to 500L))
+  }
+
+  test("bucketed tables join without an exchange on the join key") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "pa")
+      val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("id", "pb")
+      a.write.mode("overwrite")
+        .option("path", s"$wh/ta").bucketBy(8, "id").sortBy("id").saveAsTable("ta")
+      b.write.mode("overwrite")
+        .option("path", s"$wh/tb").bucketBy(8, "id").sortBy("id").saveAsTable("tb")
+      val joined = spark.table("ta").join(spark.table("tb"), "id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucket join: a sort-merge join with NO shuffle exchange
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(plan.contains("SelectedBucketsCount"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ta")
+      spark.sql("DROP TABLE IF EXISTS tb")
+    }
+  }
+}
