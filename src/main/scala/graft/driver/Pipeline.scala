@@ -1,0 +1,113 @@
+package graft.driver
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+import graft.operators.{Flatten, Normalize}
+import graft.sinks.Writers
+
+/** The reference's end-to-end ETL (SURVEY §3.2 — `Lambda/
+  * lambda_function.py:27-446`) as one composable module: route a batch of
+  * documents by kind, run the kind's transform chain, land partitioned
+  * parquet, advance the window state. Each stage is a pure
+  * DataFrame→DataFrame function — testable alone, composed in [[run]].
+  *
+  * Scale: every stage is a narrow projection/generator over one scan
+  * (plus Flatten's bounded stats pass); the only shuffle in the whole
+  * pipeline is the sink's partitioning. */
+object Pipeline {
+
+  /** `matches` branch (`lambda_function.py:211-283`): explode
+    * participants (E1), positional perks unnest (E4), BFS flatten with
+    * blacklist (P1), prefix strip (P2), match-level enrichment (P6).
+    * Output = the reference's `player_data` wide rows. */
+  def matchEtl(matches: DataFrame): DataFrame = {
+    val parts = matches.select(
+      col("metadata.matchId").as("matchId"),
+      col("info.gameCreation").as("gameCreation"),
+      col("info.gameDuration").as("gameDuration"),
+      col("info.gameVersion").as("gameVersion"),
+      col("info.mapId").as("mapId"),
+      col("source"),
+      explode(col("info.participants")).as("p"))
+
+    val pType = parts.schema("p").dataType.asInstanceOf[StructType]
+    val perksType = pType("perks").dataType.asInstanceOf[StructType]
+    val stylesType = perksType("styles").dataType.asInstanceOf[ArrayType]
+
+    // observed selections length per style side (reference emits one
+    // column per observed slot, `Utils/json.py:39-50`)
+    val slotCounts = {
+      val row = parts.agg(
+        max(coalesce(size(try_element_at(col("p.perks.styles"), lit(1)).getField("selections")), lit(0))),
+        max(coalesce(size(try_element_at(col("p.perks.styles"), lit(2)).getField("selections")), lit(0)))).head()
+      (row.getInt(0), row.getInt(1))
+    }
+    val perkCols = Flatten.flattenPerksColumns(col("p.perks"), perksType, slotCounts)
+
+    val keep = pType.fieldNames.filterNot(_ == "perks") // P9: del perks
+    val flatInput = parts.select(
+      (Seq("matchId", "gameCreation", "gameDuration", "gameVersion", "mapId", "source")
+        .map(col) ++ keep.map(f => col(s"p.$f").as(f)) ++ perkCols): _*)
+    Normalize.stripPrefixes(Flatten.flatten(flatInput), Seq("challenges_", "missions_"))
+  }
+
+  /** `match_timelines` branch (`lambda_function.py:110-202`), INTENDED
+    * semantics: all frames × participantFrames (E3), struct hoist (E5),
+    * puuid lookup join (E6). Output = `timeline_data` rows. */
+  def timelineEtl(timeline: DataFrame): DataFrame = {
+    val participants = timeline.select(
+      col("metadata.matchId").as("matchId"),
+      explode(col("info.participants")).as("pp"))
+      .select(col("matchId"), col("pp.participantId").as("participantId"),
+        col("pp.puuid").as("puuid"))
+    val frames = timeline.select(
+      col("metadata.matchId").as("matchId"),
+      col("info.endOfGameResult").as("endOfGameResult"),
+      explode(col("info.frames")).as("f"))
+    val pfType = frames.schema("f").dataType.asInstanceOf[StructType]("participantFrames")
+      .dataType.asInstanceOf[StructType]
+    val pfRows = frames.select(col("matchId"), col("endOfGameResult"),
+      col("f.timestamp").as("timestamp"),
+      explode(Normalize.structToMap(col("f.participantFrames"), pfType))
+        .as(Seq("participantId", "pf")))
+    val hoisted = pfRows.select(col("matchId"), col("endOfGameResult"),
+      col("timestamp"), col("participantId").cast("long").as("participantId"),
+      col("pf.currentGold").as("currentGold"), col("pf.level").as("level"),
+      col("pf.xp").as("xp"),
+      col("pf.championStats.*"), col("pf.damageStats.*"),
+      col("pf.position.x").as("position_x"), col("pf.position.y").as("position_y"))
+    hoisted.join(broadcast(participants), Seq("matchId", "participantId"), "left")
+  }
+
+  /** `player-maps` branch (`lambda_function.py:100-108`): puuid-keyed
+    * stats document → rows. Output = `player_ranks_data`. */
+  def playerMapEtl(playerMap: DataFrame): DataFrame = {
+    val asMap = Normalize.structToMap(
+      struct(playerMap.columns.map(col): _*), playerMap.schema)
+    playerMap.select(explode(asMap).as(Seq("puuid", "stats")))
+      .select(col("puuid"), col("stats.*"))
+  }
+
+  /** Full batch run (§3.1/§3.2): ETL the three document kinds, land each
+    * as hive-partitioned parquet keyed by its event date, advance the
+    * window state document. Returns the processed window, if the clock
+    * allowed one. */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      matchesPath: String, timelinesPath: String, playerMapPath: String,
+      outDir: String, statePath: String, nowEpoch: Long,
+      bootstrap: => Windows.WindowState): Option[Windows.WindowState] = {
+    def readJson(p: String) = spark.read.option("multiLine", true).json(p)
+    Windows.step(statePath, nowEpoch, bootstrap).map { w =>
+      val players = matchEtl(readJson(matchesPath))
+        .withColumn("event_ts", timestamp_millis(col("gameCreation")))
+      Writers.partitionedByEventTime(players, "event_ts", s"$outDir/player_data")
+      val tl = timelineEtl(readJson(timelinesPath))
+      Writers.partitionedByDate(
+        tl.withColumn("ingest_ts", lit(new java.sql.Timestamp(nowEpoch * 1000L))),
+        "ingest_ts", s"$outDir/timeline_data")
+      Writers.jsonDump(playerMapEtl(readJson(playerMapPath)), s"$outDir/player_ranks_data")
+      w
+    }
+  }
+}
