@@ -68,6 +68,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("kda", "x", "challenges_y", "plain"))
   }
 
+  test("HLL extension: approx_count_distinct within 5% on a known cardinality") {
+    // SURVEY §2.6: no HLL in the reference; Catalyst provides it if we
+    // extend — sketch-based distinct is the 100 TB answer where exact
+    // distinct's shuffle is unaffordable.
+    val df = spark.range(100000).select(($"id" % 9876).as("k"))
+    val approx = df.select(approx_count_distinct($"k")).head().getLong(0)
+    assert(math.abs(approx - 9876.0) / 9876.0 < 0.05)
+  }
+
   test("alignTo null-pads to the target order (align_row_data)") {
     val df = Seq((1, "a")).toDF("id", "name")
     val out = Normalize.alignTo(df, Seq(
