@@ -68,6 +68,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("kda", "x", "challenges_y", "plain"))
   }
 
+  test("S4: paginated scan unions pages until the first empty one") {
+    val pages = Map(
+      1 -> Seq(("p-1", 100L), ("p-2", 90L)),
+      2 -> Seq(("p-3", 80L)),
+      3 -> Seq.empty[(String, Long)],
+      4 -> Seq(("p-9", 1L))) // never reached: stop at first empty page
+    val out = graft.sources.Paginate.scan(p =>
+      pages.get(p).map(rows => rows.toDF("puuid", "lp")))
+    assert(out.isDefined)
+    assert(out.get.count() == 3)
+    assert(!out.get.as[(String, Long)].collect().map(_._1).contains("p-9"))
+    assert(graft.sources.Paginate.scan(_ => None).isEmpty)
+  }
+
   test("HLL extension: approx_count_distinct within 5% on a known cardinality") {
     // SURVEY §2.6: no HLL in the reference; Catalyst provides it if we
     // extend — sketch-based distinct is the 100 TB answer where exact
