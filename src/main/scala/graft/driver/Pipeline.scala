@@ -41,7 +41,9 @@ object Pipeline {
       val row = parts.agg(
         max(coalesce(size(try_element_at(col("p.perks.styles"), lit(1)).getField("selections")), lit(0))),
         max(coalesce(size(try_element_at(col("p.perks.styles"), lit(2)).getField("selections")), lit(0)))).head()
-      (row.getInt(0), row.getInt(1))
+      // max over an EMPTY batch is null — land an empty output, don't NPE
+      (if (row.isNullAt(0)) 0 else row.getInt(0),
+        if (row.isNullAt(1)) 0 else row.getInt(1))
     }
     val perkCols = Flatten.flattenPerksColumns(col("p.perks"), perksType, slotCounts)
 
@@ -98,7 +100,9 @@ object Pipeline {
       outDir: String, statePath: String, nowEpoch: Long,
       bootstrap: => Windows.WindowState): Option[Windows.WindowState] = {
     def readJson(p: String) = spark.read.option("multiLine", true).json(p)
-    Windows.step(statePath, nowEpoch, bootstrap).map { w =>
+    // state advances only AFTER the batch lands (Windows.step contract):
+    // a failed run re-drives the same window next time
+    Windows.step(statePath, nowEpoch, bootstrap) { _ =>
       val players = matchEtl(readJson(matchesPath))
         .withColumn("event_ts", timestamp_millis(col("gameCreation")))
       Writers.partitionedByEventTime(players, "event_ts", s"$outDir/player_data")
@@ -107,7 +111,6 @@ object Pipeline {
         tl.withColumn("ingest_ts", lit(new java.sql.Timestamp(nowEpoch * 1000L))),
         "ingest_ts", s"$outDir/timeline_data")
       Writers.jsonDump(playerMapEtl(readJson(playerMapPath)), s"$outDir/player_ranks_data")
-      w
     }
   }
 }

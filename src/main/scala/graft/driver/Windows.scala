@@ -45,14 +45,18 @@ object Windows {
       lagThresholdSec: Long = 7L * 24 * 3600): Boolean =
     nowEpoch - current.endEpoch > lagThresholdSec
 
-  /** Drive state from disk: read (or bootstrap), advance, persist if
-    * processable. Returns the window to process, if any. */
-  def step(statePath: String, nowEpoch: Long,
-      bootstrap: => WindowState): Option[WindowState] = {
+  /** Drive state from disk: read (or bootstrap), advance, run `process`
+    * on the window, and persist the new state ONLY after `process`
+    * returns — a failed batch leaves the state untouched, so the same
+    * window is re-driven next run (at-least-once, like the reference's
+    * leftover re-drive) instead of being silently skipped. */
+  def step(statePath: String, nowEpoch: Long, bootstrap: => WindowState)(
+      process: WindowState => Unit): Option[WindowState] = {
     val current = Writers.readState(statePath)
       .map { case (a, b) => WindowState(a, b) }.getOrElse(bootstrap)
     advance(current, nowEpoch, chooseAccelerated(current, nowEpoch)) match {
       case Process(next) =>
+        process(next)
         Writers.writeState(statePath, next.startEpoch, next.endEpoch)
         Some(next)
       case WaitForClock(_) => None

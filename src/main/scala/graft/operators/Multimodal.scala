@@ -55,11 +55,16 @@ object Multimodal {
     * frame-sampling plumbing (a real codec substitutes keyframe offsets
     * for the fixed stride). Pure expressions: sequence + substr, then one
     * posexplode. */
-  def frameColumns(content: Column, frameBytes: Int): Column =
-    transform(
-      sequence(lit(0L),
-        ceil(length(content) / lit(frameBytes.toDouble)).cast("long") - 1),
-      i => content.substr(i * frameBytes + 1, lit(frameBytes)))
+  def frameColumns(content: Column, frameBytes: Int): Column = {
+    val nFrames = ceil(length(content) / lit(frameBytes.toDouble)).cast("long")
+    // guard zero-length content: sequence(0, -1) would produce the
+    // DESCENDING array [0, -1] (Spark defaults to step -1), not empty
+    when(nFrames > 0,
+      transform(sequence(lit(0L), nFrames - 1),
+        i => content.substr(i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BinaryType)))
+  }
 
   /** Explode an asset table into (id, frame_idx, frame) rows. */
   def frameSample(df: DataFrame, idCol: String, contentCol: String,

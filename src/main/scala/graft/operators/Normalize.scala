@@ -46,11 +46,11 @@ object Normalize {
 
   /** Null-pad projection to a target column order — `align_row_data`
     * (`Utils/sql.py:21-22`, P8): target columns in target order, NULL for
-    * columns the frame lacks. */
-  def alignTo(df: DataFrame, targetCols: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
-    val have = df.columns.toSet
-    df.select(targetCols.map { case (n, t) =>
-      (if (have(n)) col(n) else lit(null).cast(t)).as(n)
-    }: _*)
-  }
+    * columns the frame lacks. Delegates to [[Evolve.align]] (one
+    * implementation of padding + cast semantics). */
+  def alignTo(df: DataFrame, targetCols: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
+    Evolve.align(df, org.apache.spark.sql.types.StructType(
+      targetCols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true)
+      }))
 }

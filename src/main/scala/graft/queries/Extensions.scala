@@ -48,7 +48,7 @@ object Extensions {
     WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
     m AS (SELECT user_id, ts,
         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+               OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     s AS (SELECT user_id, ts,
         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid

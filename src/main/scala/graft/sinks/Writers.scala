@@ -26,7 +26,12 @@ object Writers {
       .withColumn("year", date_format(col(tsCol), "yyyy"))
       .withColumn("month", date_format(col(tsCol), "MM"))
       .withColumn("day", date_format(col(tsCol), "dd"))
-      .write.mode("overwrite").partitionBy("year", "month", "day")
+      .write.mode("overwrite")
+      // dynamic: overwrite only the partitions THIS batch touches — under
+      // the default static mode an incremental run would truncate every
+      // previously landed year=/month=/day= directory
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day")
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .parquet(path)
   }

@@ -36,4 +36,11 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), new String(r.getAs[Array[Byte]]("frame"), "UTF-8")))
     assert(frames.toSeq == Seq((0L, "aaaa"), (1L, "bbbb"), (2L, "cc")))
   }
+
+  test("frameSample emits ZERO frames for empty content (no descending-sequence ghost frames)") {
+    val df = Seq((1L, Array.empty[Byte]), (2L, "ab".getBytes("UTF-8"))).toDF("id", "content")
+    val frames = Multimodal.frameSample(df, "id", "content", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.toSeq == Seq((2L, 0L)))
+  }
 }

@@ -38,20 +38,36 @@ class WindowsSpec extends SparkSpec {
     assert(!Windows.chooseAccelerated(w, nowEpoch = 8 * day))
   }
 
-  test("step: bootstraps, persists, and resumes from the state file") {
+  test("step: bootstraps, persists after processing, and resumes from the state file") {
     val dir = Files.createTempDirectory("graft_state").toString
     val path = s"$dir/next_window.json"
     val boot = WindowState(0, 2 * day)
-    val first = Windows.step(path, nowEpoch = 30 * day, boot)
+    val first = Windows.step(path, nowEpoch = 30 * day, boot)(_ => ())
     // lag 28d > 7d threshold → accelerated +4d from bootstrap end
     assert(first.contains(WindowState(2 * day, 6 * day)))
     assert(Writers.readState(path).contains((2 * day, 6 * day)))
-    val second = Windows.step(path, nowEpoch = 30 * day, boot)
+    val second = Windows.step(path, nowEpoch = 30 * day, boot)(_ => ())
     assert(second.contains(WindowState(6 * day, 10 * day)))
     // caught-up driver waits without touching state
-    val stuck = Windows.step(path, nowEpoch = 10 * day, boot)
+    val stuck = Windows.step(path, nowEpoch = 10 * day, boot)(_ => ())
     assert(stuck.isEmpty)
     assert(Writers.readState(path).contains((6 * day, 10 * day)))
+  }
+
+  test("step: a FAILED batch leaves state untouched — the window re-drives") {
+    val dir = Files.createTempDirectory("graft_state3").toString
+    val path = s"$dir/next_window.json"
+    val boot = WindowState(0, 2 * day)
+    Windows.step(path, nowEpoch = 30 * day, boot)(_ => ())
+    assert(Writers.readState(path).contains((2 * day, 6 * day)))
+    intercept[RuntimeException] {
+      Windows.step(path, nowEpoch = 30 * day, boot)(_ =>
+        throw new RuntimeException("etl failed"))
+    }
+    // state did NOT advance past the failed window
+    assert(Writers.readState(path).contains((2 * day, 6 * day)))
+    val retry = Windows.step(path, nowEpoch = 30 * day, boot)(_ => ())
+    assert(retry.contains(WindowState(6 * day, 10 * day)))
   }
 
   test("state JSON round-trips (K9)") {

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
 import graft.sinks.Writers
@@ -26,9 +27,22 @@ class WritersSpec extends SparkSpec {
     val pruned = back.filter($"year" === 2025)
     assert(pruned.count() == 2)
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
-    // K6 analog: the job commit protocol marks the atomic, all-or-nothing
-    // load — readers never see a half-written batch
-    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+    // K6 analog: the job commit protocol (staging + atomic rename) leaves
+    // no partial state behind — readers never see a half-written batch
+    assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.contains("staging")))
+  }
+
+  test("K2 incremental: a second batch overwrites only ITS partitions") {
+    val dir = Files.createTempDirectory("graft_sink_inc").toString
+    val b1 = Seq((1L, Timestamp.valueOf("2025-07-28 12:00:00"))).toDF("id", "ts")
+    val b2 = Seq((2L, Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("id", "ts")
+    Writers.partitionedByDate(b1, "ts", dir)
+    Writers.partitionedByDate(b2, "ts", dir)
+    // static overwrite would have truncated the 2025 partition
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/year=2025/month=07/day=28")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/year=2024/month=01/day=02")))
   }
 
   test("K8: leftover persistence, re-drive shrinks, drained deletes (K5)") {
