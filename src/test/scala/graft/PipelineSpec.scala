@@ -39,6 +39,11 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("currentGold") == 610L)
   }
 
+  test("matchEtl/timelineEtl: empty batch lands zero rows, no crash") {
+    assert(Pipeline.matchEtl(readLol("match.json").filter(lit(false))).count() == 0)
+    assert(Pipeline.timelineEtl(readLol("timeline.json").filter(lit(false))).count() == 0)
+  }
+
   test("playerMapEtl: puuid map → ranked rows") {
     val out = Pipeline.playerMapEtl(readLol("player_map.json"))
     assert(out.count() == 3)
