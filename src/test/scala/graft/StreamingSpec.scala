@@ -47,6 +47,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("arrivals").count() == 2)
   }
 
+  test("streaming tumbling windows == batch window_tumbling on the same events") {
+    // same 2-day windows, driven as a stream from a parquet drop dir
+    val dir = Files.createTempDirectory("graft_ev_stream").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema.toDDL).parquet(dir)
+    val q = Streams.tumblingCounts(stream, "ts", "2 days", "0 seconds")
+      .writeStream.format("memory").queryName("stream_windows")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_windows")
+      .select($"win_start", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    val batch = events.groupBy(org.apache.spark.sql.functions.window($"ts", "2 days"))
+      .count().select($"window.start", $"count")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch lands each micro-batch through the partitioned sink (K2 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_fb_out").toString + "/data"
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.Writers.partitionedByDate(batch, "ts", out)
+      }.start()
+    mem.addData((Timestamp.valueOf("2025-07-28 12:00:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-02 00:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    // dynamic overwrite: batch 2 did not wipe batch 1's partition
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
