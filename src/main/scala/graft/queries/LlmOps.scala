@@ -131,6 +131,52 @@ object LlmOps {
   },
     sortCols = Seq("doc_id"))
 
+  /** SimHash-bucketed near-dup pairs: docs sharing the high 16 SimHash
+    * bits are candidates; candidates within Hamming distance 8 are
+    * near-dups. Same scale shape as MinHash banding — shuffle on the
+    * bucket prefix, compare only inside buckets, `bit_count(xor)` is a
+    * codegen'd builtin pair (no custom expression needed). */
+  val simhashNeardup = Q("simhash_neardup", (s, d) => {
+    import s.implicits._
+    // single-pass bucket-local pairing (a self-join would compute the
+    // SimHash subtree twice — same rationale as minhashCandidatePairs)
+    val grouped = TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("bucket", shiftright($"simhash", 16))
+      .groupBy($"bucket")
+      .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("ds"))
+      .filter(size($"ds") > 1)
+    val pairs = flatten(transform(
+      sequence(lit(0), size($"ds") - 2),
+      i => transform(
+        sequence(i + 1, size($"ds") - 1),
+        j => {
+          val a = try_element_at($"ds", i + 1)
+          val b = try_element_at($"ds", j + 1)
+          struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+              .as("hamming"))
+        })))
+    grouped.select(explode(pairs).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"), $"p.hamming".as("hamming"))
+      .filter($"hamming" <= 8)
+  }, Some {
+    val sim = (0 until 32).map { j =>
+      s"CASE WHEN list_sum(list_transform(hv, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""
+    WITH t AS (SELECT doc_id,
+        list_transform(string_split(trim(text), ' '), x -> ${h60("x")}) AS hv
+      FROM documents),
+    sh AS (SELECT doc_id, $sim AS simhash FROM t),
+    b AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+    ORDER BY doc_a, doc_b"""
+  },
+    sortCols = Seq("doc_a", "doc_b"))
+
   /** Rolling polynomial document fingerprint (brief: "document
     * fingerprinting (rolling hash)") — order-sensitive, so reordered docs
     * differ where bag-of-words methods collide. */
@@ -320,6 +366,6 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, ngramJaccard, simhash,
-    docFingerprint, textStats, tokenCount, langId, knnCosine, knnBucketed,
-    embeddingNeardup)
+    simhashNeardup, docFingerprint, textStats, tokenCount, langId,
+    knnCosine, knnBucketed, embeddingNeardup)
 }
