@@ -77,5 +77,23 @@ object Extensions {
     ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, n"""),
     sortCols = Seq("user_id", "event_type", "n"))
 
-  val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus)
+  /** Grouping-sets census: exactly the level combinations a dashboard
+    * needs — per (user,type), per type, and grand total — without
+    * rollup's unused intermediate level. */
+  val groupingSets = Q("grouping_sets", (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"user_id" < 20)
+      .groupingSets(
+        Seq(Seq($"user_id", $"event_type"), Seq($"event_type"), Seq.empty),
+        $"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }, Some("""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events WHERE user_id < 20
+    GROUP BY GROUPING SETS ((user_id, event_type), (event_type), ())
+    ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, n"""),
+    sortCols = Seq("user_id", "event_type", "n"))
+
+  val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus, groupingSets)
 }
