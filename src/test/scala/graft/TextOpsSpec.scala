@@ -34,6 +34,22 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L))) // unrelated: none
   }
 
+  test("expression-form minhash signature equals the aggregate table form") {
+    val df = nearDups.toDF("doc_id", "text")
+    val hv = TextOps.shingleHashes(TextOps.shingles(TextOps.tokens($"text")))
+    val sigCols = TextOps.minhashSig($"hv").zipWithIndex.map { case (c, i) => c.as(s"s$i") }
+    val exprForm = df.select($"doc_id", hv.as("hv")).select(($"doc_id" +: sigCols): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // table form: recompute the signatures the explode+groupBy way
+    val hashed = df.select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"))).as("sh"))
+      .select($"doc_id", pmod(graft.queries.hash60($"sh"), lit(TextOps.P)).as("h"))
+    val aggs = TextOps.minhashA.zip(TextOps.minhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * $"h" + lit(b), lit(TextOps.P))).as(s"s$i") }
+    val tableForm = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(exprForm == tableForm)
+  }
+
   test("shingles: n-1 shingles for n tokens, whole-doc fallback under n words") {
     val df = Seq(("a b c d e", 3), ("a b", 1)).toDF("text", "expected")
     val out = df.select(size(TextOps.shingles(TextOps.tokens($"text"))).as("n"), $"expected")
