@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.hash60
+
+/** Count-min sketch, built relationally (builder brief's "novel sketch"
+  * slot; preference (a): composed from existing ops — the sketch is a
+  * grouped count, no custom TypedImperativeAggregate needed until merge
+  * across pre-built sketches is required).
+  *
+  * Build: each row hashes into one cell per depth (independent salted
+  * hash functions) → groupBy (depth, cell) count. The sketch table is
+  * depth×width rows regardless of input size, built with ONE partial-agg
+  * shuffle — the 100 TB frequency-estimate answer when exact per-key
+  * counts' cardinality is unaffordable. Probe: a key's estimate is the
+  * MIN of its cells across depths (classic CMS upper bound: estimates
+  * never undercount). hash60 keeps the whole thing oracle-checkable. */
+object Sketches {
+
+  def cmsCell(keyCol: String, depth: Int, width: Int) =
+    pmod(hash60(concat(lit(s"cms$depth:"), col(keyCol))), lit(width.toLong))
+
+  /** (depth, cell, cnt) sketch table for a key column. */
+  def countMinBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val cells = (0 until depth).map(i =>
+      struct(lit(i).as("depth"), cmsCell(keyCol, i, width).as("cell")))
+    df.select(explode(array(cells: _*)).as("x"))
+      .select(col("x.depth").as("depth"), col("x.cell").as("cell"))
+      .groupBy(col("depth"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimates for `keys` (a small/distinct frame with
+    * `keyCol`): min over depths of the key's cell counts. */
+  def countMinProbe(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val cells = (0 until depth).map(i =>
+      struct(lit(i).as("depth"), cmsCell(keyCol, i, width).as("cell")))
+    keys.select(col(keyCol), explode(array(cells: _*)).as("x"))
+      .select(col(keyCol), col("x.depth").as("depth"), col("x.cell").as("cell"))
+      .join(sketch, Seq("depth", "cell"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("cms_estimate"))
+  }
+}

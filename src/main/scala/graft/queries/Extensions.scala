@@ -95,5 +95,41 @@ object Extensions {
     ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, n"""),
     sortCols = Seq("user_id", "event_type", "n"))
 
-  val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus, groupingSets)
+  /** Count-min sketch build + probe + admissibility: sketch `event_type`
+    * frequencies into a 4×64 table, probe every distinct type, and show
+    * the CMS invariant (estimate ≥ true count) holds row by row. */
+  val countminSketch = Q("countmin_sketch", (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val sketch = graft.operators.Sketches.countMinBuild(ev, "event_type", 4, 64)
+    val est = graft.operators.Sketches.countMinProbe(
+      sketch, ev.select($"event_type").distinct(), "event_type", 4, 64)
+    val truth = ev.groupBy($"event_type").agg(count(lit(1)).as("true_count"))
+    truth.join(est, "event_type")
+      .select($"event_type", $"true_count", $"cms_estimate",
+        ($"cms_estimate" >= $"true_count").as("admissible"))
+  }, Some {
+    def cell(i: Int) =
+      s"CAST(('0x' || substr(md5('cms$i:' || event_type), 1, 15)) AS BIGINT) % 64"
+    val buildRows = (0 until 4).map(i =>
+      s"SELECT $i AS depth, ${cell(i)} AS cell FROM events").mkString("\n      UNION ALL ")
+    val probeRows = (0 until 4).map(i =>
+      s"SELECT event_type, $i AS depth, ${cell(i)} AS cell FROM (SELECT DISTINCT event_type FROM events) dte")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH sk AS (SELECT depth, cell, COUNT(*) AS cnt FROM ($buildRows) GROUP BY 1, 2),
+    pr AS ($probeRows),
+    est AS (SELECT p.event_type, min(sk.cnt) AS cms_estimate
+            FROM pr p JOIN sk ON p.depth = sk.depth AND p.cell = sk.cell
+            GROUP BY 1),
+    t AS (SELECT event_type, COUNT(*) AS true_count FROM events GROUP BY 1)
+    SELECT t.event_type, t.true_count, est.cms_estimate,
+           est.cms_estimate >= t.true_count AS admissible
+    FROM t JOIN est ON t.event_type = est.event_type
+    ORDER BY 1"""
+  },
+    sortCols = Seq("event_type"))
+
+  val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus,
+    groupingSets, countminSketch)
 }
