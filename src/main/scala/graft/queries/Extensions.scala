@@ -5,8 +5,9 @@ import graft.sources.Tables
 
 /** Beyond-reference extensions SURVEY explicitly earmarks (§2.6 "Catalyst
   * provides if we extend", §2.10 "Spark built-ins if extended"): sliding
-  * windows, session windows, rollup aggregation. Each stays a single
-  * shuffle with partial aggregation. */
+  * windows, session windows, rollup/grouping-sets aggregation, and a
+  * count-min sketch. Each stays a single shuffle with partial
+  * aggregation. */
 object Extensions {
 
   /** Sliding event-time windows (4-day window, 2-day slide): each event
