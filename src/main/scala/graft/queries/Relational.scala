@@ -223,26 +223,25 @@ object Relational {
     sortCols = Seq("c_custkey"))
 
   /** P4/P5/J2: vertical split + key propagation + rejoin = identity
-    * (`Utils/json.py:72-100`). Exercises [[VerticalSplit]]. */
+    * (`Utils/json.py:72-100`). Exercises [[VerticalSplit]] over `orders`,
+    * whose key is genuinely unique at EVERY scale factor (lineitem has no
+    * unique natural key in the synthetic data — even the 4-part key
+    * collides at sf0.001, which fans the rejoin out). */
   val rejoinSplit = Q("rejoin_split", (s, d) => {
     import s.implicits._
-    val li = Tables.lineitem(s, d)
-    // (orderkey, linenumber) alone is NOT unique in the synthetic data;
-    // the full 4-part key is (verified against sf0.01).
-    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-    val parts = VerticalSplit.split(li, keys, Seq(
-      "qty"   -> ((c: String) => c == "l_quantity" || c == "l_returnflag"),
-      "price" -> ((c: String) => c == "l_extendedprice" || c == "l_discount")))
+    val o = Tables.orders(s, d)
+    val keys = Seq("o_orderkey")
+    val parts = VerticalSplit.split(o, keys, Seq(
+      "money" -> ((c: String) => c == "o_totalprice" || c == "o_orderstatus"),
+      "when"  -> ((c: String) => c == "o_orderdate" || c == "o_orderpriority")))
     VerticalSplit.rejoin(
-      Seq(parts("qty"), parts("price")), keys)
-      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
-        $"l_returnflag", $"l_extendedprice", $"l_discount")
+      Seq(parts("money"), parts("when")), keys)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority")
   }, Some("""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-           l_extendedprice, l_discount
-    FROM lineitem ORDER BY 1, 2, 3, 4, 5, 6"""),
-    sortCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
-      "l_returnflag", "l_extendedprice", "l_discount"),
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_orderkey"""),
+    sortCols = Seq("o_orderkey"),
     // split∘rejoin=identity is a correctness demo: two full-width shuffles
     // for zero information — intentionally excluded from the bench set.
     headline = false)
