@@ -28,6 +28,17 @@ class EvolveSpec extends SparkSpec {
     assert(out.collect().toSeq == Seq(Row(1L, "a", null), Row(2L, "b", 9.5)))
   }
 
+  test("widen is commutative and associative — batch arrival order never changes the merged schema") {
+    val types = Seq(IntegerType, LongType, DoubleType, StringType,
+      BooleanType, NullType, TimestampType, DateType)
+    for (a <- types; b <- types) {
+      assert(Evolve.widen(a, b) == Evolve.widen(b, a), s"comm: $a,$b")
+      for (c <- types)
+        assert(Evolve.widen(Evolve.widen(a, b), c) == Evolve.widen(a, Evolve.widen(b, c)),
+          s"assoc: $a,$b,$c")
+    }
+  }
+
   test("DDL emission follows the reference type table") {
     assert(Evolve.toDdlType(IntegerType) == "INT")
     assert(Evolve.toDdlType(LongType) == "BIGINT")

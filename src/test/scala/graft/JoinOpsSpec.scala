@@ -26,6 +26,25 @@ class JoinOpsSpec extends SparkSpec {
     assert(out("e4").isEmpty)
   }
 
+  test("asofJoin ≡ naive greatest-ts-at-or-before on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (s"u${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i))
+      .toDF("k", "ts", "eid")
+    val right = (1 to 60).map(i => (s"u${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i * 1.0))
+      .toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(max($"v").as("v")) // unique (k, ts)
+    val fast = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select($"eid", $"v").collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    // naive: left-join all dims ≤ ts, keep the max dim ts per left row
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.eid"))
+      .agg(max_by(col("r.v"), col("r.ts")).as("v"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(fast == naive)
+  }
+
   test("bucketedRangeJoin ≡ naive cross-join filter, incl. bucket-boundary points") {
     val points = (0L to 100L).toDF("p")
     val ranges = Seq(
