@@ -42,6 +42,15 @@ class PlanSpec extends SparkSpec {
       assert(!plan(q).contains("Exchange"), s"$q shuffles unexpectedly")
   }
 
+  test("as-of joins once-shuffled; range join equi-joins on the bucket id") {
+    val asof = plan("asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(asof).length <= 2) // union sides co-shuffled
+    assert(!asof.contains("CartesianProduct") && !asof.contains("BroadcastNestedLoopJoin"))
+    val range = plan("range_join")
+    assert(range.contains("_bucket")) // the non-equi predicate rides an equi-join
+    assert(!range.contains("CartesianProduct"))
+  }
+
   test("aggregations partial-aggregate before their single exchange") {
     for (q <- Seq("q1_agg", "census_by_queue", "window_tumbling", "simhash")) {
       val p = plan(q)
