@@ -2,7 +2,7 @@ package graft.driver
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StructType}
+import org.apache.spark.sql.types.StructType
 import graft.operators.{Flatten, Normalize}
 import graft.sinks.Writers
 
@@ -33,7 +33,6 @@ object Pipeline {
 
     val pType = parts.schema("p").dataType.asInstanceOf[StructType]
     val perksType = pType("perks").dataType.asInstanceOf[StructType]
-    val stylesType = perksType("styles").dataType.asInstanceOf[ArrayType]
 
     // observed selections length per style side (reference emits one
     // column per observed slot, `Utils/json.py:39-50`)
@@ -86,7 +85,7 @@ object Pipeline {
     * stats document → rows. Output = `player_ranks_data`. */
   def playerMapEtl(playerMap: DataFrame): DataFrame = {
     val asMap = Normalize.structToMap(
-      struct(playerMap.columns.map(col): _*), playerMap.schema)
+      struct(playerMap.columns.toIndexedSeq.map(col): _*), playerMap.schema)
     playerMap.select(explode(asMap).as(Seq("puuid", "stats")))
       .select(col("puuid"), col("stats.*"))
   }
