@@ -93,7 +93,14 @@ object Pipeline {
   /** Full batch run (§3.1/§3.2): ETL the three document kinds, land each
     * as hive-partitioned parquet keyed by its event date, advance the
     * window state document. Returns the processed window, if the clock
-    * allowed one. */
+    * allowed one.
+    *
+    * The processed window is APPLIED, not just advanced: matches are
+    * filtered to `gameCreation ∈ [start, end)` and timelines to the
+    * matchIds that survived (a broadcast semi-join — the timeline document
+    * carries no creation epoch of its own). The player map is a
+    * point-in-time rank snapshot and lands unwindowed, as in the reference
+    * (`lambda_function.py:100-108` stores the whole map each run). */
   def run(spark: org.apache.spark.sql.SparkSession,
       matchesPath: String, timelinesPath: String, playerMapPath: String,
       outDir: String, statePath: String, nowEpoch: Long,
@@ -101,15 +108,26 @@ object Pipeline {
     def readJson(p: String) = spark.read.option("multiLine", true).json(p)
     // state advances only AFTER the batch lands (Windows.step contract):
     // a failed run re-drives the same window next time
-    Windows.step(statePath, nowEpoch, bootstrap) { _ =>
+    Windows.step(statePath, nowEpoch, bootstrap) { w =>
+      val inWindow = col("gameCreation") >= w.startEpoch * 1000L &&
+        col("gameCreation") < w.endEpoch * 1000L
       val players = matchEtl(readJson(matchesPath))
+        .filter(inWindow)
         .withColumn("event_ts", timestamp_millis(col("gameCreation")))
       Writers.partitionedByEventTime(players, "event_ts", s"$outDir/player_data")
+      val windowedMatchIds = readJson(matchesPath)
+        .filter(col("info.gameCreation") >= w.startEpoch * 1000L &&
+          col("info.gameCreation") < w.endEpoch * 1000L)
+        .select(col("metadata.matchId").as("matchId")).distinct()
       val tl = timelineEtl(readJson(timelinesPath))
+        .join(broadcast(windowedMatchIds), Seq("matchId"), "left_semi")
       Writers.partitionedByDate(
         tl.withColumn("ingest_ts", lit(new java.sql.Timestamp(nowEpoch * 1000L))),
         "ingest_ts", s"$outDir/timeline_data")
-      Writers.jsonDump(playerMapEtl(readJson(playerMapPath)), s"$outDir/player_ranks_data")
+      // parallel partitioned write — the e2e pipeline must have no
+      // single-task stage (jsonDump's coalesce(1) is K7 debug-only)
+      playerMapEtl(readJson(playerMapPath))
+        .write.mode("overwrite").json(s"$outDir/player_ranks_data")
     }
   }
 }

@@ -16,13 +16,18 @@ object Normalize {
     * (`Lambda/lambda_function.py:236-244`). A name like
     * `challenges_challenges_x` keeps one prefix. */
   def stripPrefixes(df: DataFrame, prefixes: Seq[String]): DataFrame = {
-    val renamed = df.columns.map { c =>
-      val stripped = prefixes.collectFirst {
+    val names = df.columns.map { c =>
+      prefixes.collectFirst {
         case p if c.startsWith(p) => c.substring(p.length)
       }.getOrElse(c)
-      col(c).as(stripped)
     }
-    df.select(renamed.toSeq: _*)
+    // Fail fast on post-strip collisions (e.g. challenges_kda→kda when a
+    // kda column already exists) — otherwise the select succeeds and the
+    // failure surfaces later as an ambiguous-column error far from here.
+    val dupes = names.groupBy(identity).collect { case (n, hits) if hits.length > 1 => n }
+    require(dupes.isEmpty,
+      s"stripPrefixes would produce duplicate column names: ${dupes.mkString(", ")}")
+    df.select(df.columns.zip(names).map { case (c, n) => col(c).as(n) }.toSeq: _*)
   }
 
   /** P3: `rank`→`player_rank` rename + batch timestamp stamp

@@ -32,15 +32,18 @@ object Sketches {
   }
 
   /** Frequency estimates for `keys` (a small/distinct frame with
-    * `keyCol`): min over depths of the key's cell counts. */
+    * `keyCol`): min over depths of the key's cell counts. Left-joins the
+    * sketch so a key hitting a never-populated cell contributes 0 — the
+    * classic CMS answer for unseen keys — instead of inflating the min or
+    * dropping the key from the output. */
   def countMinProbe(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
     val cells = (0 until depth).map(i =>
       struct(lit(i).as("depth"), cmsCell(keyCol, i, width).as("cell")))
     keys.select(col(keyCol), explode(array(cells: _*)).as("x"))
       .select(col(keyCol), col("x.depth").as("depth"), col("x.cell").as("cell"))
-      .join(sketch, Seq("depth", "cell"))
+      .join(sketch, Seq("depth", "cell"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("cms_estimate"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 }

@@ -11,12 +11,15 @@ object Ingest {
   /** S2 + F2 + S11: recover the source object name (`check_files`,
     * `Utils/S3.py:313-342`) via `input_file_name`, then route rows by key
     * substring exactly like the Lambda's branch
-    * (`lambda_function.py:95,110,204`). */
+    * (`lambda_function.py:95,110,204`). The object name is the path
+    * component matching the table root (`documents[^/]*`), NOT the last
+    * component — a multi-file table would otherwise surface part-file
+    * names and mis-route every row. */
   val routeFile = Q("route_file", (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"source",
-        regexp_extract(input_file_name(), "[^/]+$", 0).as("object_name"))
+        regexp_extract(input_file_name(), "documents[^/]*", 0).as("object_name"))
       .withColumn("route",
         when($"object_name".contains("player-maps"), "player_ranks_data")
           .when($"object_name".contains("documents"), "document_store")

@@ -33,15 +33,19 @@ object Media {
 
   /** Frame sampling as rows: fixed-stride byte ranges of the binary
     * content, posexploded to (doc_id, frame_idx, frame) — the shape a
-    * video pipeline fans out to per-frame feature extraction. */
+    * video pipeline fans out to per-frame feature extraction. The frame is
+    * projected as `hex(...)` so the oracle harness can sort and hash it
+    * (raw binary is unhashable in the pandas comparator); the production
+    * path keeps the raw bytes (`Multimodal.frameSample`). */
   val frameSample = Q("frame_sample", (s, d) => {
     import s.implicits._
     val assets = Tables.documents(s, d)
       .select($"doc_id", $"text".cast("binary").as("content"))
     Multimodal.frameSample(assets, "doc_id", "content", 64)
+      .withColumn("frame", hex($"frame"))
   }, Some("""
     SELECT doc_id, i AS frame_idx,
-           encode(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame
+           hex(encode(substring(text, CAST(i * 64 + 1 AS INTEGER), 64))) AS frame
     FROM documents,
          unnest(generate_series(0,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1)) AS t(i)

@@ -57,9 +57,11 @@ class PipelineSpec extends SparkSpec {
     val day = 24 * 3600L
     val now = 1754000000L
     def fx(n: String) = TestSpark.fixture(n)
+    // bootstrap (now-6d, now-4d) → processed window [now-4d, now-2d),
+    // covering both fixture matches (gameCreation 2025-07-28/29 12:00)
     val w = Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
       fx("player_map.json"), s"$dir/out", state, now,
-      Windows.WindowState(now - 10 * day, now - 8 * day))
+      Windows.WindowState(now - 6 * day, now - 4 * day))
     assert(w.isDefined)
     // player_data partitioned by gameCreation event date (2025-07-28/29)
     val players = spark.read.parquet(s"$dir/out/player_data")
@@ -69,6 +71,34 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/timeline_data").count() == 6)
     assert(spark.read.json(s"$dir/out/player_ranks_data").count() == 3)
     // state advanced and persisted
-    assert(graft.sinks.Writers.readState(state).exists(_._1 == now - 8 * day))
+    assert(graft.sinks.Writers.readState(state).exists(_._1 == now - 4 * day))
+  }
+
+  test("run: the processed window FILTERS the batch, not just cadences it") {
+    val dir = Files.createTempDirectory("graft_pipe_w").toString
+    val day = 24 * 3600L
+    val now = 1754000000L
+    def fx(n: String) = TestSpark.fixture(n)
+    // bootstrap (now-7d, now-5d) → window [now-5d, now-3d): covers ONLY
+    // NA1_5200190036 (07-28 12:00); 037 (07-29 12:00) is out-of-window
+    val w = Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+      fx("player_map.json"), s"$dir/out", s"$dir/state.json", now,
+      Windows.WindowState(now - 7 * day, now - 5 * day))
+    assert(w.isDefined)
+    val players = spark.read.parquet(s"$dir/out/player_data")
+    assert(players.count() == 2) // only match 036's two participants
+    assert(players.select("matchId").distinct().as[String].collect().toSet ==
+      Set("NA1_5200190036"))
+    // timeline semi-join keeps only windowed matchIds (036 IS the fixture)
+    assert(spark.read.parquet(s"$dir/out/timeline_data").count() == 6)
+  }
+
+  test("pipeline ETL plans have no single-task stage (no coalesce/repartition(1))") {
+    Seq(Pipeline.matchEtl(readLol("match.json")),
+      Pipeline.timelineEtl(readLol("timeline.json")),
+      Pipeline.playerMapEtl(readLol("player_map.json"))).foreach { df =>
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("Repartition 1"), s"single-task stage in plan:\n$p")
+    }
   }
 }
