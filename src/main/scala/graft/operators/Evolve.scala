@@ -80,14 +80,21 @@ object Evolve {
   }
 
   /** `ALTER TABLE ... ADD COLUMN` statements for columns `incoming` has but
-    * `existing` lacks (`sql.py:5-19` diff vs DESCRIBE). */
-  def alterStatements(table: String, existing: StructType, incoming: StructType): Seq[String] =
+    * `existing` lacks (`sql.py:5-19` diff vs DESCRIBE). Identifier quoting
+    * and the type map are injectable so the same diff drives both the
+    * reference-faithful MySQL emission (default) and a live dialect (see
+    * [[graft.sinks.JdbcSink.Derby]]). */
+  def alterStatements(table: String, existing: StructType, incoming: StructType,
+      quote: String => String = n => s"`$n`",
+      typeName: DataType => String = toDdlType): Seq[String] =
     incoming.fields.toSeq
       .filterNot(f => existing.fieldNames.contains(f.name))
-      .map(f => s"ALTER TABLE $table ADD COLUMN `${f.name}` ${toDdlType(f.dataType)}")
+      .map(f => s"ALTER TABLE $table ADD COLUMN ${quote(f.name)} ${typeName(f.dataType)}")
 
   /** `CREATE TABLE` DDL for a schema (sink bootstrap). */
-  def createTableDdl(table: String, schema: StructType): String =
-    schema.fields.map(f => s"`${f.name}` ${toDdlType(f.dataType)}")
+  def createTableDdl(table: String, schema: StructType,
+      quote: String => String = n => s"`$n`",
+      typeName: DataType => String = toDdlType): String =
+    schema.fields.map(f => s"${quote(f.name)} ${typeName(f.dataType)}")
       .mkString(s"CREATE TABLE $table (", ", ", ")")
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.sinks.Writers
+import graft.sinks.{JdbcSink, Writers}
 import graft.operators.Evolve
 
 /** Sink-side semantics as runnable queries (SURVEY §2.2 K2-K4, §2.7 L6):
@@ -71,5 +71,33 @@ object Storage {
     FROM customer GROUP BY 1 ORDER BY batch_id"""),
     sortCols = Seq("batch_id"))
 
-  val all: Seq[Q] = Seq(partitionPrune, evolveUnion, batchSlice)
+  /** S12 + K6 as a query: two schema-evolving batches land in a LIVE JDBC
+    * table (embedded Derby — the in-process stand-in for the reference's
+    * RDS endpoint, `Utils/sql.py:24-43`): batch 1 via the Spark JDBC
+    * append after a driver-side CREATE, batch 2 via the transactional
+    * per-partition load after a driver-side ALTER. Reading the table back
+    * proves create → evolve → align → insert end-to-end; rows that predate
+    * the `total_price` column are null-padded. */
+  val jdbcRoundtrip = Q("jdbc_roundtrip", (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val o = Tables.orders(s, d)
+    val b1 = o.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_orderstatus")
+    val b2 = o.filter($"o_orderkey" % 10 === 1)
+      .select($"o_orderkey", $"o_orderstatus", dec2($"o_totalprice").as("total_price"))
+    JdbcSink.appendEvolve(b1, url, "orders_jdbc")
+    JdbcSink.transactionalLoad(b2, url, "orders_jdbc")
+    s.read.format("jdbc").option("url", url).option("dbtable", "orders_jdbc").load()
+      .select($"o_orderkey", $"o_orderstatus",
+        $"total_price".cast("double").as("total_price"))
+  }, Some("""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 1
+                THEN CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) END AS total_price
+    FROM orders WHERE o_orderkey % 10 < 2 ORDER BY o_orderkey"""),
+    sortCols = Seq("o_orderkey"), headline = false)
+
+  val all: Seq[Q] = Seq(partitionPrune, evolveUnion, batchSlice, jdbcRoundtrip)
 }

@@ -1,0 +1,233 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.TaskContext
+import graft.operators.Evolve
+
+/** Live JDBC sink over embedded Derby (SURVEY §2.1 S12, §2.2 K6, §2.10 St6
+  * — `Utils/sql.py:5-69`, `Lambda/lambda_function.py:309-395`).
+  *
+  * The reference's load unit is one file: open a connection, start a
+  * transaction, evolve the table for novel columns, insert in batches of
+  * 200, commit at the end, roll EVERYTHING back on any batch failure. The
+  * Spark mapping:
+  *
+  *  - **schema evolution runs ONCE, on the driver** ([[ensureEvolved]]):
+  *    CREATE or `ALTER TABLE ADD COLUMN` from the [[Evolve]] diff — DDL
+  *    inside distributed tasks would race;
+  *  - **a partition is the transaction unit** ([[transactionalLoad]]):
+  *    one connection per partition, batched inserts, commit per partition,
+  *    rollback-and-rethrow on any failure — the one-file-one-txn contract
+  *    at Spark's parallelism grain (a retried task re-runs an all-or-
+  *    nothing unit, so the sink is at-least-once with no partial batches);
+  *  - **St6 exactly-once** ([[idempotentLoad]]): a `<table>_log` marker row
+  *    `(batch_id, partition_id)` is written in the SAME transaction as the
+  *    data, so a retried task (or a re-delivered micro-batch in
+  *    `foreachBatch`) sees its marker and skips — the commit-log pattern
+  *    file sinks get from `_SUCCESS`, done relationally.
+  *
+  * Scale: per-partition connections mean sink parallelism = partition
+  * count; nothing is collected to the driver. Embedded Derby is the
+  * in-process stand-in for the reference's RDS endpoint — the code paths
+  * (metadata diff, ALTER, batched upsert, txn scope) are identical against
+  * any JDBC URL.
+  */
+object JdbcSink {
+
+  /** Identifier quoting + DDL type name pair for a target engine. */
+  final case class Dialect(quote: String => String, typeName: DataType => String)
+
+  /** Reference-faithful MySQL emission (`sql.py:46-62`). */
+  val MySql: Dialect = Dialect(n => s"`$n`", Evolve.toDdlType)
+
+  /** Embedded Derby: ANSI double-quoted identifiers (so lowercase Spark
+    * column names survive Derby's uppercase folding); Derby has no TEXT —
+    * the NullType fallback becomes LONG VARCHAR. */
+  val Derby: Dialect = Dialect(
+    n => "\"" + n + "\"",
+    dt => Evolve.toDdlType(dt) match {
+      case "TEXT" => "LONG VARCHAR"
+      case t      => t
+    })
+
+  def connect(url: String): Connection = {
+    // keep Derby's log out of the working directory
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${System.getProperty("java.io.tmpdir")}/derby.log")
+    DriverManager.getConnection(url)
+  }
+
+  /** Current table schema via JDBC metadata (the `DESCRIBE` analog,
+    * `sql.py:5-7`), in ordinal order; None when the table doesn't exist.
+    * Table names are used UNQUOTED (Derby folds them to uppercase);
+    * column names are created quoted, so they round-trip verbatim. */
+  def tableSchema(conn: Connection, table: String): Option[StructType] = {
+    val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    while (rs.next())
+      fields += StructField(rs.getString("COLUMN_NAME"),
+        sqlToSpark(rs.getInt("DATA_TYPE"), rs.getInt("COLUMN_SIZE"),
+          rs.getInt("DECIMAL_DIGITS")), nullable = true)
+    rs.close()
+    if (fields.isEmpty) None else Some(StructType(fields.toSeq))
+  }
+
+  private def sqlToSpark(sqlType: Int, precision: Int, scale: Int): DataType =
+    sqlType match {
+      case Types.TINYINT | Types.SMALLINT | Types.INTEGER => IntegerType
+      case Types.BIGINT                                   => LongType
+      case Types.DECIMAL | Types.NUMERIC                  => DecimalType(precision, scale)
+      case Types.FLOAT | Types.REAL | Types.DOUBLE        => DoubleType
+      case Types.BOOLEAN | Types.BIT                      => BooleanType
+      case _                                              => StringType
+    }
+
+  /** CREATE-or-ALTER the table so every `incoming` column exists
+    * (`add_new_columns`, `sql.py:10-21`). Returns the executed DDL. */
+  def ensureEvolved(conn: Connection, table: String, incoming: StructType,
+      dialect: Dialect = Derby): Seq[String] = {
+    val ddl = tableSchema(conn, table) match {
+      case None =>
+        Seq(Evolve.createTableDdl(table, incoming, dialect.quote, dialect.typeName))
+      case Some(existing) =>
+        Evolve.alterStatements(table, existing, incoming, dialect.quote, dialect.typeName)
+    }
+    val st = conn.createStatement()
+    try ddl.foreach(st.execute) finally st.close()
+    ddl
+  }
+
+  /** S12 + K4-over-JDBC: evolve the table on one driver connection, then a
+    * plain Spark JDBC append (Spark resolves the insert column list against
+    * the live table, so old columns the batch lacks default to NULL). */
+  def appendEvolve(df: DataFrame, url: String, table: String,
+      dialect: Dialect = Derby): Seq[String] = {
+    val conn = connect(url)
+    val ddl = try ensureEvolved(conn, table, df.schema, dialect) finally conn.close()
+    df.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+    ddl
+  }
+
+  private def insertSql(table: String, target: StructType, dialect: Dialect): String =
+    s"INSERT INTO $table (${target.fieldNames.map(dialect.quote).mkString(", ")}) " +
+      s"VALUES (${Seq.fill(target.size)("?").mkString(", ")})"
+
+  private def bind(ps: PreparedStatement, i: Int, dt: DataType, row: Row): Unit =
+    if (row.isNullAt(i - 1)) ps.setNull(i, sparkToSql(dt))
+    else dt match {
+      case IntegerType      => ps.setInt(i, row.getInt(i - 1))
+      case LongType         => ps.setLong(i, row.getLong(i - 1))
+      case DoubleType       => ps.setDouble(i, row.getDouble(i - 1))
+      case _: DecimalType   => ps.setBigDecimal(i, row.getDecimal(i - 1))
+      case BooleanType      => ps.setBoolean(i, row.getBoolean(i - 1))
+      case _                => ps.setString(i, String.valueOf(row.get(i - 1)))
+    }
+
+  private def sparkToSql(dt: DataType): Int = dt match {
+    case IntegerType    => Types.INTEGER
+    case LongType       => Types.BIGINT
+    case DoubleType     => Types.DOUBLE
+    case _: DecimalType => Types.DECIMAL
+    case BooleanType    => Types.BOOLEAN
+    case _              => Types.VARCHAR
+  }
+
+  /** K6: transactional batched load — evolve once on the driver, then one
+    * connection + ONE transaction per partition, inserts in `batchSize`
+    * batches (`lambda_function.py:309-312` uses 200), commit at partition
+    * end, rollback-and-rethrow on any batch failure. */
+  def transactionalLoad(df: DataFrame, url: String, table: String,
+      batchSize: Int = 200, dialect: Dialect = Derby): Unit = {
+    val target = evolveAndTarget(df, url, table, dialect)
+    val aligned = Evolve.align(df, target)
+    val sql = insertSql(table, target, dialect)
+    aligned.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) inTxn(url) { conn =>
+        insertBatches(conn, sql, target, it, batchSize)
+      }
+    }
+  }
+
+  /** St6: exactly-once-ish load — same as [[transactionalLoad]], but each
+    * partition first checks a `(batch_id, partition_id)` marker in
+    * `<table>_log` and writes its marker IN THE SAME transaction as the
+    * data. A retried task or a re-delivered micro-batch finds the marker
+    * and skips, so re-running the same `batchId` never duplicates rows.
+    * Wire as `writeStream.foreachBatch((b, id) => idempotentLoad(b, url,
+    * table, id))` for the streaming (St6) path. */
+  def idempotentLoad(df: DataFrame, url: String, table: String, batchId: Long,
+      batchSize: Int = 200, dialect: Dialect = Derby): Unit = {
+    val target = evolveAndTarget(df, url, table, dialect)
+    val logTable = s"${table}_log"
+    val c = connect(url)
+    try {
+      if (tableSchema(c, logTable).isEmpty) {
+        val st = c.createStatement()
+        try st.execute(s"CREATE TABLE $logTable " +
+          s"(${dialect.quote("batch_id")} BIGINT, ${dialect.quote("partition_id")} INT)")
+        finally st.close()
+      }
+    } finally c.close()
+    val aligned = Evolve.align(df, target)
+    val sql = insertSql(table, target, dialect)
+    val q = dialect.quote
+    val markerCheck = s"SELECT COUNT(*) FROM $logTable WHERE ${q("batch_id")} = ? " +
+      s"AND ${q("partition_id")} = ?"
+    val markerPut = s"INSERT INTO $logTable (${q("batch_id")}, ${q("partition_id")}) " +
+      "VALUES (?, ?)"
+    aligned.foreachPartition { (it: Iterator[Row]) =>
+      val pid = TaskContext.getPartitionId()
+      inTxn(url) { conn =>
+        val chk = conn.prepareStatement(markerCheck)
+        chk.setLong(1, batchId); chk.setInt(2, pid)
+        val rs = chk.executeQuery(); rs.next()
+        val seen = rs.getInt(1) > 0
+        rs.close(); chk.close()
+        if (!seen) {
+          insertBatches(conn, sql, target, it, batchSize)
+          val put = conn.prepareStatement(markerPut)
+          put.setLong(1, batchId); put.setInt(2, pid)
+          put.executeUpdate(); put.close()
+        }
+      }
+    }
+  }
+
+  private def evolveAndTarget(df: DataFrame, url: String, table: String,
+      dialect: Dialect): StructType = {
+    val conn = connect(url)
+    try {
+      ensureEvolved(conn, table, df.schema, dialect)
+      tableSchema(conn, table).get
+    } finally conn.close()
+  }
+
+  private def inTxn(url: String)(body: Connection => Unit): Unit = {
+    val conn = connect(url)
+    try {
+      conn.setAutoCommit(false)
+      try { body(conn); conn.commit() }
+      catch { case e: Throwable => conn.rollback(); throw e }
+    } finally conn.close()
+  }
+
+  private def insertBatches(conn: Connection, sql: String, target: StructType,
+      it: Iterator[Row], batchSize: Int): Unit = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      var n = 0
+      it.foreach { row =>
+        var i = 1
+        target.fields.foreach { f => bind(ps, i, f.dataType, row); i += 1 }
+        ps.addBatch()
+        n += 1
+        if (n % batchSize == 0) ps.executeBatch()
+      }
+      if (n % batchSize != 0) ps.executeBatch()
+    } finally ps.close()
+  }
+}
