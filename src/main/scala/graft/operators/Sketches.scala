@@ -46,4 +46,22 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  /** HLL cardinality (SURVEY §2.6 extension next to the CMS):
+    * `approx_count_distinct` is HyperLogLog++ — one partial-agg shuffle,
+    * fixed-size register state, order-insensitive merge (a max per
+    * register), so the estimate is DETERMINISTIC for a given input set.
+    * Returns the estimate next to the exact count and a bound check —
+    * the admissibility-style row the CMS query uses. At 100 TB the exact
+    * side is the expensive one (a distinct shuffle); production keeps only
+    * the sketch and the bound column becomes monitoring. */
+  def hllCensus(df: DataFrame, keyCol: String, groupCol: String,
+      rsd: Double = 0.02, bound: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(keyCol)).as("exact_distinct"),
+        approx_count_distinct(col(keyCol), rsd).as("approx_distinct"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") <= bound).as("within_bound"))
 }

@@ -131,6 +131,21 @@ object Extensions {
   },
     sortCols = Seq("event_type"))
 
+  /** HLL cardinality census (SURVEY §2.6, next to the CMS): distinct
+    * users per event type via HyperLogLog++ (`approx_count_distinct`,
+    * rsd 2%), asserted against the exact count with a 5% admissibility
+    * bound. The HLL estimate is deterministic for a given input set
+    * (order-insensitive register max), so the boolean is oracle-stable;
+    * the oracle computes the exact side and expects the bound to hold. */
+  val hllCensus = Q("hll_census", (s, d) => {
+    graft.operators.Sketches.hllCensus(
+      Tables.events(s, d), "user_id", "event_type")
+  }, Some("""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type"""),
+    sortCols = Seq("event_type"))
+
   val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus,
-    groupingSets, countminSketch)
+    groupingSets, countminSketch, hllCensus)
 }

@@ -364,8 +364,88 @@ object LlmOps {
     Some(knnSqlBody.replace("%BUCKET%", " AND v.label = q.qlabel")),
     sortCols = Seq("qid", "rank"))
 
+  /** IVF ANN end-to-end (the real scale path `knn_bucketed` stands in
+    * for): build the coarse index (seed-k centroids + one Lloyd step with
+    * deterministic scaled-int means), assign the corpus, probe each
+    * query's nprobe=2 nearest buckets, exact cosine top-10 inside them.
+    * Every arithmetic step is the scaled-integer form, so the DuckDB twin
+    * reproduces centroids, assignments, and similarities bit-for-bit.
+    * Probing 2/8 of the corpus per query is the 100 TB shape: index build
+    * is one (centroid, dim) partial-agg shuffle, search touches only the
+    * probed buckets. */
+  val ivfKnn = Q("ivf_knn", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val centroids = Vectors.buildCentroids(v, "vec_id", "embedding", 8)
+    val q = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    Vectors.ivfSearch(v, "vec_id", "embedding", centroids, q, "qid", "qe",
+      nprobe = 2, k = 10)
+  }, Some("""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    vn AS (
+      SELECT vec_id, e,
+             list_sum(list_transform(e, x -> round(x * x * 1e12))) AS n2
+      FROM v),
+    sn AS (
+      SELECT vec_id AS centroid_id, e AS c, n2 AS cn2 FROM vn WHERE vec_id < 8),
+    assign0 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vn.vec_id, sn.centroid_id,
+          row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+            list_sum(list_transform(list_zip(vn.e, sn.c),
+              p -> round(p[1] * p[2] * 1e12))) / sqrt(vn.n2 * sn.cn2) DESC,
+            sn.centroid_id) AS rn
+        FROM vn, sn) WHERE rn = 1),
+    dims AS (
+      SELECT a.centroid_id, unnest(vn.e) AS x, unnest(range(len(vn.e))) AS dim
+      FROM assign0 a JOIN vn ON vn.vec_id = a.vec_id),
+    cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS c FROM (
+        SELECT centroid_id, dim, sum(round(x * 1e7)) / 1e7 / count(*) AS m
+        FROM dims GROUP BY 1, 2) GROUP BY 1),
+    cn AS (
+      SELECT centroid_id, c,
+             list_sum(list_transform(c, x -> round(x * x * 1e12))) AS cn2
+      FROM cent),
+    assign1 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vn.vec_id, cn.centroid_id,
+          row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+            list_sum(list_transform(list_zip(vn.e, cn.c),
+              p -> round(p[1] * p[2] * 1e12))) / sqrt(vn.n2 * cn.cn2) DESC,
+            cn.centroid_id) AS rn
+        FROM vn, cn) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2 FROM vn WHERE vec_id < 10),
+    qprobe AS (
+      SELECT qid, qe, qn2, centroid_id FROM (
+        SELECT q.qid, q.qe, q.qn2, cn.centroid_id,
+          row_number() OVER (PARTITION BY q.qid ORDER BY
+            list_sum(list_transform(list_zip(q.qe, cn.c),
+              p -> round(p[1] * p[2] * 1e12))) / sqrt(q.qn2 * cn.cn2) DESC,
+            cn.centroid_id) AS rn
+        FROM q, cn) WHERE rn <= 2),
+    sims AS (
+      SELECT p.qid, vn.vec_id AS cand_id,
+        list_sum(list_transform(list_zip(p.qe, vn.e),
+          pp -> round(pp[1] * pp[2] * 1e12))) / sqrt(p.qn2 * vn.n2) AS cos_sim
+      FROM qprobe p
+      JOIN assign1 a ON a.centroid_id = p.centroid_id
+      JOIN vn ON vn.vec_id = a.vec_id
+      WHERE vn.vec_id <> p.qid),
+    r AS (
+      SELECT qid, cand_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id)
+          AS INTEGER) AS rank
+      FROM sims)
+    SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
+    ORDER BY qid, rank"""),
+    sortCols = Seq("qid", "rank"))
+
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, ngramJaccard, simhash,
     simhashNeardup, docFingerprint, textStats, tokenCount, langId,
-    knnCosine, knnBucketed, embeddingNeardup)
+    knnCosine, knnBucketed, embeddingNeardup, ivfKnn)
 }
