@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, window}
+import org.apache.spark.sql.functions.{col, count, lit, timestamp_millis, window}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY §2.10): the reference's
   * micro-batch loop re-expressed as real streams — file-arrival source
@@ -41,4 +43,32 @@ object Streams {
       lateness: String): DataFrame =
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** The reference's S3-event → Lambda → store loop as ONE streaming
+    * pipeline (`lambda_function.py:27-95`): match documents arriving in a
+    * drop directory are ETL'd per micro-batch
+    * ([[graft.driver.Pipeline.matchEtl]]) and landed through the
+    * event-time partitioned sink. `Trigger.AvailableNow` drains what has
+    * arrived and stops — the batch-driven cadence of the reference's cron
+    * loop — while the checkpoint makes restarts exactly-once at file
+    * granularity: a resumed query re-processes NOTHING already committed,
+    * only files that arrived since. */
+  def matchPipeline(spark: SparkSession, inDir: String, schema: StructType,
+      outPath: String, checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("multiLine", true)
+      .option("maxFilesPerTrigger", 1) // St5 backpressure
+      .json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val players = graft.driver.Pipeline.matchEtl(batch)
+            .withColumn("event_ts", timestamp_millis(col("gameCreation")))
+          graft.sinks.Writers.partitionedByEventTime(players, "event_ts", outPath)
+        }
+      }
+      .start()
 }

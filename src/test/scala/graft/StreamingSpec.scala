@@ -82,6 +82,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("e2e: file arrivals → match ETL → partitioned sink; checkpoint resume reprocesses nothing") {
+    val in = Files.createTempDirectory("graft_e2e_in").toString
+    val ck = Files.createTempDirectory("graft_e2e_ck").toString
+    val out = Files.createTempDirectory("graft_e2e_out").toString + "/player_data"
+    val fixture = Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(TestSpark.fixture("match.json"))))
+    Files.writeString(java.nio.file.Paths.get(s"$in/f1.json"), fixture)
+    val schema = spark.read.option("multiLine", true).json(s"$in/f1.json").schema
+
+    def drain(): Unit = {
+      val q = Streams.matchPipeline(spark, in, schema, out, ck)
+      q.awaitTermination()
+    }
+    def landedFiles() = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    }
+
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    val afterFirst = landedFiles()
+
+    // resume with NO new arrivals: the checkpoint replays nothing — not
+    // even a rewrite of existing partitions (file set + mtimes unchanged)
+    drain()
+    assert(landedFiles() == afterFirst)
+
+    // a NEW file (same shape, 2024 dates) arrives; resume processes ONLY it
+    Files.writeString(java.nio.file.Paths.get(s"$in/f2.json"),
+      fixture.replace("NA1_5200190036", "NA1_9900000001")
+        .replace("NA1_5200190037", "NA1_9900000002")
+        .replace("1753704000000", "1704067200000")
+        .replace("1753790400000", "1704153600000"))
+    drain()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 6)
+    assert(back.select("matchId").distinct().count() == 4)
+    // the 2025 partitions from f1 were not rewritten by f2's batch
+    assert(landedFiles().filter(_._1.contains("year=2025")) ==
+      afterFirst.filter(_._1.contains("year=2025")))
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
