@@ -115,10 +115,12 @@ object Pipeline {
         .filter(inWindow)
         .withColumn("event_ts", timestamp_millis(col("gameCreation")))
       Writers.partitionedByEventTime(players, "event_ts", s"$outDir/player_data")
-      val windowedMatchIds = readJson(matchesPath)
-        .filter(col("info.gameCreation") >= w.startEpoch * 1000L &&
-          col("info.gameCreation") < w.endEpoch * 1000L)
-        .select(col("metadata.matchId").as("matchId")).distinct()
+      // the windowed matchIds come from the parquet we just landed — a
+      // one-column pruned columnar scan — NOT a second full parse of the
+      // raw JSON input (at 100 TB that second pass over the largest input
+      // would double the pipeline's scan cost)
+      val windowedMatchIds = spark.read.parquet(s"$outDir/player_data")
+        .select(col("matchId")).distinct()
       val tl = timelineEtl(readJson(timelinesPath))
         .join(broadcast(windowedMatchIds), Seq("matchId"), "left_semi")
       Writers.partitionedByDate(

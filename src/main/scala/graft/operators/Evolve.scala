@@ -50,11 +50,15 @@ object Evolve {
   }
 
   /** Align one batch to the merged schema: cast present columns, null-pad
-    * missing ones (P8 `align_row_data`, `sql.py:21-22`). */
+    * missing ones (P8 `align_row_data`, `sql.py:21-22`). Name matching is
+    * case-INsensitive (Spark's default resolution) so a target read back
+    * from case-folding JDBC metadata (Derby uppercases unquoted
+    * identifiers) still binds the batch's columns instead of silently
+    * null-padding everything. */
   def align(df: DataFrame, target: StructType): DataFrame = {
-    val have = df.columns.toSet
+    val have = df.columns.map(_.toLowerCase).toSet
     df.select(target.fields.map { f =>
-      (if (have(f.name)) col(f.name).cast(f.dataType)
+      (if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)
     }.toSeq: _*)
   }
@@ -88,7 +92,10 @@ object Evolve {
       quote: String => String = n => s"`$n`",
       typeName: DataType => String = toDdlType): Seq[String] =
     incoming.fields.toSeq
-      .filterNot(f => existing.fieldNames.contains(f.name))
+      // case-insensitive diff: a live table created with unquoted
+      // identifiers reports case-folded names (Derby: uppercase); treating
+      // "K" as missing "k" would re-add a quoted duplicate column
+      .filterNot(f => existing.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       .map(f => s"ALTER TABLE $table ADD COLUMN ${quote(f.name)} ${typeName(f.dataType)}")
 
   /** `CREATE TABLE` DDL for a schema (sink bootstrap). */

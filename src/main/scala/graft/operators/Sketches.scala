@@ -62,6 +62,10 @@ object Sketches {
         countDistinct(col(keyCol)).as("exact_distinct"),
         approx_count_distinct(col(keyCol), rsd).as("approx_distinct"))
       .select(col(groupCol), col("exact_distinct"),
-        (abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
-          col("exact_distinct") <= bound).as("within_bound"))
+        // guard exact=0 (a group whose keys are all NULL): the relative
+        // error is 0/0 there — admissible iff the sketch also says 0
+        when(col("exact_distinct") === 0, col("approx_distinct") === 0)
+          .otherwise(
+            abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+              col("exact_distinct") <= bound).as("within_bound"))
 }

@@ -63,14 +63,25 @@ object JdbcSink {
   /** Current table schema via JDBC metadata (the `DESCRIBE` analog,
     * `sql.py:5-7`), in ordinal order; None when the table doesn't exist.
     * Table names are used UNQUOTED (Derby folds them to uppercase);
-    * column names are created quoted, so they round-trip verbatim. */
+    * column names are created quoted, so they round-trip verbatim.
+    *
+    * `getColumns` treats the table name as a LIKE pattern where `_` is a
+    * single-char wildcard — unescaped, `orders_jdbc` would also match an
+    * unrelated `ORDERSXJDBC` and merge its columns into the diff. We escape
+    * with the driver's search-string escape AND filter on exact TABLE_NAME
+    * equality (belt and braces for drivers that ignore the escape). */
   def tableSchema(conn: Connection, table: String): Option[StructType] = {
-    val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+    val target = table.toUpperCase
+    val esc = conn.getMetaData.getSearchStringEscape
+    val pattern = target
+      .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    val rs = conn.getMetaData.getColumns(null, null, pattern, null)
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     while (rs.next())
-      fields += StructField(rs.getString("COLUMN_NAME"),
-        sqlToSpark(rs.getInt("DATA_TYPE"), rs.getInt("COLUMN_SIZE"),
-          rs.getInt("DECIMAL_DIGITS")), nullable = true)
+      if (rs.getString("TABLE_NAME") == target)
+        fields += StructField(rs.getString("COLUMN_NAME"),
+          sqlToSpark(rs.getInt("DATA_TYPE"), rs.getInt("COLUMN_SIZE"),
+            rs.getInt("DECIMAL_DIGITS")), nullable = true)
     rs.close()
     if (fields.isEmpty) None else Some(StructType(fields.toSeq))
   }
@@ -153,10 +164,20 @@ object JdbcSink {
   }
 
   /** St6: exactly-once-ish load — same as [[transactionalLoad]], but each
-    * partition first checks a `(batch_id, partition_id)` marker in
-    * `<table>_log` and writes its marker IN THE SAME transaction as the
-    * data. A retried task or a re-delivered micro-batch finds the marker
-    * and skips, so re-running the same `batchId` never duplicates rows.
+    * partition claims a `(batch_id, partition_id)` marker in `<table>_log`
+    * IN THE SAME transaction as the data. A retried task or a re-delivered
+    * micro-batch finds the marker and skips, so re-running the same
+    * `batchId` never duplicates rows.
+    *
+    * The marker is the concurrency control, not just a breadcrumb: the log
+    * table carries `PRIMARY KEY (batch_id, partition_id)` and the marker is
+    * inserted FIRST. Two racing attempts for the same partition (stage
+    * retry overlapping a zombie task, or speculative execution) both pass a
+    * read-committed COUNT check — but the second marker INSERT blocks on
+    * the first's row lock and, once the winner commits, fails the PK
+    * constraint; the loser rolls back its whole transaction and skips
+    * quietly. Check-then-insert alone would let both commit.
+    *
     * Wire as `writeStream.foreachBatch((b, id) => idempotentLoad(b, url,
     * table, id))` for the streaming (St6) path. */
   def idempotentLoad(df: DataFrame, url: String, table: String, batchId: Long,
@@ -168,7 +189,9 @@ object JdbcSink {
       if (tableSchema(c, logTable).isEmpty) {
         val st = c.createStatement()
         try st.execute(s"CREATE TABLE $logTable " +
-          s"(${dialect.quote("batch_id")} BIGINT, ${dialect.quote("partition_id")} INT)")
+          s"(${dialect.quote("batch_id")} BIGINT NOT NULL, " +
+          s"${dialect.quote("partition_id")} INT NOT NULL, " +
+          s"PRIMARY KEY (${dialect.quote("batch_id")}, ${dialect.quote("partition_id")}))")
         finally st.close()
       }
     } finally c.close()
@@ -181,21 +204,44 @@ object JdbcSink {
       "VALUES (?, ?)"
     aligned.foreachPartition { (it: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
-      inTxn(url) { conn =>
-        val chk = conn.prepareStatement(markerCheck)
-        chk.setLong(1, batchId); chk.setInt(2, pid)
-        val rs = chk.executeQuery(); rs.next()
-        val seen = rs.getInt(1) > 0
-        rs.close(); chk.close()
-        if (!seen) {
-          insertBatches(conn, sql, target, it, batchSize)
-          val put = conn.prepareStatement(markerPut)
-          put.setLong(1, batchId); put.setInt(2, pid)
-          put.executeUpdate(); put.close()
+      val conn = connect(url)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          val chk = conn.prepareStatement(markerCheck)
+          chk.setLong(1, batchId); chk.setInt(2, pid)
+          val rs = chk.executeQuery(); rs.next()
+          val seen = rs.getInt(1) > 0
+          rs.close(); chk.close()
+          if (!seen) {
+            // claim first: under a racing attempt this blocks on the
+            // winner's row lock, then throws duplicate-key → skip below
+            val put = conn.prepareStatement(markerPut)
+            try { put.setLong(1, batchId); put.setInt(2, pid); put.executeUpdate() }
+            finally put.close()
+            insertBatches(conn, sql, target, it, batchSize)
+          }
+          conn.commit()
+        } catch {
+          case e: java.sql.SQLException if isDuplicateKey(e) =>
+            conn.rollback() // lost the claim race: winner's rows are committed
+          case e: Throwable => conn.rollback(); throw e
         }
-      }
+      } finally conn.close()
     }
   }
+
+  /** ANSI SQLState 23505 (unique violation) or the JDBC4 exception class —
+    * covers Derby and MySQL. */
+  private def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      e.getSQLState == "23505" ||
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null).take(5).exists {
+        case s: java.sql.SQLException =>
+          s.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+            s.getSQLState == "23505"
+        case _ => false
+      }
 
   private def evolveAndTarget(df: DataFrame, url: String, table: String,
       dialect: Dialect): StructType = {
