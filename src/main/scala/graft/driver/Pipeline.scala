@@ -100,7 +100,13 @@ object Pipeline {
     * matchIds that survived (a broadcast semi-join — the timeline document
     * carries no creation epoch of its own). The player map is a
     * point-in-time rank snapshot and lands unwindowed, as in the reference
-    * (`lambda_function.py:100-108` stores the whole map each run). */
+    * (`lambda_function.py:100-108` stores the whole map each run).
+    *
+    * Deliberate edge (pinned by PipelineSpec): a match whose
+    * `participants` array is empty explodes to zero player rows, so its
+    * timeline fails the semi-join and is dropped. A timeline none of whose
+    * rows can be attributed to a player carries no training signal, so the
+    * drop is the intended semantics, not an accident of the read-back. */
   def run(spark: org.apache.spark.sql.SparkSession,
       matchesPath: String, timelinesPath: String, playerMapPath: String,
       outDir: String, statePath: String, nowEpoch: Long,
@@ -116,11 +122,28 @@ object Pipeline {
         .withColumn("event_ts", timestamp_millis(col("gameCreation")))
       Writers.partitionedByEventTime(players, "event_ts", s"$outDir/player_data")
       // the windowed matchIds come from the parquet we just landed — a
-      // one-column pruned columnar scan — NOT a second full parse of the
+      // two-column pruned columnar scan — NOT a second full parse of the
       // raw JSON input (at 100 TB that second pass over the largest input
-      // would double the pipeline's scan cost)
-      val windowedMatchIds = spark.read.parquet(s"$outDir/player_data")
-        .select(col("matchId")).distinct()
+      // would double the pipeline's scan cost). Two constraints on the
+      // read-back:
+      //  - player_data accumulates partitions across incremental runs
+      //    (dynamic overwrite only replaces the dates THIS batch touched),
+      //    so the window predicate must be RE-APPLIED or every run after
+      //    the first re-lands all prior windows' timelines;
+      //  - a window matching zero rows lands no parquet files, and schema
+      //    inference over an empty directory throws — read with an
+      //    explicit schema (and fall back to an empty frame if the write
+      //    never created the path).
+      val playerPath = new org.apache.hadoop.fs.Path(s"$outDir/player_data")
+      val fs = playerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val readBack = StructType(Seq(
+        players.schema("matchId"), players.schema("gameCreation")))
+      val windowedMatchIds =
+        (if (fs.exists(playerPath))
+           spark.read.schema(readBack).parquet(playerPath.toString)
+         else players.select(col("matchId"), col("gameCreation")).limit(0))
+          .filter(inWindow)
+          .select(col("matchId")).distinct()
       val tl = timelineEtl(readJson(timelinesPath))
         .join(broadcast(windowedMatchIds), Seq("matchId"), "left_semi")
       Writers.partitionedByDate(

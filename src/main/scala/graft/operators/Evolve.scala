@@ -56,10 +56,17 @@ object Evolve {
     * identifiers) still binds the batch's columns instead of silently
     * null-padding everything. */
   def align(df: DataFrame, target: StructType): DataFrame = {
-    val have = df.columns.map(_.toLowerCase).toSet
+    val byFolded = df.columns.groupBy(_.toLowerCase)
+    val collisions = byFolded.collect { case (_, vs) if vs.length > 1 => vs.mkString("/") }
+    require(collisions.isEmpty,
+      s"batch has columns differing only in case — cannot align unambiguously: ${collisions.mkString(", ")}")
     df.select(target.fields.map { f =>
-      (if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)
+      // bind by the batch's EXACT column name (not the target's case) so
+      // resolution also works under spark.sql.caseSensitive=true
+      byFolded.get(f.name.toLowerCase).map(_.head) match {
+        case Some(exact) => col(exact).cast(f.dataType).as(f.name)
+        case None        => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toSeq: _*)
   }
 

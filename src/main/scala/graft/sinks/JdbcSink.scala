@@ -73,8 +73,13 @@ object JdbcSink {
   def tableSchema(conn: Connection, table: String): Option[StructType] = {
     val target = table.toUpperCase
     val esc = conn.getMetaData.getSearchStringEscape
-    val pattern = target
-      .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    // a driver reporting a null/empty escape would corrupt the pattern
+    // (replace("", x) inserts x between every character) — skip escaping
+    // and rely on the exact TABLE_NAME filter below
+    val pattern =
+      if (esc == null || esc.isEmpty) target
+      else target
+        .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     val rs = conn.getMetaData.getColumns(null, null, pattern, null)
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     while (rs.next())
@@ -185,16 +190,7 @@ object JdbcSink {
     val target = evolveAndTarget(df, url, table, dialect)
     val logTable = s"${table}_log"
     val c = connect(url)
-    try {
-      if (tableSchema(c, logTable).isEmpty) {
-        val st = c.createStatement()
-        try st.execute(s"CREATE TABLE $logTable " +
-          s"(${dialect.quote("batch_id")} BIGINT NOT NULL, " +
-          s"${dialect.quote("partition_id")} INT NOT NULL, " +
-          s"PRIMARY KEY (${dialect.quote("batch_id")}, ${dialect.quote("partition_id")}))")
-        finally st.close()
-      }
-    } finally c.close()
+    try ensureLogTable(c, logTable, dialect) finally c.close()
     val aligned = Evolve.align(df, target)
     val sql = insertSql(table, target, dialect)
     val q = dialect.quote
@@ -228,6 +224,39 @@ object JdbcSink {
           case e: Throwable => conn.rollback(); throw e
         }
       } finally conn.close()
+    }
+  }
+
+  /** The whole St6 guarantee hangs on the log table's PRIMARY KEY, so an
+    * existing table is VERIFIED, not trusted: one created by a pre-PK
+    * version of this sink (or by hand) gets the constraint retrofitted via
+    * `ALTER TABLE ADD CONSTRAINT`; if that fails (e.g. nullable columns,
+    * or duplicate markers already present) we fail loudly rather than run
+    * with silently-disabled race protection. */
+  private def ensureLogTable(c: Connection, logTable: String, dialect: Dialect): Unit = {
+    val q = dialect.quote
+    if (tableSchema(c, logTable).isEmpty) {
+      val st = c.createStatement()
+      try st.execute(s"CREATE TABLE $logTable " +
+        s"(${q("batch_id")} BIGINT NOT NULL, " +
+        s"${q("partition_id")} INT NOT NULL, " +
+        s"PRIMARY KEY (${q("batch_id")}, ${q("partition_id")}))")
+      finally st.close()
+    } else {
+      val rs = c.getMetaData.getPrimaryKeys(null, null, logTable.toUpperCase)
+      val hasPk = rs.next()
+      rs.close()
+      if (!hasPk) {
+        val st = c.createStatement()
+        try st.execute(s"ALTER TABLE $logTable ADD CONSTRAINT " +
+          s"${logTable.toUpperCase}_PK PRIMARY KEY (${q("batch_id")}, ${q("partition_id")})")
+        catch {
+          case e: java.sql.SQLException => throw new IllegalStateException(
+            s"$logTable exists without a PRIMARY KEY and one could not be " +
+              "added; exactly-once claim protection would be silently " +
+              "disabled — drop or fix the log table", e)
+        } finally st.close()
+      }
     }
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 import graft.operators.Evolve
 
@@ -52,6 +53,21 @@ class EvolveSpec extends SparkSpec {
     assert(Evolve.alterStatements("player_data", existing, incoming) == Seq(
       "ALTER TABLE player_data ADD COLUMN `kda` DECIMAL(10,2)",
       "ALTER TABLE player_data ADD COLUMN `win` BOOLEAN"))
+  }
+
+  test("align: binds by the batch's EXACT name case-insensitively; case collisions fail fast") {
+    // a Derby read-back reports "K" for a batch column "k" — align must bind
+    // the batch's column by its own exact name, not the target's case
+    val folded = spark.range(1).select(lit(5L).as("k"))
+    val target = StructType(Seq(StructField("K", LongType)))
+    val out = Evolve.align(folded, target)
+    assert(out.columns.toSeq == Seq("K") && out.head().getLong(0) == 5L)
+    // two batch columns differing only in case cannot align unambiguously
+    val colliding = spark.range(1).select(lit(1).as("a"), lit(2).as("A"))
+    val ex = intercept[IllegalArgumentException] {
+      Evolve.align(colliding, StructType(Seq(StructField("a", IntegerType))))
+    }
+    assert(ex.getMessage.contains("differing only in case"))
   }
 
   test("mixed-type error sentinels (api.py:228-239) reconcile to STRING columns") {

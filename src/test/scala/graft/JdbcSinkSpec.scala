@@ -91,6 +91,114 @@ class JdbcSinkSpec extends SparkSpec {
     assert(readTable(url, "ex1_log").count() == 4)
   }
 
+  test("St6: a mid-partition crash rolls back data AND marker; the re-drive lands exactly once") {
+    val url = freshUrl("crash")
+    // seed the table shape so the poison run hits the insert path, and put
+    // a 255-char bound on v by seeding through evolve
+    JdbcSink.idempotentLoad(Seq((0L, "seed")).toDF("k", "v").coalesce(1),
+      url, "ex2", batchId = 1L)
+    // poison: a 300-char string violates VARCHAR(255) on the 3rd row of a
+    // single partition with batchSize=1 — rows 1-2 are already executeBatch'd
+    // when the crash hits, so only a full-txn rollback keeps them out
+    val poison = Seq((1L, "a"), (2L, "b"), (3L, "x" * 300), (4L, "d"))
+      .toDF("k", "v").coalesce(1)
+    intercept[Exception] {
+      JdbcSink.idempotentLoad(poison, url, "ex2", batchId = 2L, batchSize = 1)
+    }
+    assert(readTable(url, "ex2").count() == 1, "partial rows survived the crash")
+    assert(readTable(url, "ex2_log").count() == 1, "crashed attempt left its marker")
+    // re-drive of the SAME batch id with fixed data: lands all four rows once
+    val fixed = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1)
+    JdbcSink.idempotentLoad(fixed, url, "ex2", batchId = 2L, batchSize = 1)
+    assert(readTable(url, "ex2").count() == 5)
+    // and a re-delivery after success is still a no-op
+    JdbcSink.idempotentLoad(fixed, url, "ex2", batchId = 2L, batchSize = 1)
+    assert(readTable(url, "ex2").count() == 5)
+  }
+
+  test("St6: the log PRIMARY KEY blocks a raw double-claim of one (batch_id, partition_id)") {
+    val url = freshUrl("pkrace")
+    JdbcSink.idempotentLoad(Seq((0L, "seed")).toDF("k", "v").coalesce(1),
+      url, "ex3", batchId = 1L) // creates ex3_log with its PK
+    val put = "INSERT INTO ex3_log (\"batch_id\", \"partition_id\") VALUES (9, 0)"
+    val c1 = JdbcSink.connect(url)
+    val loserError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      c1.setAutoCommit(false)
+      val s1 = c1.createStatement(); s1.execute(put); s1.close() // claim, uncommitted
+      val loser = new Thread(() => {
+        val c2 = JdbcSink.connect(url)
+        try {
+          c2.setAutoCommit(false)
+          val s2 = c2.createStatement()
+          // blocks on c1's row lock, then must hit the PK once c1 commits
+          try { s2.execute(put); c2.commit() }
+          catch { case t: Throwable => loserError.set(t); c2.rollback() }
+          finally s2.close()
+        } finally c2.close()
+      })
+      loser.start()
+      Thread.sleep(500) // let the loser reach the blocked insert
+      c1.commit()
+      loser.join(60000)
+    } finally c1.close()
+    assert(loserError.get() != null, "double claim was NOT blocked")
+    assert(loserError.get().isInstanceOf[java.sql.SQLException])
+    val sqlState = loserError.get().asInstanceOf[java.sql.SQLException].getSQLState
+    assert(sqlState == "23505", s"expected duplicate-key SQLState, got $sqlState")
+  }
+
+  test("St6: concurrent idempotentLoads of the same batch land exactly once") {
+    val url = freshUrl("conc")
+    val df = (1 to 8).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+    JdbcSink.idempotentLoad(df, url, "ex4", batchId = 1L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (2 to 4).foreach { b =>
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        val attempts = (1 to 2).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              gate.await()
+              JdbcSink.idempotentLoad(df, url, "ex4", batchId = b.toLong)
+            }
+          })
+        }
+        attempts.foreach(_.get()) // both must finish cleanly (loser skips)
+      }
+    } finally pool.shutdown()
+    // batches 1..4 × 8 rows, each exactly once
+    assert(readTable(url, "ex4").count() == 32)
+    assert(readTable(url, "ex4_log").count() == 4)
+  }
+
+  test("St6: a legacy log table without a PRIMARY KEY is retrofitted (or refused)") {
+    val url = freshUrl("retrofit")
+    // legacy shape: NOT NULL columns but no PK — retrofittable
+    val c = JdbcSink.connect(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE ex5_log (\"batch_id\" BIGINT NOT NULL, \"partition_id\" INT NOT NULL)")
+      // and an unfixable one: nullable columns can't take a PK in Derby
+      st.execute("CREATE TABLE ex6_log (\"batch_id\" BIGINT, \"partition_id\" INT)")
+      st.close()
+    } finally c.close()
+    val df = Seq((1L, "a")).toDF("k", "v").coalesce(1)
+    JdbcSink.idempotentLoad(df, url, "ex5", batchId = 7L) // retrofits the PK
+    JdbcSink.idempotentLoad(df, url, "ex5", batchId = 7L) // … which still dedups
+    assert(readTable(url, "ex5").count() == 1)
+    val c2 = JdbcSink.connect(url)
+    try {
+      val rs = c2.getMetaData.getPrimaryKeys(null, null, "EX5_LOG")
+      assert(rs.next(), "PK was not retrofitted onto the legacy log table")
+      rs.close()
+    } finally c2.close()
+    // the unfixable table must FAIL LOUDLY, not run without race protection
+    intercept[IllegalStateException] {
+      JdbcSink.idempotentLoad(df, url, "ex6", batchId = 7L)
+    }
+  }
+
   test("dialects: Derby quoting/type map diverge from reference MySQL only where they must") {
     val schema = Seq((1L, "x", 1.5)).toDF("id", "name", "score").schema
     assert(Evolve.createTableDdl("t", schema) ==

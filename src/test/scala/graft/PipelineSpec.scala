@@ -93,6 +93,128 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/timeline_data").count() == 6)
   }
 
+  test("run: incremental second run does NOT re-land prior windows' timelines") {
+    val dir = Files.createTempDirectory("graft_pipe_inc").toString
+    val state = s"$dir/state.json"
+    val day = 24 * 3600L
+    val now = 1754000000L
+    def fx(n: String) = TestSpark.fixture(n)
+    // run 1: window [now-5d, now-3d) covers only 036 → 2 players, 6 timeline rows
+    assert(Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+      fx("player_map.json"), s"$dir/out", state, now,
+      Windows.WindowState(now - 7 * day, now - 5 * day)).isDefined)
+    assert(spark.read.parquet(s"$dir/out/timeline_data").count() == 6)
+    // run 2 (clock +2d): window [now-3d, now-1d) covers only 037, whose
+    // timeline isn't in the fixture. The read-back of player_data now sees
+    // BOTH runs' partitions — without re-applying the window, 036's
+    // timeline would be re-landed under run 2's ingest_ts partition.
+    assert(Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+      fx("player_map.json"), s"$dir/out", state, now + 2 * day,
+      sys.error("state must exist")).isDefined)
+    val players = spark.read.parquet(s"$dir/out/player_data")
+    assert(players.count() == 3) // 036's two + 037's one, accumulated
+    val tl = spark.read.parquet(s"$dir/out/timeline_data")
+    assert(tl.count() == 6, "second run duplicated prior-window timelines")
+  }
+
+  test("run: an empty first window lands nothing and does not crash") {
+    val dir = Files.createTempDirectory("graft_pipe_empty").toString
+    val day = 24 * 3600L
+    val now = 1754000000L
+    def fx(n: String) = TestSpark.fixture(n)
+    // first window [now-7d, now-5d) predates the fixtures → zero matches;
+    // the player_data read-back must not die on parquet schema inference
+    val w = Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+      fx("player_map.json"), s"$dir/out", s"$dir/state.json", now,
+      Windows.WindowState(now - 9 * day, now - 7 * day))
+    assert(w.isDefined)
+    val tlDir = java.nio.file.Paths.get(s"$dir/out/timeline_data")
+    assert(!Files.exists(tlDir) ||
+      spark.read.option("multiLine", true).schema("matchId STRING")
+        .parquet(tlDir.toString).count() == 0)
+    // and the NEXT run, whose window [now-5d, now-3d) covers match 036,
+    // proceeds normally over the same output dirs
+    assert(Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+      fx("player_map.json"), s"$dir/out", s"$dir/state.json", now,
+      sys.error("state must exist")).isDefined)
+    assert(spark.read.parquet(s"$dir/out/player_data").count() == 2)
+  }
+
+  test("run: empty-participants match lands no players; its timeline is dropped (documented edge)") {
+    val dir = Files.createTempDirectory("graft_pipe_nop").toString
+    def copyPlus(fixture: String, sub: String, extraDoc: String): String = {
+      val in = java.nio.file.Paths.get(new java.net.URI(TestSpark.fixture(fixture)))
+      val d = java.nio.file.Paths.get(dir, sub)
+      Files.createDirectories(d)
+      Files.copy(in, d.resolve(fixture))
+      Files.write(d.resolve("extra.json"), extraDoc.getBytes("UTF-8"))
+      d.toString
+    }
+    // a match document whose participants array is EMPTY (in-window date)
+    val matchesDir = copyPlus("match.json", "matches",
+      """[{"metadata": {"dataVersion": "2", "matchId": "NA1_EMPTYP"},
+        |  "info": {"gameCreation": 1753704000000, "gameDuration": 90,
+        |           "gameVersion": "15.14.x", "mapId": 11, "participants": []},
+        |  "source": "prod"}]""".stripMargin)
+    // …and a timeline FOR that match, which has frames but no player rows
+    val timelinesDir = copyPlus("timeline.json", "timelines",
+      """[{"metadata": {"matchId": "NA1_EMPTYP"},
+        |  "info": {"endOfGameResult": "GameComplete", "frameInterval": 60000,
+        |    "participants": [],
+        |    "frames": [{"timestamp": 60000, "events": [],
+        |      "participantFrames": {"1": {"currentGold": 77, "level": 1, "xp": 0,
+        |        "championStats": {"abilityPower": 0, "armor": 1},
+        |        "damageStats": {"totalDamageDone": 0},
+        |        "position": {"x": 1, "y": 2}}}}]}}]""".stripMargin)
+    val day = 24 * 3600L
+    val now = 1754000000L
+    assert(Pipeline.run(spark, matchesDir, timelinesDir,
+      TestSpark.fixture("player_map.json"), s"$dir/out", s"$dir/state.json",
+      now, Windows.WindowState(now - 7 * day, now - 5 * day)).isDefined)
+    val players = spark.read.parquet(s"$dir/out/player_data")
+    assert(players.filter($"matchId" === "NA1_EMPTYP").count() == 0)
+    val tl = spark.read.parquet(s"$dir/out/timeline_data")
+    // deliberate semantics: no attributable players ⇒ the timeline is dropped
+    assert(tl.filter($"matchId" === "NA1_EMPTYP").count() == 0)
+    assert(tl.filter($"matchId" === "NA1_5200190036").count() == 6)
+  }
+
+  test("run: matches JSON scanned exactly 3× (flatten stats + slot probe + write), no extra derivation pass") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val scans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.optimizedPlan.foreach {
+          case lr: LogicalRelation => lr.relation match {
+            case rel: HadoopFsRelation =>
+              rel.location.rootPaths.foreach(p => scans.add(p.toString))
+            case _ => ()
+          }
+          case _ => ()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = Files.createTempDirectory("graft_pipe_scan").toString
+      val day = 24 * 3600L
+      val now = 1754000000L
+      def fx(n: String) = TestSpark.fixture(n)
+      assert(Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+        fx("player_map.json"), s"$dir/out", s"$dir/state.json", now,
+        Windows.WindowState(now - 6 * day, now - 4 * day)).isDefined)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val matchScans = scans.toArray.count(_.toString.endsWith("match.json"))
+      // 1 = Flatten.stats key discovery, 2 = the perks slot-count probe,
+      // 3 = the player_data write; a FOURTH scan means the windowed-matchId
+      // derivation regressed to re-parsing the raw JSON instead of reading
+      // the landed parquet
+      assert(matchScans == 3, s"matches JSON scanned $matchScans times:\n$scans")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("pipeline ETL plans have no single-task stage (no coalesce/repartition(1))") {
     Seq(Pipeline.matchEtl(readLol("match.json")),
       Pipeline.timelineEtl(readLol("timeline.json")),
