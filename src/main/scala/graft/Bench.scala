@@ -14,9 +14,51 @@ import graft.sources.Tables
   *    (projections, sorts, joins) with zero sink cost; a bare `count()`
   *    would let Catalyst strip projections and final sorts;
   *  - per-query failures are REPORTED (`errors` map + driver-visible -1
-  *    timing), never swallowed into a plausible total.
+  *    timing), never swallowed into a plausible total;
+  *  - EVERY rep's time is emitted (`reps` map), not just the min — the
+  *    round-over-round question "did this query really regress, or is the
+  *    box noisy?" needs the spread, not a point estimate;
+  *  - a regression gate: the previous round's `BENCH_r{N}.json` (driver
+  *    format, stdout line embedded in its `tail` field) is parsed and any
+  *    per-query delta beyond 1.5× in either direction is reported in
+  *    `deltas` — with the current spread attached, so a "regression" whose
+  *    previous time sits inside today's rep spread reads as noise, not code.
   */
 object Bench {
+
+  /** Best-effort read of the newest `BENCH_r*.json` in `dir`: returns its
+    * round number and per-query seconds. The driver file wraps our stdout
+    * line inside a `tail` string, so parse the outer JSON, then find the
+    * embedded `{"metric":...}` line. */
+  def previousBench(dir: String): Option[(Int, Map[String, Double])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rx = """BENCH_r(\d+)\.json""".r
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case rx(n) => Some((n.toInt, f))
+        case _     => None
+      })
+    if (files.isEmpty) return None
+    val (n, f) = files.maxBy(_._1)
+    try {
+      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val outer = JsonMethods.parse(raw)
+      val tail = outer \ "tail" match {
+        case JString(s) => s
+        case _          => raw // tolerate a bare stdout line saved as the file
+      }
+      val line = tail.linesIterator.map(_.trim.stripPrefix("[info] ").trim)
+        .filter(l => l.startsWith("{") && l.contains("\"metric\""))
+        .toSeq.lastOption.getOrElse(return None)
+      JsonMethods.parse(line) \ "queries" match {
+        case JObject(fields) =>
+          Some((n, fields.collect { case (k, JDouble(v)) => k -> v }
+            .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble }).toMap))
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -38,17 +80,18 @@ object Bench {
     qs.foreach(exec(_, warmDir)) // warmup: codegen + JIT per query shape
 
     // best-of-N per query: box noise is additive, so the minimum is the
-    // least-contaminated estimate of the plan's real cost
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // least-contaminated estimate of the plan's real cost; all reps are
+    // kept for the spread
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = qs.map { q =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val err = exec(q, sfDir)
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val ok = runs.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (q.name, ok.map(_._1).min, None)
-      else (q.name, -1.0, runs.head._2)
+      val ok = runs.filter(_._2.isEmpty).map(_._1)
+      if (ok.nonEmpty) (q.name, ok.min, ok, None)
+      else (q.name, -1.0, Nil, runs.head._2)
     }
 
     def jstr(s: String): String =
@@ -56,12 +99,33 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qJson = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qJson = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val repJson = results.map { case (k, _, rs, _) =>
+      s"${jstr(k)}:${rs.map(r3).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson$errJson,"sf":"$sfDir"}""")
+    // regression gate vs the previous round's recorded bench: flag >1.5×
+    // moves in either direction (ignoring sub-0.3s queries, where the
+    // delta is below the box's demonstrated noise floor), and attach this
+    // run's spread so a flagged move can be judged against it
+    val deltaJson = previousBench(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")) match {
+      case Some((prevRound, prev)) =>
+        val flagged = results.flatMap { case (k, cur, rs, _) =>
+          prev.get(k).collect {
+            case p if cur > 0 && math.max(p, cur) > 0.3 &&
+                (cur > p * 1.5 || p > cur * 1.5) =>
+              s"${jstr(k)}:{${jstr("prev")}:${r3(p)},${jstr("cur")}:${r3(cur)}," +
+                s"${jstr("reps")}:${rs.map(r3).mkString("[", ",", "]")}}"
+          }
+        }
+        s""","prev_round":$prevRound,"deltas":${flagged.mkString("{", ",", "}")}"""
+      case None => ""
+    }
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }
