@@ -97,36 +97,44 @@ object Extensions {
     sortCols = Seq("user_id", "event_type", "n"))
 
   /** Count-min sketch build + probe + admissibility: sketch `event_type`
-    * frequencies into a 4×64 table, probe every distinct type, and show
-    * the CMS invariant (estimate ≥ true count) holds row by row. */
+    * frequencies into a 4×64 table, probe every distinct type PLUS a key
+    * that was never inserted, and show the CMS invariant (estimate ≥ true
+    * count) holds row by row. The unseen key pins the left-join/coalesce
+    * path in [[graft.operators.Sketches.countMinProbe]]: a probe hitting a
+    * never-populated cell must answer 0, not drop the key or inflate the
+    * min. */
   val countminSketch = Q("countmin_sketch", (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d)
     val sketch = graft.operators.Sketches.countMinBuild(ev, "event_type", 4, 64)
+    val probeKeys = ev.select($"event_type").distinct()
+      .unionByName(s.range(1).select(lit("never_inserted_key").as("event_type")))
     val est = graft.operators.Sketches.countMinProbe(
-      sketch, ev.select($"event_type").distinct(), "event_type", 4, 64)
+      sketch, probeKeys, "event_type", 4, 64)
     val truth = ev.groupBy($"event_type").agg(count(lit(1)).as("true_count"))
-    truth.join(est, "event_type")
-      .select($"event_type", $"true_count", $"cms_estimate",
-        ($"cms_estimate" >= $"true_count").as("admissible"))
+    est.join(truth, Seq("event_type"), "left")
+      .select($"event_type", coalesce($"true_count", lit(0L)).as("true_count"),
+        $"cms_estimate",
+        ($"cms_estimate" >= coalesce($"true_count", lit(0L))).as("admissible"))
   }, Some {
     def cell(i: Int) =
       s"CAST(('0x' || substr(md5('cms$i:' || event_type), 1, 15)) AS BIGINT) % 64"
     val buildRows = (0 until 4).map(i =>
       s"SELECT $i AS depth, ${cell(i)} AS cell FROM events").mkString("\n      UNION ALL ")
     val probeRows = (0 until 4).map(i =>
-      s"SELECT event_type, $i AS depth, ${cell(i)} AS cell FROM (SELECT DISTINCT event_type FROM events) dte")
+      s"SELECT event_type, $i AS depth, ${cell(i)} AS cell FROM " +
+        "(SELECT DISTINCT event_type FROM events UNION ALL SELECT 'never_inserted_key') dte")
       .mkString("\n      UNION ALL ")
     s"""
     WITH sk AS (SELECT depth, cell, COUNT(*) AS cnt FROM ($buildRows) GROUP BY 1, 2),
     pr AS ($probeRows),
-    est AS (SELECT p.event_type, min(sk.cnt) AS cms_estimate
-            FROM pr p JOIN sk ON p.depth = sk.depth AND p.cell = sk.cell
+    est AS (SELECT p.event_type, min(coalesce(sk.cnt, 0)) AS cms_estimate
+            FROM pr p LEFT JOIN sk ON p.depth = sk.depth AND p.cell = sk.cell
             GROUP BY 1),
     t AS (SELECT event_type, COUNT(*) AS true_count FROM events GROUP BY 1)
-    SELECT t.event_type, t.true_count, est.cms_estimate,
-           est.cms_estimate >= t.true_count AS admissible
-    FROM t JOIN est ON t.event_type = est.event_type
+    SELECT est.event_type, coalesce(t.true_count, 0) AS true_count, est.cms_estimate,
+           est.cms_estimate >= coalesce(t.true_count, 0) AS admissible
+    FROM est LEFT JOIN t ON t.event_type = est.event_type
     ORDER BY 1"""
   },
     sortCols = Seq("event_type"))
