@@ -1,0 +1,56 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming↔batch equivalence under the driver's hard oracle gate
+  * (SURVEY §2.10; the reference's S3-event-driven micro-batch loop,
+  * `Lambda/lambda_function.py:27-41`).
+  *
+  * The St-family's other properties are spec-tested (watermarks, resume,
+  * dedup need a driver of their own); THIS row puts the core claim —
+  * a Structured Streaming drain of the same files computes the same answer
+  * as the batch engine — under the same DuckDB hash-compare as every batch
+  * operator.
+  *
+  * Scale: the streamed plan is identical to the batch tumbling-window agg
+  * (partial agg map-side, one shuffle); `Trigger.AvailableNow` drains with
+  * checkpointed file-granularity exactly-once, so the equivalence is the
+  * real production claim, not a toy. */
+object StreamingOps {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Drain `events` through a REAL streaming query — file source →
+    * 2-day tumbling windows × event_type → memory sink, complete mode,
+    * `Trigger.AvailableNow` — then hand the drained sink back as the
+    * result. Oracle = the same aggregation as batch SQL over the same
+    * parquet. */
+  val streamBatchEquiv = Q("stream_batch_equiv", (s, d) => {
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/events.parquet") // schema only; streams can't infer
+    val sink = s"stream_equiv_sink_${sinkId.incrementAndGet()}"
+    // the file-stream source wants a DIRECTORY basePath; events.parquet is
+    // a single file, so stream its parent filtered down to just it
+    val q = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"ts", "2 days").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).select(
+      date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+      $"event_type", $"n")
+  }, Some("""
+    SELECT strftime(time_bucket(INTERVAL 2 DAYS, ts, TIMESTAMP '1970-01-01'), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+    sortCols = Seq("win_start", "event_type"))
+
+  val all: Seq[Q] = Seq(streamBatchEquiv)
+}

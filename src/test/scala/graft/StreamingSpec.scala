@@ -126,6 +126,33 @@ class StreamingSpec extends SparkSpec {
       afterFirst.filter(_._1.contains("year=2025")))
   }
 
+  test("matchPipeline stream drain == batch matchEtl through the same sink, every column") {
+    val in = Files.createTempDirectory("graft_eq_in").toString
+    val ck = Files.createTempDirectory("graft_eq_ck").toString
+    val base = Files.createTempDirectory("graft_eq_out").toString
+    val fixture = Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(TestSpark.fixture("match.json"))))
+    Files.writeString(java.nio.file.Paths.get(s"$in/f1.json"), fixture)
+    val schema = spark.read.option("multiLine", true).json(s"$in/f1.json").schema
+
+    // streamed: AvailableNow drain through the event-time partitioned sink
+    Streams.matchPipeline(spark, in, schema, s"$base/streamed", ck).awaitTermination()
+    // batch: the same files through the same ETL + the same sink
+    val batch = graft.driver.Pipeline
+      .matchEtl(spark.read.option("multiLine", true).schema(schema).json(in))
+      .withColumn("event_ts",
+        org.apache.spark.sql.functions.timestamp_millis($"gameCreation"))
+    graft.sinks.Writers.partitionedByEventTime(batch, "event_ts", s"$base/batch")
+
+    val s1 = spark.read.parquet(s"$base/streamed")
+    val s2 = spark.read.parquet(s"$base/batch")
+    assert(s1.columns.sorted.toSeq == s2.columns.sorted.toSeq)
+    val cols = s1.columns.sorted.toSeq.map(org.apache.spark.sql.functions.col)
+    assert(s1.select(cols: _*).exceptAll(s2.select(cols: _*)).isEmpty &&
+      s2.select(cols: _*).exceptAll(s1.select(cols: _*)).isEmpty,
+      "streamed and batch sink contents diverge")
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
