@@ -71,11 +71,52 @@ object Vectors {
   /** IVF probe: answer each query from its `nprobe` nearest centroid
     * buckets only — the 1/(k/nprobe) corpus fraction that survives 100 TB.
     * Exact within the probed buckets; recall vs brute force is the
-    * nprobe/k tradeoff. */
+    * nprobe/k tradeoff. One-shot form: assigns the corpus here; the
+    * production build-once/probe-many shape is [[writeIndex]] +
+    * [[ivfSearchIndexed]]. */
   def ivfSearch(v: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobe: Int, k: Int): DataFrame =
+    searchAssigned(v.join(ivfAssign(v, idCol, vecCol, centroids), idCol),
+      idCol, vecCol, centroids, queries, qIdCol, qVecCol, nprobe, k)
+
+  /** Build the IVF index ONCE and persist it: `$path/centroids`
+    * (centroid_id, centroid) and `$path/assignments` (id, centroid_id)
+    * parquet. The corpus assignment to the FINAL centroids is computed
+    * here — probes read it instead of re-assigning the corpus per query
+    * batch, which is the whole economics of IVF at 100 TB (the index
+    * build's two assignment passes — seeds for the Lloyd step, final for
+    * the inverted lists — amortize over every probe that follows).
+    * Centroids are read back from disk before assigning so the persisted
+    * assignment matches the persisted centroids bit-for-bit. */
+  def writeIndex(v: DataFrame, idCol: String, vecCol: String, k: Int,
+      path: String): Unit = {
+    buildCentroids(v, idCol, vecCol, k)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cent = v.sparkSession.read.parquet(s"$path/centroids")
+    ivfAssign(v, idCol, vecCol, cent)
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** Probe a persisted index: centroids + inverted-list assignment come
+    * from [[writeIndex]] parquet; only the probe's own work (query→bucket
+    * routing + in-bucket exact cosine) runs per call. */
+  def ivfSearchIndexed(indexPath: String, v: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    val vAssigned = v.join(ivfAssign(v, idCol, vecCol, centroids), idCol)
+    val spark = v.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val assignments = spark.read.parquet(s"$indexPath/assignments")
+    searchAssigned(v.join(assignments, idCol),
+      idCol, vecCol, centroids, queries, qIdCol, qVecCol, nprobe, k)
+  }
+
+  /** Shared probe stage: route each query to its `nprobe` nearest
+    * centroids (broadcast, tiny), then exact cosine top-k inside the
+    * probed buckets only. */
+  private def searchAssigned(vAssigned: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
     val qBuckets = {
       val scored = queries
         .select(col(qIdCol), col(qVecCol).as("_q"), normScaled(col(qVecCol)).as("_qn"))

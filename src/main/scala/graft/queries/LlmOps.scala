@@ -381,7 +381,43 @@ object LlmOps {
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     Vectors.ivfSearch(v, "vec_id", "embedding", centroids, q, "qid", "qe",
       nprobe = 2, k = 10)
-  }, Some("""
+  }, Some(ivfSql), sortCols = Seq("qid", "rank"))
+
+  /** The production IVF shape: the index (centroids + inverted-list
+    * assignment) is BUILT ONCE and persisted as parquet
+    * ([[Vectors.writeIndex]]); queries probe it from disk
+    * ([[Vectors.ivfSearchIndexed]]) without ever re-assigning the corpus.
+    * Identical answers to [[ivfKnn]] (same oracle SQL) — what changes is
+    * the cost model: `ivf_knn` pays build+assign+probe every run, this
+    * pays probe only once the index exists. The per-rep bench spread shows
+    * exactly that (rep 1 builds, later reps probe). */
+  val ivfProbe = Q("ivf_probe", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val q = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    Vectors.ivfSearchIndexed(ivfIndex(s, d), v, "vec_id", "embedding",
+      q, "qid", "qe", nprobe = 2, k = 10)
+  }, Some(ivfSql), sortCols = Seq("qid", "rank"))
+
+  /** Build-once guard for the persisted IVF index, keyed by data dir:
+    * in-JVM fast path + on-disk `_SUCCESS` check so sibling JVMs (Verify,
+    * Bench) reuse the same index files instead of rebuilding. */
+  private val ivfIndexCache = new scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ivfIndexCache.getOrElseUpdate(d, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      val built = new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
+        new java.io.File(s"$base/assignments/_SUCCESS").exists()
+      if (!built)
+        Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, base)
+      base
+    })
+
+  // lazy: referenced by ivfKnn/ivfProbe above their textual position
+  private lazy val ivfSql: String = ("""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings),
@@ -441,11 +477,10 @@ object LlmOps {
           AS INTEGER) AS rank
       FROM sims)
     SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
-    ORDER BY qid, rank"""),
-    sortCols = Seq("qid", "rank"))
+    ORDER BY qid, rank""")
 
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, ngramJaccard, simhash,
     simhashNeardup, docFingerprint, textStats, tokenCount, langId,
-    knnCosine, knnBucketed, embeddingNeardup, ivfKnn)
+    knnCosine, knnBucketed, embeddingNeardup, ivfKnn, ivfProbe)
 }

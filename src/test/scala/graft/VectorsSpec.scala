@@ -70,6 +70,30 @@ class VectorsSpec extends SparkSpec {
     assert(narrow(1L).subsetOf(Set(3L, 5L)))
   }
 
+  test("persisted IVF index: probe-from-disk == one-shot build+search, bit for bit") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)), (1L, Array(0.0f, 1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.1f, 0.95f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.1f)), (5L, Array(0.05f, 1.05f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Vectors.writeIndex(vecs, "vec_id", "embedding", 2, idx)
+    // the index is two parquet datasets a cluster can share across jobs
+    assert(spark.read.parquet(s"$idx/centroids").count() == 2)
+    assert(spark.read.parquet(s"$idx/assignments").count() == 6)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"cand_id", $"rank", $"cos_sim").collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val fromIndex = key(Vectors.ivfSearchIndexed(idx, vecs, "vec_id", "embedding",
+      queries, "qid", "qe", nprobe = 2, k = 3))
+    val oneShot = key(Vectors.ivfSearch(vecs, "vec_id", "embedding",
+      Vectors.buildCentroids(vecs, "vec_id", "embedding", 2),
+      queries, "qid", "qe", nprobe = 2, k = 3))
+    assert(fromIndex == oneShot)
+  }
+
   test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
     // 2 obvious clusters on the axes; centroids from the true means.
     val vecs = Seq(
