@@ -52,10 +52,10 @@ object TextOps {
 
   /** LSH band keys: hash of each band's concatenated signature rows.
     * Equal band_key within a band ⇒ candidate near-duplicate pair. */
-  def bandKeys(sig: Seq[Column]): Seq[Column] =
+  def bandKeys(sig: Seq[Column], hashFn: Column => Column = hash60): Seq[Column] =
     (0 until bands).map { j =>
       val rows = sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand)
-      hash60(concat_ws("_", rows.map(_.cast("string")): _*))
+      hashFn(concat_ws("_", rows.map(_.cast("string")): _*))
     }
 
   /** The MinHash band table as a PLAN, not a per-row lambda: explode
@@ -68,16 +68,22 @@ object TextOps {
     * whole-stage-codegen'd with map-side partial aggregation, so each
     * shingle is hashed exactly once and the shuffle carries 16 longs per
     * doc. Near-dup candidates then come from a shuffle on (band,
-    * band_key), never from comparing docs pairwise. */
-  def minhashBandTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * band_key), never from comparing docs pairwise.
+    *
+    * `hashFn` defaults to the portable md5 [[hash60]] (oracle-checkable);
+    * production passes `xxhash64(_)` — same plan, native codegen'd hash,
+    * no cryptographic digest per shingle (the `*_xx` bench variants
+    * quantify the md5 tax). */
+  def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = hash60): DataFrame = {
     val hashed = df
       .select(col(idCol).as("_mh_id"), explode(shingles(tokens(col(textCol)))).as("sh"))
-      .select(col("_mh_id"), pmod(hash60(col("sh")), lit(P)).as("h"))
+      .select(col("_mh_id"), pmod(hashFn(col("sh")), lit(P)).as("h"))
     val sigAggs = minhashA.zip(minhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
     }
     val sigs = hashed.groupBy(col("_mh_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val keys = bandKeys((0 until minhashA.size).map(i => col(s"s$i")))
+    val keys = bandKeys((0 until minhashA.size).map(i => col(s"s$i")), hashFn)
     sigs.select(col("_mh_id"), explode(array(keys.zipWithIndex.map { case (k, j) =>
         struct(lit(j).as("band"), k.as("band_key"))
       }: _*)).as("b"))
@@ -112,10 +118,11 @@ object TextOps {
   /** SimHash as a plan (same rationale as [[minhashBandTable]]): explode
     * tokens → hash once → 32 codegen'd bit-balance sums per doc →
     * recombine bits. */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = hash60): DataFrame = {
     val hashed = df
       .select(col(idCol).as("_sh_id"), explode(tokens(col(textCol))).as("w"))
-      .select(col("_sh_id"), hash60(col("w")).as("h"))
+      .select(col("_sh_id"), hashFn(col("w")).as("h"))
     val bitAggs = (0 until 32).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
     }

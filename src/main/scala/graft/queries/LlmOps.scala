@@ -87,6 +87,22 @@ object LlmOps {
     ORDER BY doc_a, doc_b"""),
     sortCols = Seq("doc_a", "doc_b"))
 
+  /** Production-hash MinHash variant: IDENTICAL plan to `minhash_bands`,
+    * but every hash is native `xxhash64` (whole-stage codegen, no
+    * cryptographic digest) instead of the portable md5 the oracle
+    * contract requires. No DuckDB twin — xxhash64 isn't reproducible
+    * there — so the driver records a rows-only check; its job is the
+    * BENCH row that quantifies the md5 tax (PERF.md). */
+  val minhashBandsXx = Q("minhash_bands_xx", (s, d) =>
+    TextOps.minhashBandTable(Tables.documents(s, d), "doc_id", "text", xxhash64(_)),
+    None, sortCols = Seq("doc_id", "band"))
+
+  /** Production-hash SimHash variant of `simhash` — same deal as
+    * [[minhashBandsXx]]. */
+  val simhashXx = Q("simhash_xx", (s, d) =>
+    TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text", xxhash64(_)),
+    None, sortCols = Seq("doc_id"))
+
   /** n-gram (word-set) Jaccard similarity on a bounded candidate window
     * (doc_id < 30 here; at scale the window comes from LSH buckets — this
     * query is the verifier that runs INSIDE a bucket, never all-pairs
@@ -480,7 +496,8 @@ object LlmOps {
     ORDER BY qid, rank""")
 
   val all: Seq[Q] = Seq(
-    docDedup, minhashBands, minhashPairs, ngramJaccard, simhash,
-    simhashNeardup, docFingerprint, textStats, tokenCount, langId,
-    knnCosine, knnBucketed, embeddingNeardup, ivfKnn, ivfProbe)
+    docDedup, minhashBands, minhashPairs, minhashBandsXx, simhashXx,
+    ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
+    tokenCount, langId, knnCosine, knnBucketed, embeddingNeardup,
+    ivfKnn, ivfProbe)
 }
