@@ -91,6 +91,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(approx - 9876.0) / 9876.0 < 0.05)
   }
 
+  test("S2: route_file routes by the TABLE ROOT component, not part-file names (multi-file table)") {
+    // the same documents table written as 3 part files — input_file_name
+    // now ends in part-*.parquet; routing must still extract the
+    // `documents…` directory component and land document_store
+    val tmp = java.nio.file.Files.createTempDirectory("graft_route_multi").toString
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val parts = new java.io.File(s"$tmp/documents.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"fixture landed $parts part files; need 2+")
+    val routed = SparkEntry.queries("route_file")(spark, tmp)
+    assert(routed.count() > 0)
+    assert(routed.select("object_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("documents.parquet"))
+    assert(routed.select("route").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("document_store"))
+  }
+
   test("alignTo null-pads to the target order (align_row_data)") {
     val df = Seq((1, "a")).toDF("id", "name")
     val out = Normalize.alignTo(df, Seq(

@@ -29,6 +29,66 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(out == (1L to 500L))
   }
 
+  test("saltedJoin bounds the hot reducer: max task shuffle-read drops vs the unsalted plan") {
+    // hot-key fixture: 90% of 50k fact rows carry ONE key — the shape
+    // where an unsalted shuffled join funnels the key through one reducer
+    val facts = (1 to 50000)
+      .map(i => (if (i % 10 == 0) s"k${i % 97}" else "HOT", i.toLong))
+      .toDF("key", "v")
+    val dims = (Seq("HOT") ++ (0 until 97).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"dim_$i") }.toDF("key", "attr")
+
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            max.getAndUpdate(c => math.max(c, t.taskMetrics.shuffleReadMetrics.recordsRead))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      max.get()
+    }
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // force the shuffled join (no broadcast escape hatch), turn off AQE's
+    // skew splitting — it is the built-in fallback for sort-merge skew;
+    // THIS test isolates what explicit salting buys when AQE can't
+    // re-plan (see Skew scaladoc) — and turn off partition coalescing,
+    // which at this tiny data size would merge every reducer into one
+    // task and hide the distribution entirely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val unsaltedMax = maxTaskShuffleRead {
+        facts.join(dims, Seq("key")).write.format("noop").mode("overwrite").save()
+      }
+      val saltedMax = maxTaskShuffleRead {
+        Skew.saltedJoin(facts, dims, Seq("key"), "v", saltN = 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // unsalted: the hot key's ~45k rows land on one reducer; salted:
+      // they spread across 16 (key, salt) reducers
+      assert(unsaltedMax >= 45000L,
+        s"fixture lost its skew: unsalted max task read $unsaltedMax")
+      assert(saltedMax * 3 <= unsaltedMax,
+        s"salting did not bound the hot reducer: salted=$saltedMax unsalted=$unsaltedMax")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("bucketed tables join without an exchange on the join key") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
