@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extension installing graft's native Catalyst functions
+  * (currently [[graft.functions.ScaledDot]] as `scaled_dot`).
+  *
+  * Wired through the standard static conf — `Tables.requiredConfs` carries
+  * `spark.sql.extensions = graft.GraftExtensions`, so every entry point
+  * (Smoke/Verify/Bench/tests) and any user session built with those confs
+  * gets the functions without calling registration code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction(graft.functions.ScaledDot.descriptor)
+}

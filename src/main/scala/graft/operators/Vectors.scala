@@ -17,14 +17,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object Vectors {
 
-  /** Scaled-integer dot product (as an integer-valued double). */
+  /** Scaled-integer dot product (as an integer-valued double) — the
+    * native codegen'd [[graft.functions.ScaledDot]] (`scaled_dot`,
+    * registered by [[graft.GraftExtensions]]); bit-identical to
+    * [[dotScaledHof]] and to the DuckDB twins. */
   def dotScaled(a: Column, b: Column): Column =
+    call_function("scaled_dot", a, b)
+
+  /** Scaled-integer squared norm = `scaled_dot(a, a)`. */
+  def normScaled(a: Column): Column =
+    call_function("scaled_dot", a, a)
+
+  /** The higher-order-function formulation `dotScaled` replaces. Kept as
+    * the differential-test reference (and for sessions without
+    * [[graft.GraftExtensions]]): `aggregate`/`zip_with` are
+    * CodegenFallback — an interpreter loop per row — which is exactly
+    * what the native expression removes from the similarity kernels. */
+  def dotScaledHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => round(x.cast("double") * y.cast("double") * 1e12)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Scaled-integer squared norm. */
-  def normScaled(a: Column): Column =
+  /** HOF twin of [[normScaled]] (differential-test reference). */
+  def normScaledHof(a: Column): Column =
     aggregate(
       transform(a, x => round(x.cast("double") * x.cast("double") * 1e12)),
       lit(0.0), (acc, v) => acc + v)

@@ -23,7 +23,9 @@ object Tables {
     * session conf would silently change how sibling queries parse nanos). */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // native Catalyst functions (scaled_dot) — see graft.GraftExtensions
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** One driver table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
