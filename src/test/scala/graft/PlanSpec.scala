@@ -58,4 +58,33 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial"), s"$q lacks partial aggregation")
     }
   }
+
+  test("similarity kernels run the native scaled_dot inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val p = plan("knn_cosine")
+    assert(p.contains("scaled_dot"), "knn_cosine no longer uses the native expression")
+    // the HOF chain it replaced would surface as aggregate(zip_with(...))
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "interpreted HOF chain crept back into the similarity kernel")
+    // the projection computing the similarity is inside a codegen span
+    val df = graft.sources.Tables.embeddings(spark, d)
+      .select(graft.operators.Vectors
+        .dotScaled(col("embedding"), col("embedding")).as("n2"))
+    val exec = df.queryExecution.executedPlan.toString
+    // "*(n) Project [scaled_dot(...)" — the * prefix IS the
+    // WholeStageCodegen marker in executedPlan.toString
+    assert("""\*\(\d+\) Project \[scaled_dot""".r.findFirstIn(exec).isDefined,
+      s"scaled_dot projection fell out of codegen:\n$exec")
+  }
+
+  test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
+    // probe plan: scans the index parquet (centroids + assignments) and
+    // never recomputes the corpus assignment (no posexplode/Lloyd stage)
+    val probe = plan("ivf_probe")
+    assert(probe.contains("graft_ivf_"), "probe is not reading the persisted index")
+    assert(!probe.contains("posexplode"),
+      "probe plan contains the centroid-mean build stage")
+    val build = plan("ivf_knn")
+    assert(build.contains("posexplode"), "ivf_knn lost its build stage (fixture drift?)")
+  }
 }
