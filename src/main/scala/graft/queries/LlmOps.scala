@@ -416,15 +416,21 @@ object LlmOps {
       q, "qid", "qe", nprobe = 2, k = 10)
   }, Some(ivfSql), sortCols = Seq("qid", "rank"))
 
-  /** Build-once guard for the persisted IVF index, keyed by data dir:
-    * in-JVM fast path + on-disk `_SUCCESS` check so sibling JVMs (Verify,
-    * Bench) reuse the same index files instead of rebuilding. */
+  /** Build-once guard for the persisted IVF index: in-JVM fast path + an
+    * on-disk `_SUCCESS` check so sibling JVMs (Verify, Bench) reuse the
+    * same index files instead of rebuilding. The cache key fingerprints
+    * the SOURCE data (path + size + mtime), not just the path — if the
+    * corpus under the same path is ever regenerated, a stale index would
+    * silently return wrong neighbors, so regenerated data gets a fresh
+    * index directory instead. */
   private val ivfIndexCache = new scala.collection.concurrent.TrieMap[String, String]()
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     ivfIndexCache.getOrElseUpdate(d, {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val stamp = s"$d|${src.length()}|${src.lastModified()}"
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
+        java.security.MessageDigest.getInstance("MD5").digest(stamp.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
       val built = new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
         new java.io.File(s"$base/assignments/_SUCCESS").exists()
       if (!built)
