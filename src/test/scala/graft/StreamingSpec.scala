@@ -153,6 +153,44 @@ class StreamingSpec extends SparkSpec {
       "streamed and batch sink contents diverge")
   }
 
+  test("St6 streaming e2e: foreachBatch → idempotentLoad lands exactly once across restarts") {
+    val in = Files.createTempDirectory("graft_jdbc_in").toString
+    val ck = Files.createTempDirectory("graft_jdbc_ck").toString
+    val db = Files.createTempDirectory("graft_jdbc_db").toString
+    val url = s"jdbc:derby:$db/db;create=true"
+    Files.writeString(java.nio.file.Paths.get(s"$in/f1.json"),
+      """{"k":1,"v":"a"}
+        |{"k":2,"v":"b"}""".stripMargin)
+    def drain(): Unit = {
+      val q = graft.streaming.Streams.jsonFileSource(spark, in, "k BIGINT, v STRING")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.sinks.JdbcSink.idempotentLoad(b, url, "stream_tbl", id)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def count(): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "stream_tbl").load().count()
+    drain()
+    assert(count() == 2)
+    // restart with no new arrivals: the checkpoint replays nothing AND a
+    // hypothetical re-delivery would hit the commit log — still 2 rows
+    drain()
+    assert(count() == 2)
+    // the same micro-batch REDELIVERED out-of-band (the crash-after-write
+    // case foreachBatch is documented to produce): commit log dedups it
+    val replay = spark.read.schema("k BIGINT, v STRING").json(s"$in/f1.json")
+    graft.sinks.JdbcSink.idempotentLoad(replay.coalesce(1), url, "stream_tbl", 0L)
+    assert(count() == 2)
+    // a new arrival is new data
+    Files.writeString(java.nio.file.Paths.get(s"$in/f2.json"), """{"k":3,"v":"c"}""")
+    drain()
+    assert(count() == 3)
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
