@@ -76,9 +76,25 @@ object TextOps {
     * quantify the md5 tax). */
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = hash60): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("_mh_id"), explode(shingles(tokens(col(textCol)))).as("sh"))
-      .select(col("_mh_id"), pmod(hashFn(col("sh")), lit(P)).as("h"))
+    // shingle construction stays OUT of higher-order lambdas: explode the
+    // START POSITIONS (one codegen'd sequence per doc) and build each
+    // 3-gram with element_at/concat_ws — all codegen'd — instead of
+    // `transform(..., slice+concat)` which interprets one lambda call per
+    // shingle (~1M interpreted evals at sf0.1). Position -1 marks the
+    // whole-doc shingle for docs shorter than 3 words. Emits the exact
+    // same shingle strings as [[shingles]] (PropertySpec pins this), so
+    // hashes, signatures, and the DuckDB oracle are unchanged.
+    val n = 3
+    val posed = df
+      .select(col(idCol).as("_mh_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("_mh_id"), col("_toks"),
+        explode(when(size(col("_toks")) >= n, sequence(lit(0), size(col("_toks")) - n))
+          .otherwise(array(lit(-1)))).as("_i"))
+    val shingle = when(col("_i") >= 0,
+      concat_ws(" ", (1 to n).map(k => element_at(col("_toks"), col("_i") + k)): _*))
+      .otherwise(concat_ws(" ", col("_toks")))
+    val hashed = posed
+      .select(col("_mh_id"), pmod(hashFn(shingle), lit(P)).as("h"))
     val sigAggs = minhashA.zip(minhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
     }
