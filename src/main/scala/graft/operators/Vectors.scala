@@ -151,6 +151,42 @@ object Vectors {
       .select(col(qIdCol), col("cand_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Random-hyperplane LSH bucketing (the brief's "LSH-bucketed variant"
+    * of similarity search, next to IVF): each vector gets `planes` sign
+    * bits — bit p = sign(Σ_d s(p,d)·v_d) with s(p,d) ∈ {±1} derived
+    * DETERMINISTICALLY from the portable hash of (p, d) — grouped into
+    * `bands` band keys (classic OR-amplification: near vectors agree on
+    * at least one whole band with high probability). Returns one row per
+    * (id, band) with the band's bucket key.
+    *
+    * Scale + determinism: posexplode dims → broadcast the 8-row plane
+    * table → per-(vector, plane) grouped sum of ±round(x·1e7) longs
+    * (exact integer sums, order-independent) → sign bits → band keys.
+    * One partial-agg shuffle on (id, plane); everything codegen'd; the
+    * whole derivation is reproducible in DuckDB SQL, so LSH-bucketed ANN
+    * is oracle-checkable end to end. */
+  def rpLshBands(v: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, bands: Int = 2): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
+    val spark = v.sparkSession
+    val planesDf = spark.range(0, planes).select(col("id").cast("int").as("plane"))
+    val scaled = round(col("x").cast("double") * 1e7).cast("long")
+    val sign = pmod(graft.queries.hash60(
+      concat(lit("rp"), col("plane"), lit(":"), col("dim"))), lit(2L)) === 0
+    val contrib = v
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .join(broadcast(planesDf))
+      .select(col(idCol), col("plane"),
+        when(sign, scaled).otherwise(-scaled).as("sx"))
+    val bits = contrib.groupBy(col(idCol), col("plane"))
+      .agg((sum(col("sx")) > 0).as("bit"))
+    val perBand = planes / bands
+    bits.groupBy(col(idCol), (col("plane") / perBand).cast("int").as("band"))
+      .agg(sum(when(col("bit"),
+        pow(lit(2.0), pmod(col("plane"), lit(perBand))).cast("long"))
+        .otherwise(0L)).as("band_key"))
+  }
+
   /** Exact top-k rows per key, scale-safely: a partial top-k inside each
     * shuffle partition first (heap-sized window over (key, partition)),
     * THEN the global per-key window over the ≤ numPartitions·k survivors —

@@ -416,6 +416,78 @@ object LlmOps {
       q, "qid", "qe", nprobe = 2, k = 10)
   }, Some(ivfSql), sortCols = Seq("qid", "rank"))
 
+  /** Random-hyperplane LSH ANN (the brief's "LSH-bucketed variant",
+    * completing the similarity-search family next to IVF): 8 deterministic
+    * sign-bit planes banded 2×4 ([[Vectors.rpLshBands]]); candidates =
+    * corpus vectors sharing ANY band key with the query (OR-amplified);
+    * exact scaled-int cosine top-10 inside the candidate set. Unlike
+    * `knn_bucketed` (whose bucket is the `label` stand-in), the bucket
+    * here is DERIVED from the vectors themselves, and the whole pipeline —
+    * planes, bits, band keys, candidates, cosines — has a bit-exact DuckDB
+    * twin. Scale: one (id, plane) partial-agg shuffle for signatures, an
+    * equi-join on (band, band_key) for candidates (never all-pairs),
+    * broadcast query side, two-phase top-k. */
+  val rplshKnn = Q("rplsh_knn", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val keys = Vectors.rpLshBands(v, "vec_id", "embedding", planes = 8, bands = 2)
+    val qKeys = keys.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"band", $"band_key")
+    val cand = keys.join(broadcast(qKeys), Seq("band", "band_key"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand_id")).distinct()
+    val emb = v.select($"vec_id", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val qEmb = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"n2".as("qn2"))
+    val sims = cand
+      .join(emb, $"cand_id" === emb("vec_id"))
+      .join(broadcast(qEmb), Seq("qid"))
+      .select($"qid", $"cand_id",
+        Vectors.cosine(Vectors.dotScaled($"qe", $"embedding"), $"qn2", $"n2").as("cos_sim"))
+    Vectors.topKPerKey(sims, $"qid", $"cos_sim", $"cand_id", 10)
+      .select($"qid", $"cand_id", $"rank", $"cos_sim")
+  }, Some(s"""
+    WITH dims AS (
+      SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS dim
+      FROM embeddings),
+    contrib AS (
+      SELECT d.vec_id, p.plane,
+        CASE WHEN (CAST(('0x' || substr(md5('rp' || p.plane || ':' || d.dim), 1, 15)) AS BIGINT) % 2) = 0
+             THEN CAST(round(CAST(d.x AS DOUBLE) * 1e7) AS BIGINT)
+             ELSE -CAST(round(CAST(d.x AS DOUBLE) * 1e7) AS BIGINT) END AS sx
+      FROM dims d CROSS JOIN (SELECT unnest(range(8)) AS plane) p),
+    bits AS (
+      SELECT vec_id, plane, SUM(sx) > 0 AS bit FROM contrib GROUP BY 1, 2),
+    keys AS (
+      SELECT vec_id, CAST(plane // 4 AS INTEGER) AS band,
+             SUM(CASE WHEN bit THEN CAST(pow(2, plane % 4) AS BIGINT) ELSE 0 END) AS band_key
+      FROM bits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand_id
+      FROM keys q JOIN keys c ON q.band = c.band AND q.band_key = c.band_key
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    vn AS (
+      SELECT vec_id, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings),
+    sims AS (
+      SELECT cand.qid, cand.cand_id,
+        list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(q.n2 * c.n2) AS cos_sim
+      FROM cand
+      JOIN vn c ON c.vec_id = cand.cand_id
+      JOIN vn q ON q.vec_id = cand.qid),
+    r AS (
+      SELECT qid, cand_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id)
+          AS INTEGER) AS rank
+      FROM sims)
+    SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
+    ORDER BY qid, rank"""),
+    sortCols = Seq("qid", "rank"))
+
   /** Build-once guard for the persisted IVF index: in-JVM fast path + an
     * on-disk `_SUCCESS` check so sibling JVMs (Verify, Bench) reuse the
     * same index files instead of rebuilding. The cache key fingerprints
@@ -505,5 +577,5 @@ object LlmOps {
     docDedup, minhashBands, minhashPairs, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, knnCosine, knnBucketed, embeddingNeardup,
-    ivfKnn, ivfProbe)
+    ivfKnn, ivfProbe, rplshKnn)
 }

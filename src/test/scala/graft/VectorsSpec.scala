@@ -94,6 +94,26 @@ class VectorsSpec extends SparkSpec {
     assert(fromIndex == oneShot)
   }
 
+  test("RP-LSH bands: identical vectors share every band; perturbed ones share at least one") {
+    val base = Array.tabulate(32)(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      if (i == 3) x + 0.001f else x } // tiny perturbation
+    val vecs = Seq(
+      (0L, base), (1L, base.clone()), (2L, nearDup),
+      (3L, base.map(-_))) // antipode: every plane flips
+      .toDF("vec_id", "embedding")
+    val keys = Vectors.rpLshBands(vecs, "vec_id", "embedding", planes = 8, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(keys.size == 8) // 4 vectors × 2 bands
+    // exact duplicate: both bands agree
+    assert((0 to 1).forall(b => keys((0L, b)) == keys((1L, b))))
+    // near-duplicate: OR-amplification — at least one band agrees
+    assert((0 to 1).exists(b => keys((0L, b)) == keys((2L, b))))
+    // antipode: every sign bit flips, so NO band can agree (keys are
+    // bitwise complements within the 4-bit band space)
+    assert((0 to 1).forall(b => keys((0L, b)) + keys((3L, b)) == 15L))
+  }
+
   test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
     // 2 obvious clusters on the axes; centroids from the true means.
     val vecs = Seq(
