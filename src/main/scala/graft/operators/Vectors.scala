@@ -171,13 +171,19 @@ object Vectors {
     val spark = v.sparkSession
     val planesDf = spark.range(0, planes).select(col("id").cast("int").as("plane"))
     val scaled = round(col("x").cast("double") * 1e7).cast("long")
-    val sign = pmod(graft.queries.hash60(
-      concat(lit("rp"), col("plane"), lit(":"), col("dim"))), lit(2L)) === 0
-    val contrib = v
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .join(broadcast(planesDf))
+    val exploded = v.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+    // the hyperplane sign depends only on (plane, dim): evaluate the hash
+    // once per (plane, dim) in a tiny broadcast table (planes × dims rows),
+    // not once per (vector, plane, dim) contribution — at 100 TB that is
+    // the difference between 512 digests and one digest per cell
+    val signTable = exploded.select(col("dim")).distinct()
+      .crossJoin(planesDf)
+      .select(col("plane"), col("dim"),
+        (pmod(graft.queries.hash60(
+          concat(lit("rp"), col("plane"), lit(":"), col("dim"))), lit(2L)) === 0).as("pos"))
+    val contrib = exploded.join(broadcast(signTable), Seq("dim"))
       .select(col(idCol), col("plane"),
-        when(sign, scaled).otherwise(-scaled).as("sx"))
+        when(col("pos"), scaled).otherwise(-scaled).as("sx"))
     val bits = contrib.groupBy(col(idCol), col("plane"))
       .agg((sum(col("sx")) > 0).as("bit"))
     val perBand = planes / bands
