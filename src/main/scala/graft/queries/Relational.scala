@@ -42,6 +42,24 @@ object Relational {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Production form of `q1_agg`: plain DOUBLE sums instead of the
+    * DECIMAL(20,2) arithmetic the oracle contract requires. Last-bit
+    * order-dependent (no portable oracle → rows-only check); its job is
+    * the BENCH row quantifying what exact-decimal aggregation costs —
+    * the aggregation-side sibling of the `*_xx` hash-tax rows. */
+  val q1AggFast = Q("q1_agg_fast", (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        avg($"l_quantity").as("avg_qty"),
+        avg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }, None, sortCols = Seq("l_returnflag", "l_linestatus"))
+
   /** A1: dedup (`set(matchesList)`, `EC2/fetcher.py:136`) — distinct on a key
     * projection. Column pruning reaches the scan; distinct is a partial-agg
     * shuffle on the key. No sort in the scale plan (oracle sort = sortCols). */
@@ -294,7 +312,7 @@ object Relational {
     sortCols = Seq("c_custkey"))
 
   val all: Seq[Q] = Seq(
-    q1Agg, dedup, limitPlayers, topkRank, unionTiers, leftoverAnti,
+    q1Agg, q1AggFast, dedup, limitPlayers, topkRank, unionTiers, leftoverAnti,
     existsSemi, censusByQueue, linearFit, lookupJoin, enrichMatch,
     enrichLeft, filterNull, idExtract, rejoinSplit, explodeWords, jsonProps)
 }

@@ -143,6 +143,29 @@ class ResilienceSpec extends AnyFunSuite {
     assert(cb.state == "OPEN" && !cb.canExecute())
   }
 
+  test("S4 + resilience: a flaky paginated scan retries per page and still unions all pages") {
+    // the reference's fetcher loop: each page fetch goes through the smart
+    // retry wrapper; transient 5xx on a page must NOT truncate the scan
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fc = new FakeClock(u = 0.5)
+    val failuresLeft = scala.collection.mutable.Map(2 -> 2) // page 2: two 503s first
+    val fetchedPages = scala.collection.mutable.Buffer.empty[Int]
+    val result = graft.sources.Paginate.scan(page => {
+      Resilience.fetchWithBackoff(maxRetries = 3, fc.clock) { _ =>
+        fetchedPages += page
+        if (failuresLeft.getOrElse(page, 0) > 0) {
+          failuresLeft(page) -= 1; Status(503)
+        } else if (page <= 3) Ok(Seq((page, s"row$page")).toDF("page", "v"))
+        else Ok(spark.emptyDataset[(Int, String)].toDF("page", "v"))
+      }
+    })
+    assert(result.isDefined)
+    assert(result.get.count() == 3) // pages 1..3, page 2 recovered via retry
+    assert(fetchedPages.count(_ == 2) == 3) // two failures + one success
+    assert(fc.sleeps.toSeq == Seq(1200L, 2400L)) // page 2's two backoffs
+  }
+
   test("guardedFetch: breaker gate → limiter pacing → fetch; failures feed the breaker") {
     val fc = new FakeClock()
     val rl = new SlidingWindowRateLimiter(Seq((1, 5L)), fc.clock)
