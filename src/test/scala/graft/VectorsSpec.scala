@@ -114,6 +114,19 @@ class VectorsSpec extends SparkSpec {
     assert((0 to 1).forall(b => keys((0L, b)) + keys((3L, b)) == 15L))
   }
 
+  test("RP-LSH signatures are partitioning-invariant (exact integer sums)") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (1 to 60).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f)))
+    def keysOf(parts: Int) =
+      Vectors.rpLshBands(vecs.toDF("vec_id", "embedding").repartition(parts),
+        "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per-(vector, plane) sums are exact longs, so the signature cannot
+    // depend on how rows were split across tasks
+    assert(keysOf(1) == keysOf(7))
+  }
+
   test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
     // 2 obvious clusters on the axes; centroids from the true means.
     val vecs = Seq(
