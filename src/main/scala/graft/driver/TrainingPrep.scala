@@ -1,0 +1,61 @@
+package graft.driver
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Worked composition: the LLM training-data prep chain a user runs over a
+  * raw document corpus — the "switch from the reference and keep going"
+  * story, assembled from the library's own operators. Stages:
+  *
+  *  1. quality gate: minimum word count + stopword-ratio floor (the
+  *     `text_stats` heuristics as a filter);
+  *  2. exact dedup: sha256 content hash, keep the minimum id per hash
+  *     (32 B crosses the shuffle, never the body);
+  *  3. near-dup removal: MinHash-LSH candidate pairs
+  *     ([[TextOps.minhashBandTable]] → [[TextOps.minhashCandidatePairs]]),
+  *     drop the higher id of each pair (anti-join — set difference, L5);
+  *  4. stamp features: token count, language id, content fingerprint.
+  *
+  * Every stage is the scale shape the individual queries pin: hash-keyed
+  * shuffles only, candidates from band buckets (never all-pairs), narrow
+  * stamping. `hashFn` swaps the portable oracle hash for `xxhash64` in
+  * production (see PERF.md on the md5 tax). */
+object TrainingPrep {
+
+  def prepare(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 5, minStopRatio: Double = 0.0,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.queries.hash60): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+
+    // 1. quality gate
+    val en = TextOps.stopwords.head._2
+    val stopRatio =
+      size(filter(toks, w => w.isin(en.map(lit(_)): _*))).cast("double") / size(toks)
+    val quality = docs
+      .filter(size(toks) >= minWords)
+      .filter(if (minStopRatio > 0) stopRatio >= minStopRatio else lit(true))
+
+    // 2. exact dedup: keep the min id per content hash
+    val hashed = quality.withColumn("content_hash", sha2(col(textCol), 256))
+    val keepers = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val exactDeduped = hashed
+      .join(keepers, Seq("content_hash", idCol), "left_semi")
+
+    // 3. near-dup removal: MinHash-LSH candidates, drop the higher id
+    val pairs = TextOps.minhashCandidatePairs(
+      TextOps.minhashBandTable(exactDeduped, idCol, textCol, hashFn), idCol)
+    val dropIds = pairs.select(col("doc_b").as(idCol)).distinct()
+    val nearDeduped = exactDeduped.join(dropIds, Seq(idCol), "left_anti")
+
+    // 4. feature stamps (lang_pred, not lang: never silently replace a
+    // source-provided label column)
+    nearDeduped
+      .withColumn("n_tokens", size(toks))
+      .withColumn("lang_pred", TextOps.langId(toks))
+      .withColumn("fingerprint", TextOps.fingerprint(toks))
+      .drop("content_hash")
+  }
+}

@@ -37,7 +37,9 @@ object LlmOps {
     FROM documents GROUP BY 1 ORDER BY content_hash"""),
     sortCols = Seq("content_hash"))
 
-  private def bandsSqlCte: String = {
+  /** The MinHash band CTE chain (`t, sh, hs, g, b`) over `src` — WITHOUT
+    * the leading `WITH`, so callers can splice it into a larger chain. */
+  private def bandsSqlCtes(src: String): String = {
     val sigs = TextOps.minhashA.zip(TextOps.minhashB).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(hv, h -> ($a * h + $b) % $P)) AS s$i"
@@ -47,7 +49,7 @@ object LlmOps {
         .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $j AS band, ${h60(s"concat_ws('_', $cols)")} AS band_key FROM g"
     }.mkString("\n      UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM $src),
     sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
         THEN list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
         ELSE [array_to_string(w, ' ')] END AS s FROM t),
@@ -57,6 +59,8 @@ object LlmOps {
       FROM hs),
     b AS ($bandRows)"""
   }
+
+  private def bandsSqlCte: String = s"WITH ${bandsSqlCtes("documents")}"
 
   private def minhashBandsDf(s: org.apache.spark.sql.SparkSession, d: String) =
     TextOps.minhashBandTable(Tables.documents(s, d), "doc_id", "text")
@@ -265,33 +269,73 @@ object LlmOps {
   /** Stopword-profile language ID (brief: "language-ID (n-gram
     * heuristic)"): per-language stopword hits, arg-max with fixed
     * tie-break; compared against the dataset's `lang` label. */
+  /** Per-language stopword-hit score columns (`s_<lang>`) over a split
+    * column `w` — shared by the lang_id and training_prep oracles. */
+  private def langScoresSql: String = TextOps.stopwords.map { case (lang, ws) =>
+    s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+  }.mkString(",\n        ")
+
+  /** Arg-max CASE over the `s_<lang>` columns, first-listed tie-break. */
+  private def langCaseSql: String = {
+    val langs = TextOps.stopwords.map(_._1)
+    langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+      val conds = (later :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n        ")
+  }
+
   val langId = Q("lang_id", (s, d) => {
     import s.implicits._
     val toks = TextOps.tokens($"text")
     Tables.documents(s, d)
       .select($"doc_id", TextOps.langId(toks).as("lang_pred"), $"lang")
       .withColumn("matches_label", $"lang_pred" === $"lang")
-  }, Some {
-    val scores = TextOps.stopwords.map { case (lang, ws) =>
-      s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
-    }.mkString(",\n        ")
-    val langs = TextOps.stopwords.map(_._1)
-    val cases = langs.zipWithIndex.map { case (lang, i) =>
-      val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
-      val conds = (later :+ s"s_$lang > 0").mkString(" AND ")
-      s"WHEN $conds THEN '$lang'"
-    }.mkString("\n        ")
-    s"""
+  }, Some(s"""
     WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
     s AS (SELECT doc_id, lang,
-        $scores
+        $langScoresSql
       FROM t)
     SELECT doc_id,
-      CASE $cases ELSE 'und' END AS lang_pred,
+      CASE $langCaseSql ELSE 'und' END AS lang_pred,
       lang,
-      (CASE $cases ELSE 'und' END) = lang AS matches_label
-    FROM s ORDER BY doc_id"""
-  },
+      (CASE $langCaseSql ELSE 'und' END) = lang AS matches_label
+    FROM s ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  /** The composed training-data prep chain ([[graft.driver.TrainingPrep]])
+    * under the hard oracle gate: quality gate → exact dedup (min-id per
+    * sha256) → MinHash-LSH near-dup drop (higher id of each candidate
+    * pair) → token/lang/fingerprint stamps, end to end in one DuckDB twin.
+    * This is the "switch from the reference and run your real pipeline"
+    * row — every stage reuses an operator that is also pinned alone. */
+  val trainingPrep = Q("training_prep", (s, d) => {
+    import s.implicits._
+    graft.driver.TrainingPrep.prepare(Tables.documents(s, d))
+      .select($"doc_id", $"n_tokens", $"lang_pred", $"fingerprint")
+  }, Some(s"""
+    WITH t0 AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+    q0 AS (SELECT * FROM t0 WHERE len(w) >= 5),
+    hsh AS (SELECT doc_id, text, w, sha256(text) AS ch FROM q0),
+    kp AS (SELECT ch, min(doc_id) AS keep_id FROM hsh GROUP BY 1),
+    e AS (SELECT hsh.doc_id, hsh.text, hsh.w FROM hsh
+          JOIN kp ON hsh.ch = kp.ch AND hsh.doc_id = kp.keep_id),
+    ${bandsSqlCtes("e")},
+    drops AS (SELECT DISTINCT r.doc_id AS doc_id
+              FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+    f AS (SELECT e.doc_id, e.w FROM e
+          WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)),
+    st AS (SELECT doc_id, w,
+        $langScoresSql
+      FROM f)
+    SELECT doc_id,
+      CAST(len(w) AS INTEGER) AS n_tokens,
+      CASE $langCaseSql ELSE 'und' END AS lang_pred,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT), list_transform(w, x -> ${h60("x")} % $P)),
+        (acc, h) -> (acc * 31 + h) % $P) AS fingerprint
+    FROM st ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
   private val knnSqlBody = """
@@ -576,6 +620,6 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
-    tokenCount, langId, knnCosine, knnBucketed, embeddingNeardup,
-    ivfKnn, ivfProbe, rplshKnn)
+    tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
+    embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)
 }
