@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
       s"scaled_dot projection fell out of codegen:\n$exec")
   }
 
+  test("training_prep: every join hash-based, no cartesian anywhere in the chain") {
+    val p = plan("training_prep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the composed prep chain grew a cartesian/nested-loop join")
+    // candidate pairing must stay the single-pass bucket-group form, not a
+    // self-join that would recompute the MinHash pipeline twice
+    assert(p.contains("collect_set"), "bucket-group pairing shape lost")
+  }
+
   test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
     // probe plan: scans the index parquet (centroids + assignments) and
     // never recomputes the corpus assignment (no posexplode/Lloyd stage)
