@@ -15,21 +15,31 @@ import graft.sources.Tables
   *    would let Catalyst strip projections and final sorts;
   *  - per-query failures are REPORTED (`errors` map + driver-visible -1
   *    timing), never swallowed into a plausible total;
-  *  - EVERY rep's time is emitted (`reps` map), not just the min — the
-  *    round-over-round question "did this query really regress, or is the
-  *    box noisy?" needs the spread, not a point estimate;
-  *  - a regression gate: the previous round's `BENCH_r{N}.json` (driver
-  *    format, stdout line embedded in its `tail` field) is parsed and any
-  *    per-query delta beyond 1.5× in either direction is reported in
+  *  - EVERY rep's time is recorded (`reps` map in `bench_full.json`), not
+  *    just the min — the round-over-round question "did this query really
+  *    regress, or is the box noisy?" needs the spread, not a point estimate;
+  *  - a regression gate: the newest PARSEABLE prior `BENCH_r{N}.json`
+  *    (driver format, stdout line embedded in its `tail` field) is read and
+  *    any per-query delta beyond 1.5× in either direction is reported in
   *    `deltas` — with the current spread attached, so a "regression" whose
-  *    previous time sits inside today's rep spread reads as noise, not code.
+  *    previous time sits inside today's rep spread reads as noise, not code;
+  *  - the stdout line stays COMPACT (2-decimal minima, no reps/deltas): the
+  *    driver keeps only the last 2000 chars of output, and an over-long
+  *    line gets its head truncated away (the round-5 failure). The full
+  *    record — 3-decimal minima, rep spreads, deltas — is written to
+  *    `bench_full.json` in SPARK_GRAFT_BENCH_DIR and committed with the
+  *    repo so the history survives in parseable form.
   */
 object Bench {
 
-  /** Best-effort read of the newest `BENCH_r*.json` in `dir`: returns its
-    * round number and per-query seconds. The driver file wraps our stdout
-    * line inside a `tail` string, so parse the outer JSON, then find the
-    * embedded `{"metric":...}` line. */
+  /** Best-effort read of prior rounds' per-query seconds from `dir`.
+    *
+    * Walks `BENCH_r*.json` files newest-first and returns the FIRST one
+    * that yields a parseable `{"metric":...}` line (the driver file wraps
+    * our stdout line inside a 2000-char `tail` string, which can truncate
+    * the line's head — such files are skipped, not treated as "no prior
+    * data"). Queries recorded as errored (negative seconds) are dropped so
+    * the regression gate never compares against a -1 sentinel. */
   def previousBench(dir: String): Option[(Int, Map[String, Double])] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -39,25 +49,30 @@ object Bench {
         case rx(n) => Some((n.toInt, f))
         case _     => None
       })
-    if (files.isEmpty) return None
-    val (n, f) = files.maxBy(_._1)
-    try {
-      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val outer = JsonMethods.parse(raw)
-      val tail = outer \ "tail" match {
-        case JString(s) => s
-        case _          => raw // tolerate a bare stdout line saved as the file
-      }
-      val line = tail.linesIterator.map(_.trim.stripPrefix("[info] ").trim)
-        .filter(l => l.startsWith("{") && l.contains("\"metric\""))
-        .toSeq.lastOption.getOrElse(return None)
-      JsonMethods.parse(line) \ "queries" match {
-        case JObject(fields) =>
-          Some((n, fields.collect { case (k, JDouble(v)) => k -> v }
-            .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble }).toMap))
-        case _ => None
-      }
-    } catch { case _: Throwable => None }
+      .sortBy(-_._1)
+    files.iterator.flatMap { case (n, f) =>
+      try {
+        val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val outer = JsonMethods.parse(raw)
+        val tail = outer \ "tail" match {
+          case JString(s) => s
+          case _          => raw // tolerate a bare stdout line saved as the file
+        }
+        val line = tail.linesIterator.map(_.trim.stripPrefix("[info] ").trim)
+          .filter(l => l.startsWith("{") && l.contains("\"metric\""))
+          .toSeq.lastOption
+        line.flatMap { l =>
+          JsonMethods.parse(l) \ "queries" match {
+            case JObject(fields) =>
+              val qs = fields.collect { case (k, JDouble(v)) => k -> v }
+                .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble })
+                .filter(_._2 >= 0).toMap
+              if (qs.isEmpty) None else Some((n, qs))
+            case _ => None
+          }
+        }
+      } catch { case _: Throwable => None }
+    }.nextOption()
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,17 +115,27 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qJson = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def r2(v: Double): Double = math.rint(v * 100) / 100
+
+    // The driver records only the LAST 2000 chars of this process's output
+    // (BENCH_r*.json "tail"), so the stdout line must stay comfortably
+    // under that or its head — metric, value, and the first queries — is
+    // truncated away (this is exactly what made BENCH_r05 unparseable).
+    // Stdout therefore carries the compact contract line only (2-decimal
+    // minima); the per-rep spreads, errors, and the regression-gate deltas
+    // go to bench_full.json next to the BENCH_r*.json history.
+    val qJson = results.map { case (k, v, _, _) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val repJson = results.map { case (k, _, rs, _) =>
       s"${jstr(k)}:${rs.map(r3).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    // regression gate vs the previous round's recorded bench: flag >1.5×
+    // regression gate vs the newest PARSEABLE prior round: flag >1.5×
     // moves in either direction (ignoring sub-0.3s queries, where the
     // delta is below the box's demonstrated noise floor), and attach this
     // run's spread so a flagged move can be judged against it
-    val deltaJson = previousBench(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")) match {
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+    val deltaJson = previousBench(benchDir) match {
       case Some((prevRound, prev)) =>
         val flagged = results.flatMap { case (k, cur, rs, _) =>
           prev.get(k).collect {
@@ -123,8 +148,15 @@ object Bench {
         s""","prev_round":$prevRound,"deltas":${flagged.mkString("{", ",", "}")}"""
       case None => ""
     }
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}""")
+    val total = r2(results.collect { case (_, v, _, _) if v >= 0 => v }.sum)
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
+          .map { case (k, v, _, _) => s"${jstr(k)}:${r3(v)}" }
+          .mkString("{", ",", "}")},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(benchDir, "bench_full.json"),
+      fullJson.getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson$errJson,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }

@@ -533,26 +533,51 @@ object LlmOps {
     sortCols = Seq("qid", "rank"))
 
   /** Build-once guard for the persisted IVF index: in-JVM fast path + an
-    * on-disk `_SUCCESS` check so sibling JVMs (Verify, Bench) reuse the
-    * same index files instead of rebuilding. The cache key fingerprints
-    * the SOURCE data (path + size + mtime), not just the path — if the
-    * corpus under the same path is ever regenerated, a stale index would
-    * silently return wrong neighbors, so regenerated data gets a fresh
-    * index directory instead. */
+    * on-disk check so sibling JVMs (Verify, Bench) reuse the same index
+    * files instead of rebuilding.
+    *
+    * Staleness: the source fingerprint (path + size + mtime) is recomputed
+    * on EVERY call and IS the cache key — regenerating the corpus under the
+    * same path changes the stamp and routes to a fresh index directory; a
+    * memoized per-path answer would silently keep serving the stale index.
+    *
+    * Cross-JVM race: the index is built into a process-private temp dir and
+    * atomically renamed into place (`ATOMIC_MOVE` = rename(2) within
+    * java.io.tmpdir). Concurrent builders each produce a complete index;
+    * exactly one rename wins, losers discard their copy and use the
+    * winner's — no JVM can ever observe a half-written directory. */
   private val ivfIndexCache = new scala.collection.concurrent.TrieMap[String, String]()
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
-    ivfIndexCache.getOrElseUpdate(d, {
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val stamp = s"$d|${src.length()}|${src.lastModified()}"
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val stamp = s"$d|${src.length()}|${src.lastModified()}"
+    ivfIndexCache.getOrElseUpdate(stamp, {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
         java.security.MessageDigest.getInstance("MD5").digest(stamp.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-      val built = new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      def complete = new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
         new java.io.File(s"$base/assignments/_SUCCESS").exists()
-      if (!built)
-        Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, base)
+      if (!complete) {
+        // half-written leftovers (a build-in-place crash from an older
+        // version) would block the rename below — clear them first
+        rm(new java.io.File(base))
+        val build = s"$base.build_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, build)
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(build), java.nio.file.Paths.get(base),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            // a sibling JVM won the rename; its index is complete — drop ours
+            rm(new java.io.File(build))
+        }
+      }
       base
     })
+  }
 
   // lazy: referenced by ivfKnn/ivfProbe above their textual position
   private lazy val ivfSql: String = ("""

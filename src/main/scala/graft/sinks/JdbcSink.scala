@@ -243,9 +243,22 @@ object JdbcSink {
         s"PRIMARY KEY (${q("batch_id")}, ${q("partition_id")}))")
       finally st.close()
     } else {
-      val rs = c.getMetaData.getPrimaryKeys(null, null, logTable.toUpperCase)
-      val hasPk = rs.next()
-      rs.close()
+      // Resolve the STORED identifier case before the PK lookup:
+      // getPrimaryKeys matches the catalog's stored name exactly, and
+      // databases disagree on folding (Derby/Oracle store upper, MySQL on
+      // Linux and Postgres store lower). Probing only the upper-case form
+      // would miss an existing PK there, and the retrofit ALTER below would
+      // then fail on a healthy table. Mixed-case answers are covered by
+      // also probing the name as given.
+      val md = c.getMetaData
+      val candidates =
+        if (md.storesUpperCaseIdentifiers()) Seq(logTable.toUpperCase)
+        else if (md.storesLowerCaseIdentifiers()) Seq(logTable.toLowerCase)
+        else Seq(logTable, logTable.toUpperCase, logTable.toLowerCase)
+      val hasPk = candidates.distinct.exists { name =>
+        val rs = md.getPrimaryKeys(null, null, name)
+        try rs.next() finally rs.close()
+      }
       if (!hasPk) {
         val st = c.createStatement()
         try st.execute(s"ALTER TABLE $logTable ADD CONSTRAINT " +

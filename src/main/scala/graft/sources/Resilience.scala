@@ -45,18 +45,22 @@ object Resilience {
     delay + jitter.toLong
   }
 
-  /** Wait for a 429/5xx response (`handle_rate_limit_response`,
-    * `api.py:15-48`): `Retry-After` wins; else 429 waits by limit type
-    * (personal 1 s, service 30 s, unknown 10 s); else (5xx) the
-    * reference's fixed `min(60, 2^(3-1))` = 4 s. */
+  /** Wait for a 429 response (`handle_rate_limit_response`, `api.py:15-48`):
+    * `Retry-After` wins; else wait by limit type (personal 1 s, service
+    * 30 s, unknown 10 s).
+    *
+    * 429-only by design: the reference's fetch loop
+    * (`make_api_request_with_smart_backoff`, `api.py:79-84`) routes every
+    * OTHER retryable status (5xx) to `exponential_backoff` and only calls
+    * `handle_rate_limit_response` for 429 — its own 5xx/4 s branch is
+    * unreachable there, and is deliberately not reproduced here. */
   def rateLimitWaitSec(status: Status): Int =
     status.retryAfterSec.getOrElse {
-      if (status.code == 429) status.rateLimitType match {
+      status.rateLimitType match {
         case Some("personal") => 1
         case Some("service")  => 30
         case _                => 10
       }
-      else 4
     }
 
   /** The reference's smart fetch loop (`make_api_request_with_smart_backoff`,
