@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the CLUSTERING
+  * stage of near-duplicate dedup that turns LSH candidate pairs into
+  * duplicate clusters (pairs say "a≈b"; keeping one doc per *cluster*
+  * needs the transitive closure: a≈b, b≈c ⇒ {a,b,c} is one group).
+  *
+  * Algorithm: min-label propagation with pointer jumping.
+  *  - every node starts labeled with its own id;
+  *  - each round, a node takes the min label across itself and its
+  *    neighbors (one edge-join + groupBy-min shuffle), then labels are
+  *    pointer-jumped (`comp ← comp(comp)`, one self-join) so label chains
+  *    collapse exponentially — O(log n) rounds even on path graphs, vs
+  *    O(diameter) for plain propagation;
+  *  - fixpoint detection: per-node labels are monotone non-increasing, so
+  *    the global label sum strictly decreases until converged — one cheap
+  *    scalar action per round, no row-level diff.
+  *
+  * The result is deterministic independent of partitioning: each node's
+  * final label is the MINIMUM node id of its component.
+  *
+  * Scale: per round, 2 shuffles (edge join on node id; pointer jump on
+  * label). Lineage is cut with an eager `localCheckpoint` per round —
+  * without it the iterated plan doubles each round and the optimizer
+  * chokes long before the data does (production would use a reliable
+  * `checkpoint` dir instead; same shape). A giant component makes its
+  * label a hot PROBE-side join key in the jump step; the build side stays
+  * one row per key, so AQE's skew-join split handles it without salting.
+  *
+  * Dedup-clustering context (near-dup pipeline stage 3, after
+  * shingle→band bucketing and in-bucket verification): see
+  * `/root/reference` S3→ETL dedup discussion in SURVEY §2.6; the
+  * pairs→clusters→keeper chain itself is standard LSH-dedup practice.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * @param edges  edge list; self-loops ignored, direction ignored
+    * @param srcCol source node id column (integral)
+    * @param dstCol target node id column (integral)
+    * @return one row per DISTINCT node appearing in `edges`:
+    *         (`id`, `comp`) with `comp` = min node id of its component
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // symmetrize AND add a self-loop per node: with (v,v) present, one
+    // edge-join + groupBy-min computes min(own label, neighbor labels) in a
+    // single shuffle pair — no label∪neighbor union inside the loop
+    val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .union(nodes.select(col("n").as("u"), col("n").as("v")))
+      .distinct().localCheckpoint()
+
+    var labels = nodes.select(col("n").as("id"), col("n").as("comp")).localCheckpoint()
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val propagated = sym.join(labels, sym("u") === labels("id"))
+        .select(sym("v").as("id"), labels("comp"))
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: comp ← comp's own label (comp values are node ids,
+      // and every node has a label row, so the inner join is total)
+      val jumped = propagated.as("a")
+        .join(propagated.as("b"), col("a.comp") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.comp").as("comp"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
+      round += 1
+    }
+    labels
+  }
+}

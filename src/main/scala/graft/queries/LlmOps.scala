@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{TextOps, Vectors}
+import graft.operators.{Components, TextOps, Vectors}
 
 /** LLM-training-data pipeline operators (builder brief; SURVEY §7.2 step 7):
   * exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup, cosine similarity
@@ -90,6 +90,57 @@ object LlmOps {
      AND l.doc_id < r.doc_id
     ORDER BY doc_a, doc_b"""),
     sortCols = Seq("doc_a", "doc_b"))
+
+  /** The recursive-closure oracle SQL for duplicate clusters, shared by
+    * `dup_clusters` / `corpus_dedup`: MinHash bands → candidate pairs →
+    * transitive closure (DuckDB recursive CTE; graph = the bounded pair
+    * set, so the quadratic closure is oracle-only, never the Spark plan)
+    * → per-node min label. */
+  private def clustersSqlCtes: String = s"""${bandsSqlCtes("documents")},
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.id, s.v FROM reach r JOIN sym s ON s.u = r.lab),
+    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)"""
+
+  /** Near-dup CLUSTERS (dedup stage 3): candidate pairs only say "a≈b";
+    * one-keeper-per-group dedup needs the transitive closure (a≈b, b≈c ⇒
+    * {a,b,c} one cluster). [[Components.connectedComponents]] computes it
+    * distributed (min-label + pointer jumping, O(log n) label-join rounds);
+    * cluster_id = min doc_id of the cluster, deterministic regardless of
+    * partitioning. Output: every doc that has at least one near-dup. */
+  val dupClusters = Q("dup_clusters", (s, d) => {
+    val pairs = TextOps.minhashCandidatePairs(minhashBandsDf(s, d), "doc_id")
+    Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }, Some(s"""
+    WITH RECURSIVE $clustersSqlCtes
+    SELECT id AS doc_id, comp AS cluster_id FROM cc ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  /** End-to-end near-dup corpus dedup: drop every cluster member except
+    * the canonical keeper (min doc_id), keep all un-clustered docs. The
+    * drop list is tiny relative to the corpus, so the anti-join broadcasts
+    * at scale; the corpus body crosses no shuffle. */
+  val corpusDedup = Q("corpus_dedup", (s, d) => {
+    import s.implicits._
+    val pairs = TextOps.minhashCandidatePairs(minhashBandsDf(s, d), "doc_id")
+    val cc = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val drop = cc.filter($"id" =!= $"comp").select($"id".as("doc_id"))
+    Tables.documents(s, d).join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"n_chars")
+  }, Some(s"""
+    WITH RECURSIVE $clustersSqlCtes
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
 
   /** Production-hash MinHash variant: IDENTICAL plan to `minhash_bands`,
     * but every hash is native `xxhash64` (whole-stage codegen, no
@@ -643,7 +694,8 @@ object LlmOps {
     ORDER BY qid, rank""")
 
   val all: Seq[Q] = Seq(
-    docDedup, minhashBands, minhashPairs, minhashBandsXx, simhashXx,
+    docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
+    minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)

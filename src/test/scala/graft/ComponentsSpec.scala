@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+
+/** Connected components: differential check vs an in-memory union-find on
+  * random graphs, plus the shapes that break naive propagation (long
+  * paths — pointer jumping must collapse them within the round budget —
+  * self-loops, duplicate/reversed edges, isolated pairs). */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min member id of the component
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = members.groupBy(find)
+    byRoot.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+  }
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 80
+      val edges = Seq.fill(100)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(edges) == unionFind(edges))
+    }
+  }
+
+  test("collapses a 64-node path within the round budget (pointer jumping)") {
+    val path = (0L until 63L).map(i => (i + 1, i)) // worst case for plain propagation
+    val got = cc(path)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless; pairs stay separate") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (8L, 9L))
+    val got = cc(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("empty edge list yields an empty labeling") {
+    assert(cc(Seq.empty[(Long, Long)]).isEmpty)
+  }
+}
