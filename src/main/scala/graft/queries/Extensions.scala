@@ -154,6 +154,53 @@ object Extensions {
     FROM events GROUP BY event_type ORDER BY event_type"""),
     sortCols = Seq("event_type"))
 
+  /** Pivot census: order counts per priority × status, statuses pinned as
+    * an EXPLICIT value list — `.pivot(col, values)` with the list skips
+    * the extra distinct-scan Spark otherwise runs to discover the pivot
+    * domain, and keeps the output schema static (a 100 TB pivot with a
+    * discovered domain is a schema landmine). Single shuffle, conditional
+    * partial aggs map-side. */
+  val pivotCensus = Q("pivot_census", (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P")).agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"O", lit(0L)).as("n_open"),
+        coalesce($"F", lit(0L)).as("n_filled"),
+        coalesce($"P", lit(0L)).as("n_partial"))
+  }, Some("""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority"""),
+    sortCols = Seq("o_orderpriority"))
+
+  /** Per-entity time-series deltas (lag): value change and time gap vs the
+    * previous event of the same user — the feature-engineering staple for
+    * sequence models. One shuffle on user_id; the sort is within-partition.
+    * Tie-break on event_id makes the frame total-ordered, so lag is
+    * deterministic; value math is exact-decimal per the oracle contract. */
+  val eventDelta = Q("event_delta", (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d).filter($"user_id".isNotNull)
+      .select($"event_id", $"user_id",
+        round(dec2($"value") - lag(dec2($"value"), 1).over(w), 2)
+          .cast("double").as("delta_value"),
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"))
+  }, Some("""
+    SELECT event_id, user_id,
+      CAST(ROUND(CAST(value AS DECIMAL(20,2))
+           - lag(CAST(value AS DECIMAL(20,2))) OVER w, 2) AS DOUBLE) AS delta_value,
+      epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id"""),
+    sortCols = Seq("event_id"))
+
   val all: Seq[Q] = Seq(windowSliding, sessionWindow, rollupCensus,
-    groupingSets, countminSketch, hllCensus)
+    groupingSets, countminSketch, hllCensus, pivotCensus, eventDelta)
 }

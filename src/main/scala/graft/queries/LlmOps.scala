@@ -142,6 +142,49 @@ object LlmOps {
     ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
+  /** Deterministic train/val/test split: bucket = portable hash of a
+    * salted doc key, mod 100; 80/10/10 by bucket range. Pure narrow
+    * map — no shuffle, no RNG state — so the assignment is reproducible
+    * run-to-run, cluster-to-cluster, and engine-to-engine (the property
+    * that matters: retraining months later must regenerate the SAME
+    * split, or eval contaminates). */
+  val trainSplit = Q("train_split", (s, d) => {
+    import s.implicits._
+    val bucket = pmod(
+      hash60(concat(lit("split:"), $"doc_id".cast("string"))), lit(100L))
+    Tables.documents(s, d).select($"doc_id", bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .as("split"))
+  }, Some(s"""
+    WITH h AS (SELECT doc_id,
+        ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, bucket,
+      CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM h ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  /** Per-source document cap (corpus balancing): keep at most N docs per
+    * source so no single domain dominates the training mix. row_number
+    * within source over a deterministic order — one shuffle on source;
+    * at scale the heavy tail is bounded because the output per key is
+    * capped at N (a skewed source costs sort time, not output size). */
+  val perSourceCap = Q("per_source_cap", (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", row_number().over(w).as("rn"))
+      .filter($"rn" <= 30)
+  }, Some("""
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rn
+      FROM documents)
+    WHERE rn <= 30 ORDER BY source, doc_id"""),
+    sortCols = Seq("source", "doc_id"))
+
   /** Production-hash MinHash variant: IDENTICAL plan to `minhash_bands`,
     * but every hash is native `xxhash64` (whole-stage codegen, no
     * cryptographic digest) instead of the portable md5 the oracle
@@ -695,7 +738,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
-    minhashBandsXx, simhashXx,
+    trainSplit, perSourceCap, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)
