@@ -185,6 +185,31 @@ object LlmOps {
     WHERE rn <= 30 ORDER BY source, doc_id"""),
     sortCols = Seq("source", "doc_id"))
 
+  /** Per-source document-length profile (corpus QA): exact quantiles +
+    * max of n_chars per source. Exact `percentile` buffers a per-group
+    * value multiset — fine for a bounded source dimension; the 100 TB
+    * path for high-cardinality groups is `approx_percentile` (t-digest,
+    * mergeable partial aggs), same plan shape, and the oracle contract is
+    * what pins the exact variant here. Both engines interpolate at
+    * p·(n−1), so doubles match bit-for-bit on integer inputs. */
+  val lenQuantiles = Q("len_quantiles", (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).groupBy($"source").agg(
+      percentile($"n_chars", lit(0.25)).as("p25"),
+      percentile($"n_chars", lit(0.5)).as("p50"),
+      percentile($"n_chars", lit(0.75)).as("p75"),
+      percentile($"n_chars", lit(0.95)).as("p95"),
+      max($"n_chars").as("max_chars"))
+  }, Some("""
+    SELECT source,
+      quantile_cont(n_chars, 0.25) AS p25,
+      quantile_cont(n_chars, 0.50) AS p50,
+      quantile_cont(n_chars, 0.75) AS p75,
+      quantile_cont(n_chars, 0.95) AS p95,
+      MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source ORDER BY source"""),
+    sortCols = Seq("source"))
+
   /** Production-hash MinHash variant: IDENTICAL plan to `minhash_bands`,
     * but every hash is native `xxhash64` (whole-stage codegen, no
     * cryptographic digest) instead of the portable md5 the oracle
@@ -738,7 +763,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
-    trainSplit, perSourceCap, minhashBandsXx, simhashXx,
+    trainSplit, perSourceCap, lenQuantiles, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)
