@@ -185,6 +185,47 @@ object LlmOps {
     WHERE rn <= 30 ORDER BY source, doc_id"""),
     sortCols = Seq("source", "doc_id"))
 
+  /** Incremental dedup — the production flow: dedup a NEW batch against
+    * the already-landed corpus, not the corpus against itself. Two gates,
+    * both bounded by the batch (never all-pairs, never corpus×corpus):
+    * exact = anti-join of batch content hashes against the corpus hash
+    * set; near = anti-join of batch docs whose MinHash (band, band_key)
+    * bucket already contains a corpus doc. At 100 TB the corpus side of
+    * both probes is a pre-built artifact (the hash set and band table are
+    * exactly what [[docDedup]]/[[minhashBands]] persist), so a daily batch
+    * joins against indexes, not raw text; only the 32 B hashes and band
+    * keys cross the shuffle. Here doc_id < 400 stands in for the landed
+    * corpus and the rest for the arriving batch. */
+  val incrementalDedup = Q("incremental_dedup", (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter($"doc_id" >= 400)
+      .select($"doc_id", $"source", sha2($"text", 256).as("h"))
+    val corpusHashes = docs.filter($"doc_id" < 400)
+      .select(sha2($"text", 256).as("h")).distinct()
+    val exactNew = batch.join(broadcast(corpusHashes), Seq("h"), "left_anti")
+    val bands = TextOps.minhashBandTable(docs, "doc_id", "text")
+    val corpusBuckets = bands.filter($"doc_id" < 400)
+      .select($"band", $"band_key").distinct()
+    val nearDup = bands.filter($"doc_id" >= 400)
+      .join(broadcast(corpusBuckets), Seq("band", "band_key"), "left_semi")
+      .select($"doc_id").distinct()
+    exactNew.join(nearDup, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source")
+  }, Some(s"""
+    WITH ${bandsSqlCtes("documents")},
+    corpus_h AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 400),
+    batch AS (SELECT doc_id, source, sha256(text) AS h FROM documents WHERE doc_id >= 400),
+    exact_new AS (SELECT doc_id, source FROM batch WHERE h NOT IN (SELECT h FROM corpus_h)),
+    corpus_b AS (SELECT DISTINCT band, band_key FROM b WHERE doc_id < 400),
+    near_dup AS (SELECT DISTINCT b.doc_id FROM b
+                 JOIN corpus_b cb ON b.band = cb.band AND b.band_key = cb.band_key
+                 WHERE b.doc_id >= 400)
+    SELECT doc_id, source FROM exact_new
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
   /** Per-source document-length profile (corpus QA): exact quantiles +
     * max of n_chars per source. Exact `percentile` buffers a per-group
     * value multiset — fine for a bounded source dimension; the 100 TB
@@ -763,7 +804,8 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
-    trainSplit, perSourceCap, lenQuantiles, minhashBandsXx, simhashXx,
+    trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
+    minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)
