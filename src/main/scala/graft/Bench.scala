@@ -149,8 +149,13 @@ object Bench {
       case None => ""
     }
     val total = r2(results.collect { case (_, v, _, _) if v >= 0 => v }.sum)
+    // 1-minute load average at end of run: a headline number taken on a
+    // busy box (load >> core count) is noise, not a regression — this
+    // stamp lets the next round's delta reader check before arguing
+    val load = r2(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
+      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${results
           .map { case (k, v, _, _) => s"${jstr(k)}:${r3(v)}" }
           .mkString("{", ",", "}")},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(

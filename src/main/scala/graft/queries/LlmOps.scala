@@ -185,6 +185,26 @@ object LlmOps {
     WHERE rn <= 30 ORDER BY source, doc_id"""),
     sortCols = Seq("source", "doc_id"))
 
+  /** [[corpusDedup]] from the PERSISTED labeling (the index analog of
+    * `ivf_knn` vs `ivf_probe`): the clustering is read from the build-once
+    * parquet artifact instead of re-derived per query, so the per-query
+    * cost is one broadcast anti-join over the corpus — the shape every
+    * downstream consumer of a dedup labeling actually runs. Same oracle
+    * as `corpus_dedup`: the persisted labels must reproduce the inline
+    * clustering exactly. */
+  val corpusDedupProbe = Q("corpus_dedup_probe", (s, d) => {
+    import s.implicits._
+    val labels = s.read.parquet(s"${dedupLabels(s, d)}/labels")
+    val drop = labels.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    Tables.documents(s, d).join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"n_chars")
+  }, Some(s"""
+    WITH RECURSIVE $clustersSqlCtes
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
   /** Incremental dedup — the production flow: dedup a NEW batch against
     * the already-landed corpus, not the corpus against itself. Two gates,
     * both bounded by the batch (never all-pairs, never corpus×corpus):
@@ -692,52 +712,32 @@ object LlmOps {
     ORDER BY qid, rank"""),
     sortCols = Seq("qid", "rank"))
 
-  /** Build-once guard for the persisted IVF index: in-JVM fast path + an
-    * on-disk check so sibling JVMs (Verify, Bench) reuse the same index
-    * files instead of rebuilding.
-    *
-    * Staleness: the source fingerprint (path + size + mtime) is recomputed
-    * on EVERY call and IS the cache key — regenerating the corpus under the
-    * same path changes the stamp and routes to a fresh index directory; a
-    * memoized per-path answer would silently keep serving the stale index.
-    *
-    * Cross-JVM race: the index is built into a process-private temp dir and
-    * atomically renamed into place (`ATOMIC_MOVE` = rename(2) within
-    * java.io.tmpdir). Concurrent builders each produce a complete index;
-    * exactly one rename wins, losers discard their copy and use the
-    * winner's — no JVM can ever observe a half-written directory. */
-  private val ivfIndexCache = new scala.collection.concurrent.TrieMap[String, String]()
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val src = new java.io.File(s"$d/embeddings.parquet")
-    val stamp = s"$d|${src.length()}|${src.lastModified()}"
-    ivfIndexCache.getOrElseUpdate(stamp, {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        java.security.MessageDigest.getInstance("MD5").digest(stamp.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-      }
-      def complete = new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
-        new java.io.File(s"$base/assignments/_SUCCESS").exists()
-      if (!complete) {
-        // half-written leftovers (a build-in-place crash from an older
-        // version) would block the rename below — clear them first
-        rm(new java.io.File(base))
-        val build = s"$base.build_${ProcessHandle.current().pid()}_${System.nanoTime()}"
-        Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, build)
-        try java.nio.file.Files.move(
-          java.nio.file.Paths.get(build), java.nio.file.Paths.get(base),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.FileSystemException =>
-            // a sibling JVM won the rename; its index is complete — drop ours
-            rm(new java.io.File(build))
-        }
-      }
-      base
-    })
-  }
+  /** Persisted IVF index: built at most once per embeddings fingerprint
+    * (stale-proof, race-proof — see [[graft.sources.BuildOnce]]), probed
+    * by `ivf_probe` and reusable across Verify/Bench JVMs. */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.BuildOnce.dir("graft_ivf",
+      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet"),
+      base => new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
+        new java.io.File(s"$base/assignments/_SUCCESS").exists()) { tmp =>
+      Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, tmp)
+    }
+
+  /** Persisted duplicate-cluster labeling — the production shape PERF.md
+    * promises: run connected components over the LSH candidate pairs ONCE,
+    * land (doc_id, cluster_id) as parquet, and let every downstream
+    * consumer (canonical-keep filters, per-cluster stats, training-set
+    * exclusion lists) probe the artifact instead of re-deriving the
+    * clustering. Same build-once discipline as the IVF index. */
+  private def dedupLabels(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.BuildOnce.dir("graft_cc",
+      graft.sources.BuildOnce.stampOf(s"$d/documents.parquet"),
+      base => new java.io.File(s"$base/labels/_SUCCESS").exists()) { tmp =>
+      val pairs = TextOps.minhashCandidatePairs(minhashBandsDf(s, d), "doc_id")
+      Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+    }
 
   // lazy: referenced by ivfKnn/ivfProbe above their textual position
   private lazy val ivfSql: String = ("""
@@ -805,7 +805,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
     trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
-    minhashBandsXx, simhashXx,
+    corpusDedupProbe, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)

@@ -55,4 +55,28 @@ class ComponentsSpec extends SparkSpec {
   test("empty edge list yields an empty labeling") {
     assert(cc(Seq.empty[(Long, Long)]).isEmpty)
   }
+
+  test("labels are invariant under edge order and input partitioning") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val base = cc(edges)
+    val shuffled = rnd.shuffle(edges)
+    val repartitioned = Components.connectedComponents(
+      shuffled.toDF("a", "b").repartition(7), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(repartitioned == base)
+  }
+
+  test("train_split and per_source_cap are deterministic on real documents") {
+    val d = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("train_split")(spark, d)
+    val again = SparkEntry.queries("train_split")(spark, d)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    val splits = split.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    val capped = SparkEntry.queries("per_source_cap")(spark, d)
+      .groupBy("source").count().agg(max("count")).as[Long].head()
+    assert(capped <= 30L)
+  }
 }
