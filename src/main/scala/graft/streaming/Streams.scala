@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, timestamp_millis, window}
+import org.apache.spark.sql.functions.{col, count, lit, sha2, timestamp_millis, window}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -43,6 +43,22 @@ object Streams {
       lateness: String): DataFrame =
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Streaming incremental dedup: gate an arriving document stream
+    * against the LANDED corpus with a stream-static LEFT ANTI join — the
+    * streaming twin of the batch `incremental_dedup` query. The static
+    * side is the corpus's content-hash set (at scale: the persisted
+    * artifact `doc_dedup` maintains, re-read per micro-batch so corpus
+    * growth between triggers is picked up); the stream side hashes each
+    * arriving doc and forwards only unseen content. Stateless — the anti
+    * join keeps no streaming state, so the horizon never grows; exact
+    * cross-batch self-dedup composes via
+    * [[dedupWithinWatermark]] upstream. */
+  def dedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
+      textCol: String): DataFrame =
+    stream.withColumn("h", sha2(col(textCol), 256))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .drop("h")
 
   /** The reference's S3-event → Lambda → store loop as ONE streaming
     * pipeline (`lambda_function.py:27-95`): match documents arriving in a

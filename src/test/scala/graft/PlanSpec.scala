@@ -86,6 +86,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_set"), "bucket-group pairing shape lost")
   }
 
+  test("train_split is a pure narrow map; pivot has one exchange, no domain scan") {
+    val split = plan("train_split")
+    assert(!split.contains("Exchange"), "train_split gained a shuffle")
+    val pivot = plan("pivot_census")
+    // explicit value list ⇒ ONE scan of orders (domain discovery would add
+    // a second scan + a driver collect). Spark compiles pivot as two-phase
+    // aggregation — (group, pivot) agg, then pivot agg — so two exchanges
+    // are the operator's standard shape; the second carries group rows only
+    assert("Exchange hashpartitioning".r.findAllIn(pivot).length <= 2)
+    assert("Scan parquet".r.findAllIn(pivot).length == 1, "pivot re-scans for its domain")
+    val cap = plan("per_source_cap")
+    assert("Exchange hashpartitioning".r.findAllIn(cap).length == 1)
+    val delta = plan("event_delta")
+    assert("Exchange hashpartitioning".r.findAllIn(delta).length == 1)
+  }
+
+  test("corpus_dedup_probe: one broadcast anti-join against the labeling artifact") {
+    val p = plan("corpus_dedup_probe")
+    assert(p.contains("graft_cc_"), "probe is not reading the persisted labeling")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "canonical-keep filter is not a broadcast anti-join")
+    // the corpus side must not shuffle: drop list broadcasts, body stays put
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus body crosses a shuffle in the probe plan")
+  }
+
   test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
     // probe plan: scans the index parquet (centroids + assignments) and
     // never recomputes the corpus assignment (no posexplode/Lloyd stage)

@@ -47,6 +47,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("arrivals").count() == 2)
   }
 
+  test("stream-static anti join gates arriving docs against the corpus (incremental dedup)") {
+    val dir = Files.createTempDirectory("graft_doc_stream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch.json"),
+      """{"doc_id":900,"text":"already landed body"}
+        |{"doc_id":901,"text":"genuinely new body"}
+        |{"doc_id":902,"text":"another new body"}""".stripMargin)
+    val corpus = Seq("already landed body", "some other corpus doc").toDF("text")
+      .select(org.apache.spark.sql.functions.sha2($"text", 256).as("h"))
+    val stream = Streams.jsonFileSource(spark, dir, "doc_id BIGINT, text STRING")
+    val q = Streams.dedupAgainstCorpus(stream, corpus, "text")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("inc_dedup").select("doc_id").as[Long].collect().toSet
+      == Set(901L, 902L))
+  }
+
   test("streaming tumbling windows == batch window_tumbling on the same events") {
     // same 2-day windows, driven as a stream from a parquet drop dir
     val dir = Files.createTempDirectory("graft_ev_stream").toString
