@@ -185,6 +185,24 @@ object LlmOps {
     WHERE rn <= 30 ORDER BY source, doc_id"""),
     sortCols = Seq("source", "doc_id"))
 
+  /** Duplicate-cluster size histogram (dedup QA: "how much of the corpus
+    * is duplicated, in how big clumps?") — aggregate the PERSISTED
+    * labeling twice: members per cluster, then clusters per size. Both
+    * shuffles carry only (id, count) pairs; the corpus is never touched.
+    * The sudden appearance of large clusters is the canonical signal of a
+    * scraper loop or template flood upstream. */
+  val clusterSizes = Q("cluster_sizes", (s, d) => {
+    import s.implicits._
+    s.read.parquet(s"${dedupLabels(s, d)}/labels")
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+  }, Some(s"""
+    WITH RECURSIVE $clustersSqlCtes,
+    sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp)
+    SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+    GROUP BY cluster_size ORDER BY cluster_size"""),
+    sortCols = Seq("cluster_size"))
+
   /** [[corpusDedup]] from the PERSISTED labeling (the index analog of
     * `ivf_knn` vs `ivf_probe`): the clustering is read from the build-once
     * parquet artifact instead of re-derived per query, so the per-query
@@ -805,7 +823,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
     trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
-    corpusDedupProbe, minhashBandsXx, simhashXx,
+    corpusDedupProbe, clusterSizes, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)

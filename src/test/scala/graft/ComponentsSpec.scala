@@ -68,6 +68,42 @@ class ComponentsSpec extends SparkSpec {
     assert(repartitioned == base)
   }
 
+  test("dedup family algebra on real documents: partition, containment, disjointness") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id")
+    val clusters = SparkEntry.queries("dup_clusters")(spark, d).cache()
+    val kept = SparkEntry.queries("corpus_dedup")(spark, d).select("doc_id")
+    // labels never exceed their node id (comp = component MIN)
+    assert(clusters.filter($"cluster_id" > $"doc_id").isEmpty)
+    // kept ∪ dropped partitions the corpus exactly
+    val dropped = clusters.filter($"doc_id" =!= $"cluster_id").select("doc_id")
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.unionByName(dropped).exceptAll(docs).isEmpty &&
+      docs.exceptAll(kept.unionByName(dropped)).isEmpty)
+    // incremental gate: nothing it keeps has a content-hash twin in the corpus
+    val inc = SparkEntry.queries("incremental_dedup")(spark, d).select("doc_id")
+    val hashes = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", org.apache.spark.sql.functions.sha2($"text", 256).as("h"))
+    val batchKept = inc.join(hashes, "doc_id")
+    val corpusH = hashes.filter($"doc_id" < 400).select("h")
+    assert(batchKept.join(corpusH, Seq("h"), "left_semi").isEmpty)
+    clusters.unpersist()
+  }
+
+  test("converges on a 20k-node random graph with a giant component") {
+    val rnd = new scala.util.Random(3)
+    val n = 20000
+    val edges = Seq.fill(30000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = cc(edges)
+    val want = unionFind(edges)
+    assert(got == want)
+    // 30k edges over 20k nodes sit past the giant-component threshold —
+    // make sure the fixture actually exercises a deep component
+    val biggest = want.groupBy(_._2).map(_._2.size).max
+    assert(biggest > n / 2, s"fixture lost its giant component ($biggest)")
+  }
+
   test("train_split and per_source_cap are deterministic on real documents") {
     val d = "/root/testdata/sf0.001"
     val split = SparkEntry.queries("train_split")(spark, d)
