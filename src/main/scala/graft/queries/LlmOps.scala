@@ -289,6 +289,22 @@ object LlmOps {
     FROM documents GROUP BY source ORDER BY source"""),
     sortCols = Seq("source"))
 
+  /** Scale variant of [[lenQuantiles]]: `approx_percentile` (t-digest,
+    * mergeable partial aggs, bounded memory per group) instead of the
+    * exact value-buffering percentile. No portable oracle (sketch
+    * internals differ across engines) → rows-only check; its job is the
+    * BENCH row quantifying the exact-percentile tax, next to
+    * `q1_agg_fast` and the `*_xx` hash rows. */
+  val lenQuantilesApprox = Q("len_quantiles_approx", (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).groupBy($"source").agg(
+      approx_percentile($"n_chars", lit(0.25), lit(10000)).as("p25"),
+      approx_percentile($"n_chars", lit(0.5), lit(10000)).as("p50"),
+      approx_percentile($"n_chars", lit(0.75), lit(10000)).as("p75"),
+      approx_percentile($"n_chars", lit(0.95), lit(10000)).as("p95"),
+      max($"n_chars").as("max_chars"))
+  }, None, sortCols = Seq("source"))
+
   /** Production-hash MinHash variant: IDENTICAL plan to `minhash_bands`,
     * but every hash is native `xxhash64` (whole-stage codegen, no
     * cryptographic digest) instead of the portable md5 the oracle
@@ -823,7 +839,8 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
     trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
-    corpusDedupProbe, clusterSizes, minhashBandsXx, simhashXx,
+    corpusDedupProbe, clusterSizes, lenQuantilesApprox,
+    minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)
