@@ -124,7 +124,15 @@ object Bench {
     // Stdout therefore carries the compact contract line only (2-decimal
     // minima); the per-rep spreads, errors, and the regression-gate deltas
     // go to bench_full.json next to the BENCH_r*.json history.
-    val qJson = results.map { case (k, v, _, _) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
+    def qJsonAt(round: Double => Double): String =
+      results.map { case (k, v, _, _) => s"${jstr(k)}:${round(v)}" }.mkString("{", ",", "}")
+    // adaptive precision: as the catalog grows, fall back to 1-decimal
+    // minima rather than letting the line outgrow the capture window
+    val qJson = {
+      val two = qJsonAt(r2)
+      if (two.length <= 1700) two
+      else qJsonAt(v => math.rint(v * 10) / 10)
+    }
     val repJson = results.map { case (k, _, rs, _) =>
       s"${jstr(k)}:${rs.map(r3).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
