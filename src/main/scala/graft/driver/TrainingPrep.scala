@@ -13,8 +13,13 @@ import graft.operators.TextOps
   *  2. exact dedup: sha256 content hash, keep the minimum id per hash
   *     (32 B crosses the shuffle, never the body);
   *  3. near-dup removal: MinHash-LSH candidate pairs
-  *     ([[TextOps.minhashBandTable]] → [[TextOps.minhashCandidatePairs]]),
-  *     drop the higher id of each pair (anti-join — set difference, L5);
+  *     ([[TextOps.minhashBandTable]] → [[TextOps.minhashCandidatePairs]])
+  *     → connected components ([[graft.operators.Components]]) → keep only
+  *     each cluster's canonical (minimum-id) member. Pair-based "drop the
+  *     higher id of each pair" keeps LOCAL minima: in an a–b–c chain where
+  *     the middle doc is smallest, a doc with no smaller direct neighbor
+  *     survives despite being transitively a near-dup of a smaller doc —
+  *     the closure gives keep-exactly-one-per-group semantics;
   *  4. stamp features: token count, language id, content fingerprint.
   *
   * Every stage is the scale shape the individual queries pin: hash-keyed
@@ -44,11 +49,14 @@ object TrainingPrep {
     val exactDeduped = hashed
       .join(keepers, Seq("content_hash", idCol), "left_semi")
 
-    // 3. near-dup removal: MinHash-LSH candidates, drop the higher id
+    // 3. near-dup removal: LSH candidates → clusters → canonical keep
     val pairs = TextOps.minhashCandidatePairs(
       TextOps.minhashBandTable(exactDeduped, idCol, textCol, hashFn), idCol)
-    val dropIds = pairs.select(col("doc_b").as(idCol)).distinct()
-    val nearDeduped = exactDeduped.join(dropIds, Seq(idCol), "left_anti")
+    val clusters = graft.operators.Components
+      .connectedComponents(pairs, "doc_a", "doc_b")
+    val dropIds = clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    val nearDeduped = exactDeduped.join(broadcast(dropIds), Seq(idCol), "left_anti")
 
     // 4. feature stamps (lang_pred, not lang: never silently replace a
     // source-provided label column)

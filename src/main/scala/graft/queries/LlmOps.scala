@@ -528,16 +528,23 @@ object LlmOps {
     graft.driver.TrainingPrep.prepare(Tables.documents(s, d))
       .select($"doc_id", $"n_tokens", $"lang_pred", $"fingerprint")
   }, Some(s"""
-    WITH t0 AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+    WITH RECURSIVE t0 AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
     q0 AS (SELECT * FROM t0 WHERE len(w) >= 5),
     hsh AS (SELECT doc_id, text, w, sha256(text) AS ch FROM q0),
     kp AS (SELECT ch, min(doc_id) AS keep_id FROM hsh GROUP BY 1),
     e AS (SELECT hsh.doc_id, hsh.text, hsh.w FROM hsh
           JOIN kp ON hsh.ch = kp.ch AND hsh.doc_id = kp.keep_id),
     ${bandsSqlCtes("e")},
-    drops AS (SELECT DISTINCT r.doc_id AS doc_id
-              FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
-               AND l.doc_id < r.doc_id),
+    prs AS (SELECT DISTINCT l.doc_id AS u, r.doc_id AS v
+            FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id),
+    sym AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+    reach(id, lab) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT rc.id, sy.v FROM reach rc JOIN sym sy ON sy.u = rc.lab),
+    ccx AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+    drops AS (SELECT id AS doc_id FROM ccx WHERE id <> comp),
     f AS (SELECT e.doc_id, e.w FROM e
           WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)),
     st AS (SELECT doc_id, w,

@@ -81,9 +81,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("training_prep")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the composed prep chain grew a cartesian/nested-loop join")
-    // candidate pairing must stay the single-pass bucket-group form, not a
-    // self-join that would recompute the MinHash pipeline twice
-    assert(p.contains("collect_set"), "bucket-group pairing shape lost")
+    // the near-dup drop is a broadcast anti-join against the cluster
+    // labeling (the LSH pairing + connected components run inside the
+    // checkpointed Components subgraph, so they are not in THIS plan —
+    // the pairing shape itself is pinned below on minhash_pairs)
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      "canonical-keep drop is not a broadcast anti-join")
+    assert(plan("minhash_pairs").contains("collect_set"),
+      "bucket-group pairing shape lost")
   }
 
   test("train_split is a pure narrow map; pivot has one exchange, no domain scan") {
