@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+/** The regression-gate reader: prior-round BENCH files are driver
+  * artifacts (stdout wrapped in a 2000-char `tail`), so the reader must
+  * skip head-truncated files, drop errored (-1) entries, and fall back
+  * through history rather than self-compare against garbage. */
+class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def write(dir: String, round: Int, tail: String): Unit =
+    Files.writeString(java.nio.file.Paths.get(s"$dir/BENCH_r0$round.json"),
+      s"""{"n":1,"rc":0,"tail":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JString(tail))}}""")
+
+  test("newest PARSEABLE round wins; head-truncated files are skipped") {
+    val dir = Files.createTempDirectory("graft_bench_hist").toString
+    write(dir, 3, """{"metric":"total","value":1,"unit":"sec","queries":{"a":1.5,"b":0.2}}""" + "\n[success]")
+    // round 4's line lost its head to the 2000-char capture — unparseable
+    write(dir, 4, """b":0.3,"c":9.9},"sf":"x"}""" + "\n[success]")
+    val Some((round, qs)) = Bench.previousBench(dir)
+    assert(round == 3 && qs == Map("a" -> 1.5, "b" -> 0.2))
+  }
+
+  test("errored queries (negative seconds) are dropped from the baseline") {
+    val dir = Files.createTempDirectory("graft_bench_hist").toString
+    write(dir, 5, """{"metric":"total","value":1,"unit":"sec","queries":{"ok":0.4,"boom":-1.0}}""")
+    val Some((_, qs)) = Bench.previousBench(dir)
+    assert(qs == Map("ok" -> 0.4))
+  }
+
+  test("sbt [info] prefixes and bare-line files are tolerated; empty dir is None") {
+    val dir = Files.createTempDirectory("graft_bench_hist").toString
+    write(dir, 2, """[info] {"metric":"total","value":1,"unit":"sec","queries":{"q":2.0}}""")
+    val Some((r, qs)) = Bench.previousBench(dir)
+    assert(r == 2 && qs("q") == 2.0)
+    assert(Bench.previousBench(Files.createTempDirectory("graft_empty").toString).isEmpty)
+  }
+}
