@@ -52,5 +52,37 @@ object StreamingOps {
     FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
     sortCols = Seq("win_start", "event_type"))
 
-  val all: Seq[Q] = Seq(streamBatchEquiv)
+  /** Streaming incremental dedup under the hard gate: documents arriving
+    * as a STREAM (file source over the parquet, batch portion
+    * doc_id ≥ 400) are gated against the landed corpus's content-hash set
+    * via [[graft.streaming.Streams.dedupAgainstCorpus]] — a stateless
+    * stream-static LEFT ANTI join — drained with `Trigger.AvailableNow`
+    * into a memory sink. Oracle = the same exact-hash gate as batch SQL.
+    * This is the streaming twin of `incremental_dedup`'s exact stage; the
+    * LSH near-dup stage stays batch (its bucket join needs the full band
+    * table, not a per-row gate). */
+  val streamIncDedup = Q("stream_inc_dedup", (s, d) => {
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val corpusHashes = s.read.parquet(s"$d/documents.parquet")
+      .filter($"doc_id" < 400).select(sha2($"text", 256).as("h")).distinct()
+    val sink = s"stream_inc_dedup_sink_${sinkId.incrementAndGet()}"
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter($"doc_id" >= 400)
+    val q = graft.streaming.Streams.dedupAgainstCorpus(stream, corpusHashes, "text")
+      .select($"doc_id", $"source")
+      .writeStream.format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }, Some("""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id >= 400 AND sha256(text) NOT IN
+      (SELECT sha256(text) FROM documents WHERE doc_id < 400)
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  val all: Seq[Q] = Seq(streamBatchEquiv, streamIncDedup)
 }
