@@ -52,5 +52,55 @@ object Media {
     ORDER BY doc_id, frame_idx"""),
     sortCols = Seq("doc_id", "frame_idx"))
 
-  val all: Seq[Q] = Seq(multimodalMeta, frameSample)
+  /** Multimodal → similarity composition: binary content → STUB feature
+    * extractor → brute cosine top-5 media-to-media neighbors. The feature
+    * step is the environment-imposed stub (deterministic content-derived
+    * pseudo-features: salted portable hash of the content digest per
+    * dimension — a real extractor would drop in at exactly this column);
+    * everything around it is the real production plumbing: 8-dim double
+    * vectors, scaled-integer norms/dots ([[graft.operators.Vectors]],
+    * codegen'd `scaled_dot`), broadcast query side, two-phase top-k. The
+    * oracle pins the whole chain bit-for-bit. */
+  val mediaKnn = Q("media_knn", (s, d) => {
+    import s.implicits._
+    import graft.operators.Vectors
+    val dims = 8
+    def featsOf(bin: org.apache.spark.sql.Column) = array((0 until dims).map { k =>
+      pmod(hash60(concat(lit(s"mfeat$k:"), sha2(bin, 256))), lit(1000L))
+        .cast("double") / lit(100.0)
+    }: _*)
+    val assets = Tables.documents(s, d)
+      .select($"doc_id", featsOf($"text".cast("binary")).as("f"))
+      .withColumn("n2", Vectors.normScaled($"f"))
+    val queries = assets.filter($"doc_id" < 10)
+      .select($"doc_id".as("qid"), $"f".as("qf"), $"n2".as("qn2"))
+    val scored = assets.join(broadcast(queries), $"qid" =!= $"doc_id")
+      .select($"qid", $"doc_id".as("cand_id"),
+        Vectors.cosine(Vectors.dotScaled($"qf", $"f"), $"qn2", $"n2").as("cos_sim"))
+    Vectors.topKPerKey(scored, $"qid", $"cos_sim", $"cand_id", 5)
+      .select($"qid", $"cand_id", $"rank", $"cos_sim")
+  }, Some {
+    val feats = (0 until 8).map(k =>
+      s"CAST(${hash60Sql(s"'mfeat$k:' || sha256(text)")} % 1000 AS DOUBLE) / 100.0")
+      .mkString("list_value(", ", ", ")")
+    s"""
+    WITH f AS (SELECT doc_id, $feats AS f FROM documents),
+    vn AS (SELECT doc_id, f,
+        list_sum(list_transform(f, x -> round(x * x * 1e12))) AS n2 FROM f),
+    q AS (SELECT doc_id AS qid, f AS qf, n2 AS qn2 FROM vn WHERE doc_id < 10),
+    sims AS (SELECT q.qid, c.doc_id AS cand_id,
+        list_sum(list_transform(list_zip(q.qf, c.f),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(q.qn2 * c.n2) AS cos_sim
+      FROM q JOIN vn c ON c.doc_id <> q.qid),
+    r AS (SELECT qid, cand_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id)
+          AS INTEGER) AS rank
+      FROM sims)
+    SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 5
+    ORDER BY qid, rank"""
+  },
+    sortCols = Seq("qid", "rank"))
+
+  val all: Seq[Q] = Seq(multimodalMeta, frameSample, mediaKnn)
 }
