@@ -107,6 +107,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(delta).length == 1)
   }
 
+  test("media_knn: query side broadcasts; no cartesian; scaled_dot stays native") {
+    val p = plan("media_knn")
+    // the ≠ join predicate forces a nested loop — acceptable ONLY because
+    // the build side is the bounded query set (k rows), which must be the
+    // broadcast side; an unbroadcast nested loop here would be a cartesian
+    // over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("scaled_dot"), "similarity kernel fell back off the native expression")
+  }
+
   test("corpus_dedup_probe: one broadcast anti-join against the labeling artifact") {
     val p = plan("corpus_dedup_probe")
     assert(p.contains("graft_cc_"), "probe is not reading the persisted labeling")
