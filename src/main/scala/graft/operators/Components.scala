@@ -80,6 +80,12 @@ object Components {
       labels = jumped
       round += 1
     }
+    // pointer jumping halves label-chain depth per round, so the default
+    // budget covers diameters past 2^20; running out means something is
+    // structurally wrong (or a pathological maxRounds override) — wrong
+    // labels must never be returned silently
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds")
     labels
   }
 }
