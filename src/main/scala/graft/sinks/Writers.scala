@@ -42,6 +42,21 @@ object Writers {
   def partitionedByEventTime(df: DataFrame, eventTsCol: String, path: String): Unit =
     partitionedByDate(df, eventTsCol, path)
 
+  /** Range-clustered data layout: `repartitionByRange` on the cluster key
+    * + in-partition sort before the write, so each output file covers a
+    * DISJOINT key range and its parquet min/max footer stats let a
+    * filtered read skip whole files/row-groups. This is the layout move
+    * that turns a 100 TB "find these users" scan into a handful of file
+    * reads — partitioning (K2) prunes directories by date; range
+    * clustering prunes files WITHIN a partition by key. The range
+    * exchange samples the key distribution, so skew produces balanced
+    * files without manual bucketing. */
+  def clusteredByRange(df: DataFrame, keyCol: String, path: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+
   /** K7: local debug dump (`save_json`, `S3.py:345-349`). */
   def jsonDump(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
