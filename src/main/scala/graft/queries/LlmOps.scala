@@ -289,6 +289,60 @@ object LlmOps {
     FROM documents GROUP BY source ORDER BY source"""),
     sortCols = Seq("source"))
 
+  /** Hybrid retrieval (keyword + vector, the RAG-serving staple): score
+    * every document by (a) how many query terms its token set contains
+    * and (b) embedding cosine against the query vector (documents and
+    * embeddings align on id — the cross-modal join), then re-rank by the
+    * weighted blend. Keyword side is a broadcast term array intersect
+    * (narrow); vector side is the codegen'd scaled-int cosine against a
+    * one-row broadcast query vector; ranking is two-phase top-k. At scale
+    * the keyword stage would consult an inverted index and the vector
+    * stage an ANN index (`ivf_probe`) — this is the exact blend/re-rank
+    * semantics those candidates feed. */
+  val hybridSearch = Q("hybrid_search", (s, d) => {
+    import s.implicits._
+    val terms = Seq("spark", "table", "hash")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("w"))
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("doc_id"), $"embedding",
+        Vectors.normScaled($"embedding").as("n2"))
+    val qv = vecs.filter($"doc_id" === 0)
+      .select($"embedding".as("qe"), $"n2".as("qn2"))
+    val termsArr = array(terms.map(lit(_)): _*)
+    val scored = docs.join(vecs, "doc_id").crossJoin(broadcast(qv))
+      .filter($"doc_id" =!= 0)
+      .select($"doc_id",
+        size(array_intersect($"w", termsArr)).as("kw_hits"),
+        Vectors.cosine(Vectors.dotScaled($"embedding", $"qe"), $"n2", $"qn2")
+          .as("cos_sim"))
+      .withColumn("hybrid", $"kw_hits" / lit(3.0) * 0.5 + $"cos_sim" * 0.5)
+    Vectors.topKPerKey(scored.withColumn("qid", lit(0L)), $"qid", $"hybrid", $"doc_id", 20)
+      .select($"doc_id", $"kw_hits", $"cos_sim", $"hybrid", $"rank")
+  }, Some("""
+    WITH docs AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+                  FROM documents),
+    v AS (SELECT vec_id AS doc_id, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings),
+    qv AS (SELECT embedding AS qe, n2 AS qn2 FROM v WHERE doc_id = 0),
+    sc AS (SELECT d.doc_id,
+        CAST(len(list_intersect(d.w, ['spark', 'table', 'hash'])) AS INTEGER) AS kw_hits,
+        list_sum(list_transform(list_zip(v.embedding, qv.qe),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(v.n2 * qv.qn2) AS cos_sim
+      FROM docs d JOIN v ON v.doc_id = d.doc_id CROSS JOIN qv
+      WHERE d.doc_id <> 0),
+    r AS (SELECT doc_id, kw_hits, cos_sim,
+        kw_hits / 3.0 * 0.5 + cos_sim * 0.5 AS hybrid,
+        CAST(row_number() OVER (ORDER BY kw_hits / 3.0 * 0.5 + cos_sim * 0.5 DESC,
+          doc_id) AS INTEGER) AS rank
+      FROM sc)
+    SELECT doc_id, kw_hits, cos_sim, hybrid, rank FROM r WHERE rank <= 20
+    ORDER BY rank"""),
+    sortCols = Seq("rank"))
+
   /** Scale variant of [[lenQuantiles]]: `approx_percentile` (t-digest,
     * mergeable partial aggs, bounded memory per group) instead of the
     * exact value-buffering percentile. No portable oracle (sketch
@@ -846,7 +900,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
     trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
-    corpusDedupProbe, clusterSizes, lenQuantilesApprox,
+    corpusDedupProbe, clusterSizes, hybridSearch, lenQuantilesApprox,
     minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
