@@ -289,6 +289,78 @@ object LlmOps {
     FROM documents GROUP BY source ORDER BY source"""),
     sortCols = Seq("source"))
 
+  /** Overlapping token-window chunking (RAG / context-prep staple): slice
+    * each document's token sequence into windows of 32 tokens at stride
+    * 24 (8-token overlap so no boundary context is lost), emitting
+    * (doc_id, chunk_idx, n_tokens, chunk_text). Pure narrow pipeline —
+    * tokenize once, posexplode the window starts, `slice` each window —
+    * no shuffle anywhere; at 100 TB this runs wherever the documents
+    * already live. Short docs yield their single partial window. */
+  val chunkDocs = Q("chunk_docs", (s, d) => {
+    import s.implicits._
+    val win = 32
+    val stride = 24
+    val toks = TextOps.tokens($"text")
+    // window starts: 0, stride, 2·stride, … — the LAST start is the
+    // largest multiple of stride still strictly inside the token span
+    val nWin = greatest(ceil((size(toks) - lit(win)) / lit(stride.toDouble))
+      .cast("int") + 1, lit(1))
+    Tables.documents(s, d)
+      .select($"doc_id", toks.as("w"), nWin.as("n_win"))
+      .select($"doc_id", $"w",
+        posexplode(transform(sequence(lit(0), $"n_win" - 1), i => i * stride)))
+      .select($"doc_id", $"pos".as("chunk_idx"),
+        slice($"w", $"col" + 1, lit(win)).as("cw"))
+      .select($"doc_id", $"chunk_idx",
+        size($"cw").as("n_tokens"),
+        concat_ws(" ", $"cw").as("chunk_text"))
+  }, Some(s"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w,
+        greatest(CAST(ceil((len(w) - 32) / 24.0) AS INTEGER) + 1, 1) AS n_win
+      FROM t),
+    starts AS (SELECT doc_id, w, CAST(i AS INTEGER) AS chunk_idx, i * 24 AS st
+      FROM n, unnest(generate_series(0, CAST(n_win - 1 AS BIGINT))) AS u(i)),
+    c AS (SELECT doc_id, chunk_idx, w[st + 1 : st + 32] AS cw FROM starts)
+    SELECT doc_id, chunk_idx,
+      CAST(len(cw) AS INTEGER) AS n_tokens,
+      array_to_string(cw, ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx"""),
+    sortCols = Seq("doc_id", "chunk_idx"))
+
+  /** Sequence packing (training-batch prep): group consecutive documents
+    * into ~256-token training sequences via a prefix-sum over the running
+    * token count — `bin = floor((cumsum − 1) / budget)`. This is the
+    * distributed approximation of greedy packing: a document whose tokens
+    * cross a bin boundary overflows its bin slightly instead of forcing
+    * sequential state. Packing runs WITHIN each source partition (window
+    * partitioned by source), so the sort never funnels the corpus through
+    * one reducer — the 100 TB form packs per shard exactly like this.
+    * Output: one row per (source, bin) with doc span and token count. */
+  val packSequences = Q("pack_sequences", (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", size(TextOps.tokens($"text")).as("n_tok"))
+      .withColumn("bin", floor((sum($"n_tok").over(w) - 1) / lit(256)).cast("int"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }, Some("""
+    WITH t AS (SELECT doc_id, source,
+        CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tok
+      FROM documents),
+    b AS (SELECT doc_id, source, n_tok,
+        CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - 1) / 256.0) AS INTEGER) AS bin
+      FROM t)
+    SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM b GROUP BY source, bin ORDER BY source, bin"""),
+    sortCols = Seq("source", "bin"))
+
   /** Hybrid retrieval (keyword + vector, the RAG-serving staple): score
     * every document by (a) how many query terms its token set contains
     * and (b) embedding cosine against the query vector (documents and
@@ -900,8 +972,8 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, dupClusters, corpusDedup,
     trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
-    corpusDedupProbe, clusterSizes, hybridSearch, lenQuantilesApprox,
-    minhashBandsXx, simhashXx,
+    corpusDedupProbe, clusterSizes, chunkDocs, packSequences, hybridSearch,
+    lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn)
