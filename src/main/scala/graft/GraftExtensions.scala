@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (Smoke/Verify/Bench/tests) and any user session built with those confs
   * gets the functions without calling registration code. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(graft.functions.ScaledDot.descriptor)
+    // rewrite handwritten HOF scaled-dot chains to the native kernel
+    extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
+  }
 }

@@ -11,25 +11,63 @@ class ScaledDotSpec extends SparkSpec {
   import spark.implicits._
 
   test("scaled_dot == HOF chain bit-for-bit on 500 random float vectors (fixed seed)") {
-    val rnd = new scala.util.Random(42)
-    val rows = (1 to 500).map { i =>
-      val n = 1 + rnd.nextInt(96)
-      (i.toLong,
-        Array.fill(n)((rnd.nextFloat() - 0.5f) * 4f),
-        Array.fill(n)((rnd.nextFloat() - 0.5f) * 4f))
+    // exclude the HofScaledDotRewrite optimizer rule for this test — with
+    // it active the HOF branch would silently BE the native kernel and
+    // the differential would compare native against itself
+    val prevExcluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.HofScaledDotRewrite")
+    try {
+      val rnd = new scala.util.Random(42)
+      val rows = (1 to 500).map { i =>
+        val n = 1 + rnd.nextInt(96)
+        (i.toLong,
+          Array.fill(n)((rnd.nextFloat() - 0.5f) * 4f),
+          Array.fill(n)((rnd.nextFloat() - 0.5f) * 4f))
+      }
+      // repartition keeps ConvertToLocalRelation from folding the whole
+      // projection at optimize time, so the plan shape is inspectable
+      val df = rows.toDF("id", "a", "b").repartition(2)
+      val hofPlan = df.select(Vectors.dotScaledHof($"a", $"b").as("hof"))
+        .queryExecution.optimizedPlan.toString
+      assert(hofPlan.contains("aggregate(") && !hofPlan.contains("scaled_dot"),
+        "rule exclusion failed — the differential would be vacuous")
+      val diff = df.select(
+        Vectors.dotScaled($"a", $"b").as("native"),
+        Vectors.dotScaledHof($"a", $"b").as("hof"),
+        Vectors.normScaled($"a").as("n_native"),
+        Vectors.normScaledHof($"a").as("n_hof"))
+        .filter($"native" =!= $"hof" || $"n_native" =!= $"n_hof")
+      assert(diff.isEmpty, s"native/HOF divergence:\n${diff.head(3).mkString("\n")}")
+      // and the sums really are integer-valued doubles (the determinism basis)
+      val nonInt = df.select(Vectors.dotScaled($"a", $"b").as("d"))
+        .filter($"d" =!= round($"d"))
+      assert(nonInt.isEmpty)
+    } finally prevExcluded match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None    => spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
-    val df = rows.toDF("id", "a", "b")
-    val diff = df.select(
-      Vectors.dotScaled($"a", $"b").as("native"),
-      Vectors.dotScaledHof($"a", $"b").as("hof"),
-      Vectors.normScaled($"a").as("n_native"),
-      Vectors.normScaledHof($"a").as("n_hof"))
-      .filter($"native" =!= $"hof" || $"n_native" =!= $"n_hof")
-    assert(diff.isEmpty, s"native/HOF divergence:\n${diff.head(3).mkString("\n")}")
-    // and the sums really are integer-valued doubles (the determinism basis)
-    val nonInt = df.select(Vectors.dotScaled($"a", $"b").as("d"))
-      .filter($"d" =!= round($"d"))
-    assert(nonInt.isEmpty)
+  }
+
+  test("HofScaledDotRewrite: handwritten HOF chains optimize to the native kernel") {
+    val df = Seq((Array(1.0f, 2.0f), Array(0.5f, 0.25f))).toDF("a", "b")
+      .repartition(2) // keep ConvertToLocalRelation from folding the plan
+    val dot = df.select(Vectors.dotScaledHof($"a", $"b").as("d"))
+    assert(dot.queryExecution.optimizedPlan.toString.contains("scaled_dot"),
+      "dot form not rewritten")
+    val norm = df.select(Vectors.normScaledHof($"a").as("n"))
+    assert(norm.queryExecution.optimizedPlan.toString.contains("scaled_dot"),
+      "norm form not rewritten")
+    // rewritten plan computes the same values as the direct native call
+    assert(dot.head().getDouble(0) ==
+      df.select(Vectors.dotScaled($"a", $"b")).head().getDouble(0))
+    // near-miss shapes are left alone: a different scale constant is NOT
+    // the oracle-contract kernel and must stay an HOF aggregate
+    val other = df.select(aggregate(
+      zip_with($"a", $"b", (x, y) => round(x.cast("double") * y.cast("double") * 1e6)),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    val otherPlan = other.queryExecution.optimizedPlan.toString
+    assert(!otherPlan.contains("scaled_dot") && otherPlan.contains("aggregate("),
+      "rule over-matched a non-contract chain")
   }
 
   test("scaled_dot handles double arrays and float×double mixes (centroid joins)") {
