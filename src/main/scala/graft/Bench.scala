@@ -126,13 +126,6 @@ object Bench {
     // go to bench_full.json next to the BENCH_r*.json history.
     def qJsonAt(round: Double => Double): String =
       results.map { case (k, v, _, _) => s"${jstr(k)}:${round(v)}" }.mkString("{", ",", "}")
-    // adaptive precision: as the catalog grows, fall back to 1-decimal
-    // minima rather than letting the line outgrow the capture window
-    val qJson = {
-      val two = qJsonAt(r2)
-      if (two.length <= 1700) two
-      else qJsonAt(v => math.rint(v * 10) / 10)
-    }
     val repJson = results.map { case (k, _, rs, _) =>
       s"${jstr(k)}:${rs.map(r3).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
@@ -162,14 +155,30 @@ object Bench {
     // stamp lets the next round's delta reader check before arguing
     val load = r2(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
+    // adaptive precision, measured on the WHOLE assembled line (errors
+    // included — an errored round must not be the one that overflows the
+    // driver's 2000-char capture): fall back to 1-decimal minima if the
+    // 2-decimal line would risk head-truncation
+    def stdoutLine(round: Double => Double): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJsonAt(round)}$errJson,"detail":"bench_full.json","sf":"$sfDir"}"""
+    val line = {
+      val two = stdoutLine(r2)
+      if (two.length <= 1850) two
+      else stdoutLine(v => math.rint(v * 10) / 10)
+    }
+    // stdout is the primary contract — print it BEFORE the side-file
+    // write, so a bad SPARK_GRAFT_BENCH_DIR can't lose the round's results
+    println(line)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${results
-          .map { case (k, v, _, _) => s"${jstr(k)}:${r3(v)}" }
-          .mkString("{", ",", "}")},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
+      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${qJsonAt(
+          r3)},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchDir, "bench_full.json"),
       fullJson.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson$errJson,"detail":"bench_full.json","sf":"$sfDir"}""")
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write bench_full.json: $e")
+    }
     spark.stop()
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }

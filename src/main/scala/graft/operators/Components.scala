@@ -47,6 +47,19 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 20): DataFrame = {
+    // integral ids are a hard precondition (labels are node ids and the
+    // fixpoint check sums them): fail loudly up front — a silent
+    // cast-to-long of e.g. string ids would null every edge under
+    // non-ANSI configs and "converge" on an empty labeling
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(edges.schema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.LongType],
+        s"connectedComponents needs integral node ids; '$c' is ${dt.catalogString} " +
+          "(map non-numeric ids through a dictionary first)")
+    }
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.ScaledDot
 
 /** Optimizer rule: rewrite the higher-order-function scaled-dot pattern to
@@ -64,6 +64,15 @@ object HofScaledDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** [[ScaledDot]] only reads float/double arrays; the rewrite happens
+    * post-analysis so its checkInputDataTypes never runs — an int-array
+    * chain (its per-element cast also matches [[sameVar]]) must stay a
+    * plain HOF aggregate. */
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // dot form: aggregate(zip_with(a, b, round(x·y·1e12)), 0.0, +)
@@ -73,7 +82,8 @@ object HofScaledDotRewrite extends Rule[LogicalPlan] {
           Literal(0.0, DoubleType),
           LambdaFunction(merge, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           finish: LambdaFunction)
-          if isScaledProduct(body, x, y) && isPlainAdd(merge, acc, v) &&
+          if isFloatArray(a) && isFloatArray(b) &&
+            isScaledProduct(body, x, y) && isPlainAdd(merge, acc, v) &&
             isIdentity(finish) =>
         ScaledDot(a, b)
       // norm form: aggregate(transform(a, round(x·x·1e12)), 0.0, +)
@@ -82,8 +92,8 @@ object HofScaledDotRewrite extends Rule[LogicalPlan] {
           Literal(0.0, DoubleType),
           LambdaFunction(merge, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           finish: LambdaFunction)
-          if isScaledProduct(body, x, x) && isPlainAdd(merge, acc, v) &&
-            isIdentity(finish) =>
+          if isFloatArray(a) && isScaledProduct(body, x, x) &&
+            isPlainAdd(merge, acc, v) && isIdentity(finish) =>
         ScaledDot(a, a)
     }
 }

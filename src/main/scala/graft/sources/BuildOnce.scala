@@ -25,8 +25,18 @@ object BuildOnce {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
   }
 
+  /** Clearing an incomplete leftover is only safe when it cannot be a
+    * build a sibling JVM is completing RIGHT NOW: a racer's rename lands
+    * a fresh directory, a crash leftover is old. Anything younger than
+    * this is left alone (the caller falls back to its private build). */
+  private val staleAfterMs = 10 * 60 * 1000L
+
   /** Directory containing the artifact for `stamp`; built via `build` at
-    * most once per stamp across JVMs.
+    * most once per stamp across JVMs. ALWAYS returns a directory holding
+    * a complete artifact — normally the shared `base`; in the rare
+    * race/corruption corner where `base` cannot be trusted, this JVM's
+    * private build directory is returned instead (correctness over
+    * sharing).
     *
     * @param prefix   artifact family name (directory name prefix in tmp)
     * @param stamp    source fingerprint — recompute on every call, never
@@ -41,21 +51,35 @@ object BuildOnce {
       val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
         java.security.MessageDigest.getInstance("MD5").digest(stamp.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-      if (!complete(base)) {
-        rm(new java.io.File(base))
+      if (complete(base)) base
+      else {
+        // clear an incomplete leftover ONLY if it is old — a young one may
+        // be a sibling's build about to be renamed in (deleting a possibly
+        // fresh complete artifact under a reader would break its lazy scan)
+        val f = new java.io.File(base)
+        if (f.exists() && System.currentTimeMillis() - f.lastModified() > staleAfterMs)
+          rm(f)
         val tmp = s"$base.build_${ProcessHandle.current().pid()}_${System.nanoTime()}"
         build(tmp)
-        try java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.FileSystemException =>
-            // a sibling JVM won the rename; its artifact is complete
-            rm(new java.io.File(tmp))
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          base
+        } catch {
+          // only an existing-target failure means "the slot is occupied"
+          // (Linux surfaces it as a generic FileSystemException("Directory
+          // not empty"), so the occupancy check is on the target itself);
+          // anything else — permissions, I/O — must surface, not silently
+          // discard the finished build
+          case e: java.nio.file.FileSystemException
+              if e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+                e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+                new java.io.File(base).exists() =>
+            if (complete(base)) { rm(new java.io.File(tmp)); base }
+            else tmp // base is occupied but unusable: serve our private build
         }
       }
-      base
     })
 
   /** Source fingerprint for a driver-table file: path + size + mtime. */

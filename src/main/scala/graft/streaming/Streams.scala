@@ -53,12 +53,19 @@ object Streams {
     * arriving doc and forwards only unseen content. Stateless — the anti
     * join keeps no streaming state, so the horizon never grows; exact
     * cross-batch self-dedup composes via
-    * [[dedupWithinWatermark]] upstream. */
+    * [[dedupWithinWatermark]] upstream.
+    *
+    * @param corpusHashes single-column frame of sha256 hex digests of the
+    *                     landed corpus (whatever its column is named) */
   def dedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
-      textCol: String): DataFrame =
-    stream.withColumn("h", sha2(col(textCol), 256))
-      .join(corpusHashes, Seq("h"), "left_anti")
-      .drop("h")
+      textCol: String): DataFrame = {
+    // collision-safe internal name: a caller's own "h" column must survive
+    val hc = "_graft_dedup_h"
+    stream.withColumn(hc, sha2(col(textCol), 256))
+      .join(corpusHashes.withColumnRenamed(
+        corpusHashes.columns.head, hc), Seq(hc), "left_anti")
+      .drop(hc)
+  }
 
   /** The reference's S3-event → Lambda → store loop as ONE streaming
     * pipeline (`lambda_function.py:27-95`): match documents arriving in a

@@ -33,8 +33,7 @@ class BuildOnceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(d1 != d2 && n.get() == 2)
   }
 
-  test("a half-written leftover directory is cleared and rebuilt") {
-    val stamp = s"s3-$runId"
+  private def plantIncomplete(stamp: String): String = {
     // precompute the artifact path the same way BuildOnce does and plant
     // an INCOMPLETE directory there (no DONE marker — a build-in-place
     // crash leftover)
@@ -44,9 +43,27 @@ class BuildOnceSpec extends org.scalatest.funsuite.AnyFunSuite {
         .map("%02x".format(_)).mkString.take(16)
     Files.createDirectories(java.nio.file.Paths.get(base))
     Files.writeString(java.nio.file.Paths.get(s"$base/partial"), "junk")
+    base
+  }
+
+  test("an OLD half-written leftover directory is cleared and rebuilt in place") {
+    val stamp = s"s3-$runId"
+    val base = plantIncomplete(stamp)
+    // age it past the staleness horizon so the clear path is taken
+    new File(base).setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     val d = BuildOnce.dir("graft_testart", stamp, complete)(build(n))
     assert(d == base && n.get() == 1 && complete(d))
     assert(!new File(s"$d/partial").exists(), "half-written leftovers survived")
+  }
+
+  test("a YOUNG incomplete occupant is left alone; a complete private build is served") {
+    val stamp = s"s4-$runId"
+    val base = plantIncomplete(stamp) // fresh mtime — could be a racer mid-build
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val d = BuildOnce.dir("graft_testart", stamp, complete)(build(n))
+    assert(d != base && n.get() == 1 && complete(d),
+      s"expected a private complete build, got $d")
+    assert(new File(s"$base/partial").exists(), "young occupant was destroyed")
   }
 }
