@@ -12,8 +12,10 @@ import graft.operators.TextOps
   *     `text_stats` heuristics as a filter);
   *  2. exact dedup: sha256 content hash, keep the minimum id per hash
   *     (32 B crosses the shuffle, never the body);
-  *  3. near-dup removal: MinHash-LSH candidate pairs
-  *     ([[TextOps.minhashBandTable]] → [[TextOps.minhashCandidatePairs]])
+  *  3. near-dup removal: MinHash-LSH candidate pairs VERIFIED in-bucket
+  *     ([[TextOps.verifiedCandidatePairs]] — a band collision alone never
+  *     drops a document; signature agreement ≥ 8/16 ≈ Jaccard ≥ 0.5 must
+  *     confirm it, VERDICT r06 finding 1)
   *     → connected components ([[graft.operators.Components]]) → keep only
   *     each cluster's canonical (minimum-id) member. Pair-based "drop the
   *     higher id of each pair" keeps LOCAL minima: in an a–b–c chain where
@@ -49,9 +51,8 @@ object TrainingPrep {
     val exactDeduped = hashed
       .join(keepers, Seq("content_hash", idCol), "left_semi")
 
-    // 3. near-dup removal: LSH candidates → clusters → canonical keep
-    val pairs = TextOps.minhashCandidatePairs(
-      TextOps.minhashBandTable(exactDeduped, idCol, textCol, hashFn), idCol)
+    // 3. near-dup removal: verified LSH candidates → clusters → canonical keep
+    val pairs = TextOps.verifiedCandidatePairs(exactDeduped, idCol, textCol, hashFn)
     val clusters = graft.operators.Components
       .connectedComponents(pairs, "doc_a", "doc_b")
     val dropIds = clusters.filter(col("id") =!= col("comp"))

@@ -17,18 +17,25 @@ import org.apache.spark.sql.functions._
   *    O(diameter) for plain propagation;
   *  - fixpoint detection: per-node labels are monotone non-increasing, so
   *    the global label sum strictly decreases until converged — one cheap
-  *    scalar action per round, no row-level diff.
+  *    scalar action per round, no row-level diff. The sum is EXACT
+  *    decimal(38,0), not Long: with large integral ids (e.g. 60-bit
+  *    hashed ids, which the API admits) a Long sum can wrap 2^64 and
+  *    falsely converge (ADVICE r06); n ≤ 2^63 labels each < 2^63 bound
+  *    the decimal sum by 2^126 < 10^38, so it cannot.
   *
   * The result is deterministic independent of partitioning: each node's
   * final label is the MINIMUM node id of its component.
   *
-  * Scale: per round, 2 shuffles (edge join on node id; pointer jump on
-  * label). Lineage is cut with an eager `localCheckpoint` per round —
-  * without it the iterated plan doubles each round and the optimizer
+  * Scale: per round, 3 shuffles (edge join on node id; the two jump-join
+  * sides). Lineage is cut with eager `localCheckpoint`s per round —
+  * without them the iterated plan doubles each round and the optimizer
   * chokes long before the data does (production would use a reliable
   * `checkpoint` dir instead; same shape). A giant component makes its
   * label a hot PROBE-side join key in the jump step; the build side stays
-  * one row per key, so AQE's skew-join split handles it without salting.
+  * one row per key, and because both jump sides read a materialized frame
+  * through dedicated shuffles, AQE's skew-join split bounds the hot
+  * partition without salting (proved by ScaleTechniquesSpec's star-graph
+  * metric test).
   *
   * Dedup-clustering context (near-dup pipeline stage 3, after
   * shingle→band bucketing and in-bucket verification): see
@@ -72,23 +79,35 @@ object Components {
       .distinct().localCheckpoint()
 
     var labels = nodes.select(col("n").as("id"), col("n").as("comp")).localCheckpoint()
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+    // exact (wrap-proof) label sum — see scaladoc on fixpoint detection
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("comp")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // checkpointed for two reasons: (1) self-joined below — without the
+      // cut the whole propagate subtree is computed once PER JOIN SIDE;
+      // (2) AQE's OptimizeSkewedJoin only splits a skewed partition when
+      // the join side sits on a dedicated shuffle stage — fused onto the
+      // aggregate output, the giant component's hot label key would be
+      // read whole by one task (ScaleTechniquesSpec pins the split)
       val propagated = sym.join(labels, sym("u") === labels("id"))
         .select(sym("v").as("id"), labels("comp"))
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
       // pointer jump: comp ← comp's own label (comp values are node ids,
       // and every node has a label row, so the inner join is total)
       val jumped = propagated.as("a")
         .join(propagated.as("b"), col("a.comp") === col("b.id"))
         .select(col("a.id").as("id"), col("b.comp").as("comp"))
         .localCheckpoint()
+      // fixpoint = the exact label sum stopped decreasing (labels are
+      // monotone non-increasing; decimal(38,0) cannot wrap — scaladoc)
       val s = labelSum(jumped)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped
       round += 1

@@ -28,6 +28,16 @@ object TextOps {
   val bands = 4
   val rowsPerBand = 4
 
+  /** In-bucket verification threshold: a band-colliding pair is a real
+    * near-duplicate only if at least this many of the 16 signature
+    * components agree (component-agreement fraction is an unbiased
+    * estimator of Jaccard similarity, so 8/16 ≈ Jaccard ≥ 0.5). LSH bands
+    * are precision-LOSING by design — at corpus scale, band collisions
+    * between genuinely distinct documents are routine, and an unverified
+    * drop deletes training data. Every clustering/dedup path therefore
+    * gates candidates through [[sigAgreement]] ≥ this before dropping. */
+  val verifyMinEqual = 8
+
   /** Whitespace tokens of a trimmed text column. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
@@ -75,6 +85,15 @@ object TextOps {
     * no cryptographic digest per shingle (the `*_xx` bench variants
     * quantify the md5 tax). */
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = hash60): DataFrame =
+    bandTableFromSignatures(minhashSignatures(df, idCol, textCol, hashFn), idCol, hashFn)
+
+  /** The k=16 MinHash signature per document, as (idCol, sig: array<long>)
+    * — the reusable middle stage of [[minhashBandTable]], exposed so
+    * verification ([[sigAgreement]]) can reuse the SAME signature subtree
+    * the band keys were derived from (one signature computation per plan,
+    * never one per consumer). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = hash60): DataFrame = {
     // shingle construction stays OUT of higher-order lambdas: explode the
     // START POSITIONS (one codegen'd sequence per doc) and build each
@@ -98,14 +117,74 @@ object TextOps {
     val sigAggs = minhashA.zip(minhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
     }
-    val sigs = hashed.groupBy(col("_mh_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val keys = bandKeys((0 until minhashA.size).map(i => col(s"s$i")), hashFn)
-    sigs.select(col("_mh_id"), explode(array(keys.zipWithIndex.map { case (k, j) =>
+    hashed.groupBy(col("_mh_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("_mh_id").as(idCol),
+        array((0 until minhashA.size).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** Band table from a signature frame (see [[minhashSignatures]]):
+    * one (id, band, band_key) row per band; `keepSig = true` carries the
+    * signature array alongside for in-bucket verification (128 B per
+    * (doc, band) shuffle row — the cost of verifying WITHOUT a second
+    * shuffle of the signature table against the candidate pairs). */
+  def bandTableFromSignatures(sigs: DataFrame, idCol: String,
+      hashFn: Column => Column = hash60, keepSig: Boolean = false): DataFrame = {
+    val keys = bandKeys(
+      (0 until minhashA.size).map(i => element_at(col("sig"), i + 1)), hashFn)
+    val exploded = sigs.select(col(idCol), col("sig"),
+      explode(array(keys.zipWithIndex.map { case (k, j) =>
         struct(lit(j).as("band"), k.as("band_key"))
       }: _*)).as("b"))
-      .select(col("_mh_id").as(idCol), col("b.band").as("band"),
-        col("b.band_key").as("band_key"))
+    val base = Seq(col(idCol), col("b.band").as("band"), col("b.band_key").as("band_key"))
+    exploded.select((if (keepSig) base :+ col("sig") else base): _*)
   }
+
+  /** Estimated signature agreement between two k-element MinHash signature
+    * arrays: the count of equal components. `n_eq / k` is an unbiased
+    * estimate of the Jaccard similarity of the underlying shingle sets —
+    * the in-bucket verifier that keeps LSH band collisions from deleting
+    * genuinely distinct documents. */
+  def sigAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+
+  /** VERIFIED near-dup pairs from a signature frame: LSH band-colliding
+    * candidates gated by [[sigAgreement]] ≥ `minEqual`. Same one-pass
+    * bucket-local shape as [[minhashCandidatePairs]] (group per bucket,
+    * in-bucket pair expansion — state bounded by bucket size, never
+    * all-pairs), with the signatures riding along in the bucket rows so
+    * verification adds NO extra join or shuffle. Output:
+    * (doc_a, doc_b, n_eq) with doc_a < doc_b, distinct. */
+  def verifiedPairsFromSignatures(sigs: DataFrame, idCol: String,
+      hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual): DataFrame = {
+    val buckets = bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("sig").as("g")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = flatten(transform(
+      sequence(lit(0), size(col("ds")) - 2),
+      i => transform(
+        sequence(i + 1, size(col("ds")) - 1),
+        j => {
+          val a = try_element_at(col("ds"), i + 1)
+          val b = try_element_at(col("ds"), j + 1)
+          struct(a.getField("i").as("doc_a"), b.getField("i").as("doc_b"),
+            sigAgreement(a.getField("g"), b.getField("g")).as("n_eq"))
+        })))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_eq").as("n_eq"))
+      .filter(col("n_eq") >= minEqual)
+      .distinct()
+  }
+
+  /** [[verifiedPairsFromSignatures]] straight from a document frame —
+    * the pair stage every clustering/dedup path uses (candidates from
+    * band buckets, drops only after signature verification). */
+  def verifiedCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual): DataFrame =
+    verifiedPairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, hashFn), idCol, hashFn, minEqual)
+      .select(col("doc_a"), col("doc_b"))
 
   /** Candidate near-dup pairs from a band table, bucket-locally and in ONE
     * pass: group doc ids per (band, band_key), emit the in-bucket pairs

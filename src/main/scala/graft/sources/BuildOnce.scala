@@ -82,9 +82,13 @@ object BuildOnce {
       }
     })
 
-  /** Source fingerprint for a driver-table file: path + size + mtime. */
-  def stampOf(path: String): String = {
+  /** Source fingerprint for a driver-table file: path + size + mtime,
+    * plus an ALGORITHM token (ADVICE r06): artifacts in the shared tmpdir
+    * outlive code changes, so a change to e.g. MinHash banding or the
+    * verification threshold must route to a fresh artifact directory —
+    * the stamp carries the parameters, not just the source identity. */
+  def stampOf(path: String, algoToken: String = ""): String = {
     val f = new java.io.File(path)
-    s"$path|${f.length()}|${f.lastModified()}"
+    s"$path|${f.length()}|${f.lastModified()}|$algoToken"
   }
 }

@@ -59,6 +59,12 @@ object Streams {
     *                     landed corpus (whatever its column is named) */
   def dedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
       textCol: String): DataFrame = {
+    // a malformed corpus frame must fail loudly — silently anti-joining on
+    // an arbitrary first column of a multi-column frame would pass
+    // everything through as "unseen" (ADVICE r06)
+    require(corpusHashes.columns.length == 1,
+      s"dedupAgainstCorpus expects a single-column hash frame; got " +
+        s"[${corpusHashes.columns.mkString(", ")}]")
     // collision-safe internal name: a caller's own "h" column must survive
     val hc = "_graft_dedup_h"
     stream.withColumn(hc, sha2(col(textCol), 256))

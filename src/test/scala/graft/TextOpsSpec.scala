@@ -102,6 +102,40 @@ class TextOpsSpec extends SparkSpec {
     assert(hof.count() == 200) // sanity: every doc produced shingles
   }
 
+  test("verified pairs: a crafted band-colliding NON-duplicate survives the gate") {
+    // synthetic signatures (bandTableFromSignatures works straight off a
+    // signature frame, so the collision is crafted exactly): all three
+    // docs agree on s0..s3 — band 0 collides pairwise — but only (1,3)
+    // also agree beyond it (12/16 ≥ 8); (1,2) and (2,3) agree on 4/16.
+    val sigs = Seq(
+      (1L, (0 until 16).map(_.toLong)),
+      (2L, (0 until 16).map(i => if (i < 4) i.toLong else 100L + i)),
+      (3L, (0 until 16).map(i => if (i < 12) i.toLong else 200L + i)))
+      .toDF("doc_id", "sig")
+    // the raw LSH candidate stage sees all three pairs…
+    val cand = TextOps.minhashCandidatePairs(
+      TextOps.bandTableFromSignatures(sigs, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // …but verification drops the two low-agreement collisions: the
+    // band-colliding non-duplicates (1,2)/(2,3) SURVIVE dedup (are not
+    // paired, so no clustering path can ever drop doc 2), while the
+    // genuine near-dup pair (1,3) is confirmed with its agreement count
+    val verified = TextOps.verifiedPairsFromSignatures(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(verified == Set((1L, 3L, 12)))
+  }
+
+  test("verified pairs keep genuine near-dups and exact dups on real text") {
+    val df = nearDups.toDF("doc_id", "text")
+    val v = TextOps.verifiedPairsFromSignatures(
+      TextOps.minhashSignatures(df, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(v((1L, 4L)) == 16)                      // exact dup: all components agree
+    assert(v.contains((1L, 2L)) && v((1L, 2L)) >= TextOps.verifyMinEqual) // near-dup confirmed
+    assert(!v.keySet.exists { case (a, b) => a == 3L || b == 3L }) // unrelated: no pair
+  }
+
   test("simhash: near-identical docs are close in Hamming distance, unrelated far") {
     val df = nearDups.toDF("doc_id", "text")
     val hs = TextOps.simhashTable(df, "doc_id", "text")
