@@ -110,7 +110,8 @@ object Pipeline {
   def run(spark: org.apache.spark.sql.SparkSession,
       matchesPath: String, timelinesPath: String, playerMapPath: String,
       outDir: String, statePath: String, nowEpoch: Long,
-      bootstrap: => Windows.WindowState): Option[Windows.WindowState] = {
+      bootstrap: => Windows.WindowState,
+      config: RunConfig = RunConfig.prod): Option[Windows.WindowState] = {
     def readJson(p: String) = spark.read.option("multiLine", true).json(p)
     // state advances only AFTER the batch lands (Windows.step contract):
     // a failed run re-drives the same window next time
@@ -150,9 +151,44 @@ object Pipeline {
         tl.withColumn("ingest_ts", lit(new java.sql.Timestamp(nowEpoch * 1000L))),
         "ingest_ts", s"$outDir/timeline_data")
       // parallel partitioned write — the e2e pipeline must have no
-      // single-task stage (jsonDump's coalesce(1) is K7 debug-only)
+      // single-task stage (jsonDump's coalesce(1) is K7 debug-only).
+      // The player snapshot is capped at the configured limit — the
+      // reference's MAX_PLAYER_COUNT cut of the fetched list
+      // (`EC2/fetcher.py:94`; test mode caps at 10)
       playerMapEtl(readJson(playerMapPath))
+        .limit(config.playerLimit)
         .write.mode("overwrite").json(s"$outDir/player_ranks_data")
     }
   }
+
+  /** Per-file batch ingestion with typed error isolation (VERDICT r06
+    * item 6; `lambda_function.py:397-446`): each file is read FAILFAST,
+    * transformed, and landed independently — a malformed or missing file
+    * yields one classified [[Errors.FileOutcome]] (source/sink/structure/
+    * unexpected, with the reference's status codes and retry hints) and
+    * the loop CONTINUES to the next file; good files always land.
+    * `land` returns the landed row count for the outcome record. */
+  def processFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], schema: StructType,
+      etl: DataFrame => DataFrame,
+      land: (String, DataFrame) => Long): Seq[Errors.FileOutcome] =
+    files.map { f =>
+      try {
+        val df = spark.read.schema(schema)
+          .option("multiLine", true).option("mode", "FAILFAST").json(f)
+        val rows = land(f, etl(df))
+        Errors.FileOutcome(f, ok = true, rows, None, 200, retryable = false, None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val c = Errors.classify(e)
+          Errors.FileOutcome(f, ok = false, 0L,
+            Some(c.errorType), c.statusCode, c.retryable, Some(c.message))
+      }
+    }
+
+  /** Leftover re-drive guard (`EC2/leftover.py:30-31`): test mode skips
+    * leftover processing entirely ("prevents processing thousands of
+    * leftovers during development"); prod runs `process`. */
+  def runLeftovers[A](config: RunConfig)(process: => A): Option[A] =
+    if (config.isTest) None else Some(process)
 }

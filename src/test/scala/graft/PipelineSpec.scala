@@ -215,6 +215,81 @@ class PipelineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("processFiles: corrupt/missing files yield typed errors; good files still land") {
+    val dir = Files.createTempDirectory("graft_perfile").toString
+    val good = TestSpark.fixture("match.json")
+    val corrupt = s"$dir/corrupt.json"
+    Files.write(java.nio.file.Paths.get(corrupt), "{ this is ] not json".getBytes("UTF-8"))
+    val missing = s"$dir/nope/does_not_exist.json"
+    val schema = readLol("match.json").schema
+    val outcomes = Pipeline.processFiles(spark, Seq(good, corrupt, missing), schema,
+      Pipeline.matchEtl,
+      (f, df) => {
+        val n = df.count()
+        df.write.mode("overwrite").parquet(s"$dir/out/${new java.io.File(f).getName}")
+        n
+      })
+    val byFile = outcomes.map(o => o.file -> o).toMap
+    // the good file landed despite the bad neighbors (the Lambda's
+    // continue-past-the-bad-file contract)
+    assert(byFile(good).ok && byFile(good).rows == 3 && byFile(good).statusCode == 200)
+    assert(spark.read.parquet(s"$dir/out/match.json").count() == 3)
+    // malformed JSON → the KeyError analog: structure, 400, don't retry
+    val c = byFile(corrupt)
+    assert(!c.ok && c.errorType.contains("data_structure_error") &&
+      c.statusCode == 400 && !c.retryable, s"corrupt classified as $c")
+    // missing object → the NoSuchKey analog: source, 404, don't retry
+    val m = byFile(missing)
+    assert(!m.ok && m.errorType.contains("source_error") &&
+      m.statusCode == 404 && !m.retryable, s"missing classified as $m")
+  }
+
+  test("processFiles: sink failures classify retryable-500; unexpected classify 500") {
+    val good = TestSpark.fixture("match.json")
+    val schema = readLol("match.json").schema
+    val sink = Pipeline.processFiles(spark, Seq(good), schema, identity,
+      (_, _) => throw new java.sql.SQLException("deadlock")).head
+    assert(!sink.ok && sink.errorType.contains("sink_error") &&
+      sink.statusCode == 500 && sink.retryable)
+    val boom = Pipeline.processFiles(spark, Seq(good), schema,
+      _ => throw new IllegalStateException("wat"), (_, df) => df.count()).head
+    assert(!boom.ok && boom.errorType.contains("unexpected_error") &&
+      boom.statusCode == 500 && !boom.retryable)
+  }
+
+  test("RunConfig: mode defaults, env overrides, test_ batch keys, leftover skip") {
+    import graft.driver.{Pipeline, RunConfig}
+    // run.sh:162-168 defaults + config_loader.py PLAYER_LIMIT override
+    assert(RunConfig.prod.playerLimit == 20000 && !RunConfig.prod.isTest)
+    assert(RunConfig.test.playerLimit == 10 && RunConfig.test.isTest)
+    assert(RunConfig.fromEnv(Map("RUN_MODE" -> "test", "PLAYER_LIMIT" -> "3",
+      "start_epoch" -> "100", "end_epoch" -> "200")) ==
+      RunConfig("test", 3, Some(100L), Some(200L)))
+    // Utils/S3.py:107-110 key layout, test_-prefixed in test mode
+    assert(RunConfig.test.batchKey(2025, 7, 28, "20250728_120000", 40, "match") ==
+      "matches/year=2025/month=07/day=28/test_batch_20250728_120000_40_matches.json")
+    assert(RunConfig.prod.batchKey(2025, 7, 28, "20250728_120000", 40, "match_timeline") ==
+      "matches/year=2025/month=07/day=28/batch_20250728_120000_40_match_timelines.json")
+    // EC2/leftover.py:30-31: test mode skips without evaluating the body
+    var ran = false
+    assert(Pipeline.runLeftovers(RunConfig.test) { ran = true; 42 }.isEmpty && !ran)
+    assert(Pipeline.runLeftovers(RunConfig.prod) { ran = true; 42 }.contains(42) && ran)
+  }
+
+  test("run: test-mode config caps the landed player snapshot at the player limit") {
+    val dir = Files.createTempDirectory("graft_pipe_cfg").toString
+    val day = 24 * 3600L
+    val now = 1754000000L
+    def fx(n: String) = TestSpark.fixture(n)
+    // fixture has 3 players; a limit-2 config must land exactly 2
+    val cfg = graft.driver.RunConfig.fromEnv(
+      Map("RUN_MODE" -> "test", "PLAYER_LIMIT" -> "2"))
+    assert(Pipeline.run(spark, fx("match.json"), fx("timeline.json"),
+      fx("player_map.json"), s"$dir/out", s"$dir/state.json", now,
+      Windows.WindowState(now - 6 * day, now - 4 * day), cfg).isDefined)
+    assert(spark.read.json(s"$dir/out/player_ranks_data").count() == 2)
+  }
+
   test("pipeline ETL plans have no single-task stage (no coalesce/repartition(1))") {
     Seq(Pipeline.matchEtl(readLol("match.json")),
       Pipeline.timelineEtl(readLol("timeline.json")),
