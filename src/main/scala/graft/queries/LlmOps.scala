@@ -216,7 +216,16 @@ object LlmOps {
   /** Documents-per-segment granule for the two-phase distributed scans
     * below (a power of two so the segment id is an exact `shiftright`).
     * Bounds every row-level window partition to ≤ this many rows: the
-    * per-task sort/scan cost is O(SegSize), independent of source size. */
+    * per-task sort/scan cost is O(SegSize), independent of source size.
+    *
+    * Sizing rule: the SEGMENT frame (one row per segment) still crosses
+    * a per-source window, so both tiers must fit a task — segment size s
+    * bounds the row tier at s and the segment tier at n/s; s ≈ √n
+    * balances them (s = 2^20 handles 2^40 docs per source). 2^6 is sized
+    * to the test fixtures so the metric specs exercise real multi-segment
+    * distributions; production callers pass a bigger `segShift` to
+    * [[capPerSource]]/[[packIntoBins]] — the OUTPUT is identical for any
+    * granule (oracle-pinned), only the task bounds move. */
   val SegSize = 64
   private val SegShift = 6 // log2(SegSize)
 
@@ -255,12 +264,14 @@ object LlmOps {
     sortCols = Seq("source", "doc_id"))
 
   /** The two-phase cap (see [[perSourceCap]]), reusable: at most `cap`
-    * docs per source in doc_id order, emitting (doc_id, source, rn). */
-  def capPerSource(docs: org.apache.spark.sql.DataFrame, cap: Int)
-      : org.apache.spark.sql.DataFrame = {
+    * docs per source in doc_id order, emitting (doc_id, source, rn).
+    * `segShift` picks the segment granule (2^segShift docs) — see the
+    * [[SegSize]] sizing rule; results are granule-invariant. */
+  def capPerSource(docs: org.apache.spark.sql.DataFrame, cap: Int,
+      segShift: Int = SegShift): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("source"),
-      shiftright(col("doc_id"), SegShift).as("seg"))
+      shiftright(col("doc_id"), segShift).as("seg"))
     val wSeg = Window.partitionBy(col("source")).orderBy(col("seg"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col("source"), col("seg"))
@@ -471,11 +482,13 @@ object LlmOps {
     sortCols = Seq("source", "bin"))
 
   /** The two-phase packing (see [[packSequences]]), reusable: expects
-    * (doc_id, source, n_tok) and emits one row per (source, bin). */
-  def packIntoBins(docs: org.apache.spark.sql.DataFrame, budget: Int)
-      : org.apache.spark.sql.DataFrame = {
+    * (doc_id, source, n_tok) and emits one row per (source, bin).
+    * `segShift` picks the segment granule (2^segShift docs) — see the
+    * [[SegSize]] sizing rule; results are granule-invariant. */
+  def packIntoBins(docs: org.apache.spark.sql.DataFrame, budget: Int,
+      segShift: Int = SegShift): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.withColumn("seg", shiftright(col("doc_id"), SegShift))
+    val base = docs.withColumn("seg", shiftright(col("doc_id"), segShift))
     val wSeg = Window.partitionBy(col("source")).orderBy(col("seg"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col("source"), col("seg"))

@@ -134,6 +134,12 @@ class ScaleTechniquesSpec extends SparkSpec {
     val twoPhase = LlmOps.capPerSource(docs, 30)
     assert(twoPhase.except(naive).isEmpty && naive.except(twoPhase).isEmpty,
       "two-phase cap diverged from the single-window semantics")
+    // granule invariance: any segment size yields the same rows
+    for (shift <- Seq(3, 10)) {
+      val alt = LlmOps.capPerSource(docs, 30, segShift = shift)
+      assert(alt.except(naive).isEmpty && naive.except(alt).isEmpty,
+        s"cap output depends on segment granule (shift=$shift)")
+    }
 
     // one-source worst case: the naive plan funnels ALL rows through one
     // reducer; the two-phase plan's row-level windows are segment-bounded
@@ -178,6 +184,12 @@ class ScaleTechniquesSpec extends SparkSpec {
     val twoPhase = LlmOps.packIntoBins(docs, 256)
     assert(twoPhase.except(naive).isEmpty && naive.except(twoPhase).isEmpty,
       "two-phase packing diverged from the single-window semantics")
+    // granule invariance: any segment size yields the same bins
+    for (shift <- Seq(3, 10)) {
+      val alt = LlmOps.packIntoBins(docs, 256, segShift = shift)
+      assert(alt.except(naive).isEmpty && naive.except(alt).isEmpty,
+        s"packing output depends on segment granule (shift=$shift)")
+    }
 
     val one = (0 until 20000).map(i => (i.toLong, "only", 1 + i % 50))
       .toDF("doc_id", "source", "n_tok")

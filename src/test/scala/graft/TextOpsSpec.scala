@@ -126,6 +126,42 @@ class TextOpsSpec extends SparkSpec {
     assert(verified == Set((1L, 3L, 12)))
   }
 
+  test("verified pairs differential: n_eq == brute-force agreement; gate == threshold") {
+    // small vocabulary ⇒ many genuine shingle collisions ⇒ a rich mix of
+    // high- and low-agreement candidates to exercise both gate outcomes
+    val rnd = new scala.util.Random(23)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    // 60 random bases + a tweaked clone of each (0-3 words replaced) —
+    // clones guarantee candidates, and the varying tweak depth spreads
+    // the agreement spectrum across the gate threshold
+    val bases = (1 to 60).map { i =>
+      i.toLong -> Seq.fill(20 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+    }
+    val docs = (bases ++ bases.map { case (i, ws) =>
+      val tweaked = (0 until rnd.nextInt(4)).foldLeft(ws) { (acc, _) =>
+        acc.updated(rnd.nextInt(acc.size), words(rnd.nextInt(words.size)))
+      }
+      (i + 60L) -> tweaked
+    }).map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(docs, "doc_id", "text")
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cand = TextOps.minhashCandidatePairs(
+      TextOps.bandTableFromSignatures(sigs, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = TextOps.verifiedPairsFromSignatures(sigs, "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(cand.nonEmpty, "fixture produced no candidates — nothing exercised")
+    assert(verified.keySet.subsetOf(cand), "verified pairs are not a candidate subset")
+    // every candidate is kept iff its true component agreement clears the
+    // threshold, and the reported n_eq is exactly that agreement
+    cand.foreach { case (a, b) =>
+      val agree = sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y }
+      assert(verified.contains((a, b)) == (agree >= TextOps.verifyMinEqual),
+        s"gate wrong for ($a,$b): agreement $agree")
+      verified.get((a, b)).foreach(nEq => assert(nEq == agree))
+    }
+  }
+
   test("verified pairs keep genuine near-dups and exact dups on real text") {
     val df = nearDups.toDF("doc_id", "text")
     val v = TextOps.verifiedPairsFromSignatures(
