@@ -39,6 +39,12 @@ object LlmOps {
 
   private val MinEq = TextOps.verifyMinEqual
 
+  /** Oracle plumbing shared with [[StreamingOps]]' near-dup twin: the
+    * band CTE chain over `documents` (incl. the `g` signature CTE) and
+    * the signature-agreement sum. */
+  private[queries] def bandsWithSigCtes: String = bandsSqlCtes("documents")
+  private[queries] def sigAgreementSql(a: String, b: String): String = sigEqSql(a, b)
+
   /** Exact content-hash dedup (brief: "exact (hash-groupBy)"): group by
     * sha256 of the content, keep the minimum id as canonical. One shuffle
     * on the 64-hex hash — at 100 TB the hash (32 B) shuffles, never the

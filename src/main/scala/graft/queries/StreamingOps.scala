@@ -59,8 +59,7 @@ object StreamingOps {
     * stream-static LEFT ANTI join — drained with `Trigger.AvailableNow`
     * into a memory sink. Oracle = the same exact-hash gate as batch SQL.
     * This is the streaming twin of `incremental_dedup`'s exact stage; the
-    * LSH near-dup stage stays batch (its bucket join needs the full band
-    * table, not a per-row gate). */
+    * verified LSH near-dup stage is `stream_near_dedup` below. */
   val streamIncDedup = Q("stream_inc_dedup", (s, d) => {
     import s.implicits._
     val raw = s.read.parquet(s"$d/documents.parquet")
@@ -84,5 +83,56 @@ object StreamingOps {
     ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
-  val all: Seq[Q] = Seq(streamBatchEquiv, streamIncDedup)
+  /** Streaming VERIFIED near-dup gate under the hard gate — the twin of
+    * `incremental_dedup`'s near stage: arriving documents (doc_id ≥ 400)
+    * stream through `foreachBatch`, where each micro-batch runs
+    * [[graft.streaming.Streams.nearDedupAgainstCorpus]] against the
+    * static corpus band+signature index and appends survivors to
+    * parquet (the landing-zone shape; a memory sink can't take
+    * foreachBatch output). A doc is dropped only on a bucket collision
+    * CONFIRMED by signature agreement ≥ 8/16 — same precision contract,
+    * same oracle form, as the batch gate. */
+  val streamNearDedup = Q("stream_near_dedup", (s, d) => {
+    import s.implicits._
+    import graft.operators.TextOps
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val boundary = graft.queries.LlmOps.CorpusBoundaryId
+    val corpusBands = TextOps.bandTableFromSignatures(
+      TextOps.minhashSignatures(
+        graft.sources.Tables.documents(s, d).filter($"doc_id" < boundary),
+        "doc_id", "text"),
+      "doc_id", keepSig = true)
+      .select($"band", $"band_key", $"sig".as("corpus_sig"))
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_near").toString
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter($"doc_id" >= boundary)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.Streams
+          .nearDedupAgainstCorpus(batch, corpusBands, "doc_id", "text")
+          .select(col("doc_id"), col("source"))
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: a zero-batch drain leaves an empty directory
+    s.read.schema("doc_id BIGINT, source STRING").parquet(out)
+  }, Some(s"""
+    WITH ${graft.queries.LlmOps.bandsWithSigCtes},
+    near_dup AS (SELECT DISTINCT nb.doc_id FROM b nb
+                 JOIN b cb ON nb.band = cb.band AND nb.band_key = cb.band_key
+                  AND cb.doc_id < ${graft.queries.LlmOps.CorpusBoundaryId}
+                 JOIN g ga ON ga.doc_id = nb.doc_id
+                 JOIN g gc ON gc.doc_id = cb.doc_id
+                 WHERE nb.doc_id >= ${graft.queries.LlmOps.CorpusBoundaryId}
+                   AND ${graft.queries.LlmOps.sigAgreementSql("ga", "gc")} >= ${graft.operators.TextOps.verifyMinEqual})
+    SELECT doc_id, source FROM documents
+    WHERE doc_id >= ${graft.queries.LlmOps.CorpusBoundaryId}
+      AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  val all: Seq[Q] = Seq(streamBatchEquiv, streamIncDedup, streamNearDedup)
 }
