@@ -152,14 +152,17 @@ object TextOps {
     * bucket-local shape as [[minhashCandidatePairs]] (group per bucket,
     * in-bucket pair expansion — state bounded by bucket size, never
     * all-pairs), with the signatures riding along in the bucket rows so
-    * verification adds NO extra join or shuffle. Output:
+    * verification adds NO extra join or shuffle. `maxBucketSize` is the
+    * template-flood guard (see [[minhashCandidatePairs]]). Output:
     * (doc_a, doc_b, n_eq) with doc_a < doc_b, distinct. */
   def verifiedPairsFromSignatures(sigs: DataFrame, idCol: String,
-      hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual): DataFrame = {
+      hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val buckets = bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("sig").as("g")))).as("ds"))
       .filter(size(col("ds")) > 1)
+      .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ds")) <= m)))
     val pairs = flatten(transform(
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(
@@ -193,12 +196,24 @@ object TextOps {
     * doesn't reuse the exchange across join sides here); the group-and-pair
     * shape scans once and its state is bounded by bucket size — exactly
     * the LSH contract (buckets stay small; a skewed bucket means the band
-    * parameters are wrong, not that the plan should absorb it). */
-  def minhashCandidatePairs(bandTable: DataFrame, idCol: String): DataFrame = {
+    * parameters are wrong, not that the plan should absorb it).
+    *
+    * `maxBucketSize` is the degenerate-bucket (template-flood) guard: a
+    * bucket of b members expands b² pairs in ONE task, so a scraper loop
+    * dumping 10^6 near-identical pages would stall the stage. Capped
+    * buckets are EXCLUDED from pairing — correct pipeline order makes
+    * this safe (exact content-hash dedup runs BEFORE the LSH stage, as
+    * [[graft.driver.TrainingPrep]] does, so identical floods never reach
+    * it); at 100 TB the excluded buckets would be routed to a dedicated
+    * flood handler rather than silently absorbed. Default None = the
+    * oracle-pinned catalog semantics. */
+  def minhashCandidatePairs(bandTable: DataFrame, idCol: String,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val buckets = bandTable
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ids")) <= m)))
     val pairs = flatten(transform(
       sequence(lit(0), size(col("ids")) - 2),
       i => transform(

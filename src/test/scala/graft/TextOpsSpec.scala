@@ -172,6 +172,27 @@ class TextOpsSpec extends SparkSpec {
     assert(!v.keySet.exists { case (a, b) => a == 3L || b == 3L }) // unrelated: no pair
   }
 
+  test("maxBucketSize excludes a template-flood bucket from quadratic pair expansion") {
+    // 80 identical docs (a scraper flood) + one genuine near-dup pair:
+    // the flood shares every band → one 80-member bucket → 3160 pairs
+    // from a single task if absorbed
+    val flood = (1 to 80).map(i => (i.toLong, baseWords.mkString(" ")))
+    val pairWords = (0 until 40).map(i => s"w$i")
+    val pairDocs = Seq(
+      (100L, pairWords.mkString(" ")),
+      (101L, pairWords.updated(20, "CHANGED").mkString(" ")))
+    val sigs = TextOps.minhashSignatures((flood ++ pairDocs).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val uncapped = TextOps.verifiedPairsFromSignatures(sigs, "doc_id")
+    assert(uncapped.filter(col("doc_a") < 100).count() == 80L * 79 / 2)
+    val capped = TextOps.verifiedPairsFromSignatures(sigs, "doc_id",
+      maxBucketSize = Some(40))
+    // the flood bucket is excluded wholesale…
+    assert(capped.filter(col("doc_a") < 100).count() == 0)
+    // …while normal-sized buckets still pair (the genuine near-dup survives)
+    assert(capped.filter(col("doc_a") === 100 && col("doc_b") === 101).count() == 1)
+  }
+
   test("simhash: near-identical docs are close in Hamming distance, unrelated far") {
     val df = nearDups.toDF("doc_id", "text")
     val hs = TextOps.simhashTable(df, "doc_id", "text")
