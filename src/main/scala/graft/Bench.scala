@@ -125,8 +125,8 @@ object Bench {
     // Stdout therefore carries the compact contract line only (2-decimal
     // minima); the per-rep spreads, errors, and the regression-gate deltas
     // go to bench_full.json next to the BENCH_r*.json history.
-    def qJsonAt(round: Double => Double): String =
-      results.map { case (k, v, _, _) => s"${jstr(k)}:${round(v)}" }.mkString("{", ",", "}")
+    def qJsonAt(fmt: Double => String): String =
+      results.map { case (k, v, _, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val repJson = results.map { case (k, _, rs, _) =>
       s"${jstr(k)}:${rs.map(r3).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
@@ -166,16 +166,22 @@ object Bench {
     // bench_full.json), so its length is bounded by query count alone;
     // adaptive precision drops to 1-decimal minima if even that would
     // risk head-truncation in the driver's 2000-char capture
-    def stdoutLine(round: Double => Double): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJsonAt(round)},"detail":"bench_full.json","sf":"$sfDir"}"""
+    def stdoutLine(fmt: Double => String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJsonAt(fmt)},"detail":"bench_full.json","sf":"$sfDir"}"""
     val line = {
-      val two = stdoutLine(r2)
+      val two = stdoutLine(v => r2(v).toString)
+      lazy val one = stdoutLine(v => (math.rint(v * 10) / 10).toString)
       if (two.length <= 1850) two
-      else stdoutLine(v => math.rint(v * 10) / 10)
+      else if (one.length <= 1850) one
+      // terminal fallback: integer seconds WITHOUT the Double ".0" tail
+      // (a Double-typed rint saves nothing — "17.0" is as long as "17.2")
+      // — ~4 chars/row, so even a multi-hundred-row catalog stays inside
+      // the capture window
+      else stdoutLine(v => math.rint(v).toLong.toString)
     }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${qJsonAt(
-          r3)},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
+          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchDir, "bench_full.json"),
       fullJson.getBytes("UTF-8"))

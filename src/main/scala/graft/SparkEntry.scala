@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Extensions, Ingest, Joins, LlmOps, Media, Nested, Q, Relational, Storage, StreamingOps, Temporal}
+import graft.queries.{Curation, Extensions, Ingest, Joins, LlmOps, Media, Nested, Q, Relational, Storage, StreamingOps, Temporal}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,9 +10,9 @@ object SparkEntry {
 
   /** Full catalog (grows per SURVEY §2 / §7.2). */
   def catalog: Seq[Q] =
-    Relational.all ++ Nested.all ++ LlmOps.all ++ Temporal.all ++
-      Storage.all ++ Media.all ++ Ingest.all ++ Extensions.all ++ Joins.all ++
-      StreamingOps.all
+    Relational.all ++ Nested.all ++ LlmOps.all ++ Curation.all ++
+      Temporal.all ++ Storage.all ++ Media.all ++ Ingest.all ++
+      Extensions.all ++ Joins.all ++ StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join revenue rollup: fact ⨝ 3 dims (broadcast) → grouped agg —

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.hash60
+
+/** Corpus-curation operators for LLM-training-data pipelines (builder
+  * brief: quality scoring, dedup, text analysis as first-class engine
+  * components): rule-based quality gates (Gopher-style), repetition
+  * profiling, benchmark decontamination, per-domain mixture sampling,
+  * and PII scrubbing.
+  *
+  * Scale rules shared with [[TextOps]]: everything per-doc is a pure
+  * codegen'd Column expression (no UDFs); anything that needs word/gram
+  * frequencies goes through explode + HashAggregate on high-cardinality
+  * (doc, token) keys (map-side partial agg, never a per-source or global
+  * window); the decontamination probe joins the corpus's exploded grams
+  * against a broadcast benchmark gram set — the corpus side never
+  * shuffles.
+  */
+object Curate {
+
+  // ---------------------------------------------------------------------
+  // Quality gates (Gopher-style rules; Rae et al. 2021, §A1.1 — public)
+  // ---------------------------------------------------------------------
+
+  /** Inclusive word-count bounds (Gopher: 50..100k; scaled to the
+    * synthetic fixture's 10..100-word docs). */
+  val MinWords = 20
+  val MaxWords = 1000
+  /** Mean-word-length bounds (Gopher: 3..10 chars). */
+  val MinMeanWordLen = 2.0
+  val MaxMeanWordLen = 10.0
+  /** Minimum DISTINCT English stopwords present (Gopher: ≥ 2 of a fixed
+    * list — a cheap "is this prose at all" test). */
+  val MinDistinctStopwords = 2
+
+  /** Per-doc Gopher-rule columns over a whitespace-token array column.
+    * Returns (n_words, mean_word_len, n_stop_distinct, r_len, r_wordlen,
+    * r_stop, keep) — each rule surfaced separately so a curation run can
+    * report WHY a document was dropped (the reject-reason histogram is
+    * the first thing a data-quality review asks for). All narrow, all
+    * codegen'd; at 100 TB this is a zero-shuffle map over the scan. */
+  def gopherRules(toks: Column): Seq[(String, Column)] = {
+    val en = TextOps.stopwords.head._2
+    val nWords = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nWords
+    // distinct-stopword count: containment probes of the FIXED list
+    // (6 codegen'd array_contains), not a distinct-agg over doc tokens.
+    val nStop = en.map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    val rLen = nWords >= MinWords && nWords <= MaxWords
+    val rWl = meanLen >= MinMeanWordLen && meanLen <= MaxMeanWordLen
+    val rStop = nStop >= MinDistinctStopwords
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "n_stop_distinct" -> nStop,
+      "r_len" -> rLen,
+      "r_wordlen" -> rWl,
+      "r_stop" -> rStop,
+      "keep" -> (rLen && rWl && rStop))
+  }
+
+  // ---------------------------------------------------------------------
+  // Repetition profile (Gopher §A1.1 repetition filters)
+  // ---------------------------------------------------------------------
+
+  /** Per-doc repetition statistics: distinct-word ratio, top-word share,
+    * top-bigram share. Needs per-doc term frequencies, so it is NOT a
+    * pure array expression — the scale shape is explode → two-level
+    * HashAggregate keyed on (doc_id, token): high-cardinality keys with
+    * map-side partial aggregation, so no reducer ever sees more than one
+    * doc's vocabulary. (A `transform`+`array_distinct` array-expression
+    * version exists but is interpreted per element — CodegenFallback —
+    * and O(n²) for the mode; the explode form is the 100 TB path.)
+    *
+    * Output: (idCol, n_words, n_distinct, distinct_ratio, top_word_share,
+    * top_gram_share). Repetitive boilerplate scores distinct_ratio → 0
+    * and top shares → 1.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val words = df.select(id, explode(TextOps.tokens(col(textCol))).as("word"))
+    val wordAgg = words.groupBy(id, col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word_c"))
+    // bigrams via the shared codegen'd gram generator; n_grams = max(n-1, 1)
+    val gramAgg = TextOps.ngramHashRows(df, idCol, textCol, n = 2)
+      .groupBy(id, col("gram_hash")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_c"))
+    wordAgg.join(gramAgg, Seq(idCol))
+      .select(id,
+        col("n_words"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
+        (col("top_word_c").cast("double") / col("n_words")).as("top_word_share"),
+        (col("top_gram_c").cast("double") / col("n_grams")).as("top_gram_share"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination (n-gram overlap)
+  // ---------------------------------------------------------------------
+
+  /** Overlap gram order: real pipelines use 13-grams (GPT-3 appendix C /
+    * PaLM); scaled to the fixture's 10..100-word docs. */
+  val ContamGramN = 5
+
+  /** Flag training docs sharing any [[ContamGramN]]-gram with a benchmark
+    * set. Returns one row per `corpus` doc: (idCol, n_hits = DISTINCT
+    * overlapping grams, contaminated).
+    *
+    * Scale shape: the benchmark gram set is bounded (eval suites are
+    * MBs, not TBs) → distinct + broadcast; the corpus side explodes its
+    * grams NARROWLY and probes the broadcast — the 100 TB side never
+    * shuffles for the probe, and the only exchange is the per-doc hit
+    * count on the high-cardinality doc key. If the benchmark ever
+    * outgrew broadcast, the same plan degrades gracefully to a shuffled
+    * hash join on gram_hash — still never all-pairs. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val benchGrams = TextOps.ngramHashRows(benchmark, idCol, textCol, ContamGramN)
+      .select(col("gram_hash")).distinct()
+    val hits = TextOps.ngramHashRows(corpus, idCol, textCol, ContamGramN)
+      .join(broadcast(benchGrams), Seq("gram_hash"))
+      .groupBy(col(idCol)).agg(countDistinct(col("gram_hash")).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Domain mixture sampling
+  // ---------------------------------------------------------------------
+
+  /** Deterministic per-domain downsampling to a target mixture: keep a
+    * doc iff portable-hash("mix:"+id) mod 100 < its domain's rate (in
+    * percent), and carry the inverse-propensity weight so downstream
+    * token accounting can reweight. Same portable-hash-mod design as
+    * train_split: a pure narrow map — no RNG state, no shuffle, no
+    * sampleBy approximation — so the SAME docs survive run-to-run and
+    * engine-to-engine (resampling 100 TB must be reproducible or every
+    * incremental rebuild reshuffles the corpus). */
+  def domainMix(df: DataFrame, idCol: String, ratePct: Column): DataFrame = {
+    val bucket = pmod(
+      hash60(concat(lit("mix:"), col(idCol).cast("string"))), lit(100L))
+    df.withColumn("rate_pct", ratePct)
+      .filter(bucket < col("rate_pct"))
+      .withColumn("weight", lit(100.0) / col("rate_pct"))
+  }
+
+  // ---------------------------------------------------------------------
+  // PII scrubbing
+  // ---------------------------------------------------------------------
+
+  /** Engine-portable PII patterns (kept to syntax identical under Java
+    * regex and RE2, so the DuckDB oracle replays them exactly):
+    * RFC-ish emails and international-format phone numbers. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** Scrub emails/phones from a text column, with per-doc match counts
+    * (counted BEFORE replacement — the scrub-audit row). Pure codegen'd
+    * regexp expressions; zero shuffle at any scale. */
+  def scrubPii(text: Column): Seq[(String, Column)] = {
+    val clean = regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Seq(
+      "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+      "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))),
+      "clean" -> clean)
+  }
+}

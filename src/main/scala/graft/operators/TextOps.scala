@@ -122,6 +122,26 @@ object TextOps {
         array((0 until minhashA.size).map(i => col(s"s$i")): _*).as("sig"))
   }
 
+  /** One row per (id, n-gram hash) — the codegen'd gram generator shared
+    * by decontamination and the dedup family's candidate paths: explode
+    * the START POSITIONS (one `sequence` per doc) and build each n-gram
+    * with element_at/concat_ws, all whole-stage-codegen'd (same shape and
+    * rationale as [[minhashSignatures]]'s shingle stage). Docs shorter
+    * than `n` words collapse to a single whole-doc gram (position -1).
+    * Narrow until the caller decides the shuffle. */
+  def ngramHashRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      hashFn: Column => Column = hash60): DataFrame = {
+    val posed = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(when(size(col("_toks")) >= n, sequence(lit(0), size(col("_toks")) - n))
+          .otherwise(array(lit(-1)))).as("_i"))
+    val gram = when(col("_i") >= 0,
+      concat_ws(" ", (1 to n).map(k => element_at(col("_toks"), col("_i") + k)): _*))
+      .otherwise(concat_ws(" ", col("_toks")))
+    posed.select(col(idCol), hashFn(gram).as("gram_hash"))
+  }
+
   /** Band table from a signature frame (see [[minhashSignatures]]):
     * one (id, band, band_key) row per band; `keepSig = true` carries the
     * signature array alongside for in-bucket verification (128 B per
@@ -137,6 +157,37 @@ object TextOps {
       }: _*)).as("b"))
     val base = Seq(col(idCol), col("b.band").as("band"), col("b.band_key").as("band_key"))
     exploded.select((if (keepSig) base :+ col("sig") else base): _*)
+  }
+
+  /** Estimator calibration for the verified near-dup gate: every
+    * verified pair with the EXACT distinct-shingle-set Jaccard
+    * (intersection/union, same hashed domain the signatures came from)
+    * next to the signature estimate `n_eq/k`. Exact Jaccard is computed
+    * ONLY for the bounded verified-pair set — the pair frame joins the
+    * per-doc gram frame on the high-cardinality doc key (AQE broadcasts
+    * the small pair side) and the intersection is an equi-join on
+    * (pair, gram hash); never all-pairs. */
+  def pairJaccard(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val k = minhashA.size
+    val pairs = verifiedPairsFromSignatures(
+      minhashSignatures(df, idCol, textCol), idCol)
+    val grams = ngramHashRows(df, idCol, textCol, n = 3,
+      hashFn = h => pmod(hash60(h), lit(P))).distinct()
+    val sz = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val ga = grams.select(col(idCol).as("doc_a"), col("gram_hash").as("gh"))
+    val gb = grams.select(col(idCol).as("doc_b"), col("gram_hash").as("gh"))
+    val inter = pairs.join(ga, Seq("doc_a")).join(gb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val ni = coalesce(col("n_inter"), lit(0L))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sz.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        (col("n_eq").cast("double") / k).as("est_jaccard"),
+        ni.as("n_inter"),
+        (col("na") + col("nb") - ni).as("n_union"),
+        (ni.cast("double") / (col("na") + col("nb") - ni)).as("exact_jaccard"))
   }
 
   /** Estimated signature agreement between two k-element MinHash signature

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, TextOps}
+
+/** Curate semantics on crafted documents — positive AND negative cases
+  * for every rule/flag the random driver corpus can't guarantee. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRules(docs: Seq[(Long, String)]) = {
+    val cols = Curate.gopherRules(TextOps.tokens($"text"))
+      .map { case (n, c) => c.as(n) }
+    docs.toDF("doc_id", "text").select($"doc_id" +: cols: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("gopher rules: each rule rejects its own failure mode, prose passes") {
+    val prose = ("the quick brown fox jumps over a lazy dog and runs to " +
+      "the hills in a long morning walk that keeps going for a while").trim
+    val rows = withRules(Seq(
+      1L -> prose,                                  // passes all
+      2L -> "the a of",                             // too short → r_len fails
+      3L -> (Seq.fill(25)("pneumonoultramicroscopic").mkString(" ") +
+        " the a of and to in"),                     // mean word len > 10
+      4L -> (0 until 30).map(i => s"tok$i").mkString(" "))) // no stopwords
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(!rows(2L).getAs[Boolean]("r_len") && !rows(2L).getAs[Boolean]("keep"))
+    assert(rows(2L).getAs[Boolean]("r_stop")) // has 'the','a' → stop rule still passes
+    assert(!rows(3L).getAs[Boolean]("r_wordlen"))
+    assert(!rows(4L).getAs[Boolean]("r_stop"))
+    assert(rows(4L).getAs[Int]("n_stop_distinct") == 0)
+  }
+
+  test("n_stop_distinct counts DISTINCT stopwords, not occurrences") {
+    val rows = withRules(Seq(5L -> "the the the the the the"))
+    assert(rows(5L).getAs[Int]("n_stop_distinct") == 1)
+  }
+
+  test("repetition profile: shares and ratios on a crafted repetitive doc") {
+    val df = Seq(
+      (1L, "a a a a b"),            // 5 words, 2 distinct, top word 4, grams: "a a"×3, "a b"×1
+      (2L, "w x y z")               // all distinct
+    ).toDF("doc_id", "text")
+    val m = Curate.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_words") == 5 && r1.getAs[Long]("n_distinct") == 2)
+    assert(r1.getAs[Double]("distinct_ratio") == 0.4)
+    assert(r1.getAs[Double]("top_word_share") == 0.8)
+    assert(r1.getAs[Double]("top_gram_share") == 0.75)
+    val r2 = m(2L)
+    assert(r2.getAs[Double]("distinct_ratio") == 1.0)
+    assert(r2.getAs[Double]("top_word_share") == 0.25)
+  }
+
+  test("decontaminate: flags only docs sharing a full n-gram with the benchmark") {
+    val words = (0 until 20).map(i => s"w$i")
+    val bench = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      // doc 1 contains words 5..9 verbatim → shares 5-grams
+      (1L, ("x y z " + words.slice(5, 12).mkString(" ") + " q r").trim),
+      // doc 2 uses benchmark words but never 5 consecutively
+      (2L, words.grouped(3).map(_.mkString(" ")).mkString(" BREAK ")),
+      (3L, "totally unrelated text about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val m = Curate.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("contaminated") && m(1L).getAs[Long]("n_hits") == 3)
+    assert(!m(2L).getAs[Boolean]("contaminated"))
+    assert(!m(3L).getAs[Boolean]("contaminated") && m(3L).getAs[Long]("n_hits") == 0)
+  }
+
+  test("domain mix: rate 100 keeps everything, weights are inverse rates, deterministic") {
+    val df = (0L until 200L).map(i => (i, if (i < 100) "keep_all" else "half"))
+      .toDF("doc_id", "source")
+    val rate = when($"source" === "keep_all", 100).otherwise(50)
+    val out = Curate.domainMix(df, "doc_id", rate)
+    val bySrc = out.groupBy($"source").agg(count(lit(1)).as("n"),
+        first($"weight").as("w")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bySrc("keep_all")._1 == 100 && bySrc("keep_all")._2 == 1.0)
+    assert(bySrc("half")._1 > 20 && bySrc("half")._1 < 80) // hash-mod, not exact
+    assert(bySrc("half")._2 == 2.0)
+    // determinism: second run keeps the identical doc set
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Curate.domainMix(df, "doc_id", rate)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+  }
+
+  test("pii scrub: emails and phones are replaced, counts audited pre-replacement") {
+    val df = Seq(
+      (1L, "reach me at alice.smith+work@sub.example.co.uk or +1-800-555-0199 thanks"),
+      (2L, "two mails a@b.io c@d.org and no phone"),
+      (3L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val cols = Curate.scrubPii($"text").map { case (n, c) => c.as(n) }
+    val m = df.select($"doc_id" +: cols: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("n_emails") == 1 && m(1L).getAs[Int]("n_phones") == 1)
+    assert(m(1L).getAs[String]("clean") == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(m(2L).getAs[Int]("n_emails") == 2)
+    assert(m(2L).getAs[String]("clean").contains("<EMAIL> <EMAIL>"))
+    assert(m(3L).getAs[String]("clean") == "clean text with no pii at all")
+    // nothing PII-shaped survives any scrub
+    val survivors = df.select(Curate.scrubPii($"text").last._2.as("clean"))
+      .filter(col("clean").rlike(Curate.EmailRe) || col("clean").rlike(Curate.PhoneRe))
+    assert(survivors.count() == 0)
+  }
+}

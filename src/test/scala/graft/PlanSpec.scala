@@ -146,6 +146,27 @@ class PlanSpec extends SparkSpec {
       "corpus body crosses a shuffle in the probe plan")
   }
 
+  test("curation: narrow rows stay exchange-free; decontamination broadcasts") {
+    // quality gate / scrub / mix are pure codegen'd maps — zero shuffle
+    for (q <- Seq("gopher_filter", "pii_scrub", "domain_mix"))
+      assert(!plan(q).contains("Exchange"), s"$q shuffles unexpectedly")
+    // the benchmark gram set broadcasts; the corpus side never shuffles
+    // for the probe (the only hash exchange is the per-doc hit count)
+    val dec = plan("decontaminate")
+    assert(dec.contains("BroadcastHashJoin"), "benchmark grams lost their broadcast")
+    assert(!dec.contains("SortMergeJoin") && !dec.contains("CartesianProduct"))
+    // composed funnel keeps the same discipline end to end
+    val prep = plan("curate_prep")
+    assert(prep.contains("BroadcastHashJoin") && prep.contains("LeftAnti"),
+      "contaminated-id set is not a broadcast anti-join")
+    assert(!prep.contains("SortMergeJoin") && !prep.contains("CartesianProduct"))
+    // repetition needs term frequencies: hash aggregates with map-side
+    // partial agg on the high-cardinality (doc, token) keys — no window
+    val rep = plan("repetition_profile")
+    assert(rep.contains("partial"), "repetition_profile lacks partial aggregation")
+    assert(!rep.contains("Window"), "repetition_profile uses a window")
+  }
+
   test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
     // probe plan: scans the index parquet (centroids + assignments) and
     // never recomputes the corpus assignment (no posexplode/Lloyd stage)
