@@ -158,6 +158,26 @@ object Curation {
     FROM t ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
+  /** Oracle plumbing shared with [[StreamingOps]]' streaming curation
+    * twin: the per-doc quality-stat CTEs and the keep predicate, over
+    * `documents`. */
+  private[queries] def gopherStatsCtes: String = {
+    val en = TextOps.stopwords.head._2
+    val nStop = en.map(w => s"CAST(list_contains(w, '$w') AS INTEGER)").mkString(" + ")
+    s"""
+    t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+        CAST(len(w) AS INTEGER) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
+        $nStop AS n_stop_distinct
+      FROM t)"""
+  }
+
+  private[queries] def gopherKeepSql: String =
+    s"""n_words >= ${Curate.MinWords} AND n_words <= ${Curate.MaxWords}
+      AND mean_word_len >= ${Curate.MinMeanWordLen} AND mean_word_len <= ${Curate.MaxMeanWordLen}
+      AND n_stop_distinct >= ${Curate.MinDistinctStopwords}"""
+
   /** Shared oracle CTE chain for the composed funnel rows: gopher flags,
     * benchmark/corpus 5-gram split, contaminated-id set, mix buckets. */
   private def funnelCtes: String = {

@@ -140,6 +140,52 @@ object LlmOps {
     ORDER BY doc_a, doc_b"""),
     sortCols = Seq("doc_a", "doc_b"))
 
+  /** Estimator calibration for the verified near-dup gate (dedup QA,
+    * "measure, don't guess"): for EVERY verified pair, the EXACT
+    * 3-shingle-set Jaccard (intersection/union over the distinct hashed
+    * shingle sets — the same hashed domain the signatures were built
+    * from) next to the signature estimate `n_eq/16`. The 8/16 threshold
+    * claims ≈ J ≥ 0.5; this row shows, per pair, what the estimate said
+    * and what the truth is, so the threshold is audited by the oracle
+    * gate itself rather than asserted.
+    *
+    * Scale shape: exact Jaccard is only ever computed for the BOUNDED
+    * verified-pair set (never all-pairs): the pair frame joins the
+    * per-doc distinct-shingle frame on the high-cardinality doc key
+    * (AQE broadcasts the small pair side), and the intersection count is
+    * an equi-join on (doc pair, shingle hash). */
+  val pairJaccard = Q("pair_jaccard", (s, d) =>
+    TextOps.pairJaccard(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+    WITH ${bandsSqlCtes("documents")},
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        CAST(${sigEqSql("ga", "gb")} AS INTEGER) AS n_eq
+      FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+      JOIN g ga ON ga.doc_id = l.doc_id
+      JOIN g gb ON gb.doc_id = r.doc_id
+      WHERE ${sigEqSql("ga", "gb")} >= $MinEq),
+    du AS (SELECT doc_id, unnest(list_distinct(hv)) AS gh FROM hs),
+    sz AS (SELECT doc_id, count(*) AS n FROM du GROUP BY 1),
+    it AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+      FROM pairs p
+      JOIN du a ON a.doc_id = p.doc_a
+      JOIN du b2 ON b2.doc_id = p.doc_b AND b2.gh = a.gh
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_eq,
+      CAST(p.n_eq AS DOUBLE) / ${TextOps.minhashA.size} AS est_jaccard,
+      CAST(COALESCE(it.inter, 0) AS BIGINT) AS n_inter,
+      CAST(sa.n + sb.n - COALESCE(it.inter, 0) AS BIGINT) AS n_union,
+      CAST(COALESCE(it.inter, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(it.inter, 0)) AS exact_jaccard
+    FROM pairs p
+    LEFT JOIN it ON it.doc_a = p.doc_a AND it.doc_b = p.doc_b
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b"""),
+    sortCols = Seq("doc_a", "doc_b"))
+
   /** The recursive-closure oracle SQL for duplicate clusters, shared by
     * `dup_clusters` / `corpus_dedup`: MinHash bands → candidate pairs →
     * in-bucket signature verification (agreement ≥ 8/16 — candidates are
@@ -1226,7 +1272,8 @@ object LlmOps {
       FROM sims)""")
 
   val all: Seq[Q] = Seq(
-    docDedup, minhashBands, minhashPairs, minhashPairsVerified, dupClusters, corpusDedup,
+    docDedup, minhashBands, minhashPairs, minhashPairsVerified, pairJaccard,
+    dupClusters, corpusDedup,
     trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
     corpusDedupProbe, clusterSizes, chunkDocs, packSequences, hybridSearch,
     lenQuantilesApprox, minhashBandsXx, simhashXx,

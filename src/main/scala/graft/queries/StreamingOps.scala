@@ -134,5 +134,38 @@ object StreamingOps {
     ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
-  val all: Seq[Q] = Seq(streamBatchEquiv, streamIncDedup, streamNearDedup)
+  /** Streaming curation twin: the Gopher quality gate applied to
+    * documents arriving as a STREAM — a stateless narrow map, so the
+    * streamed plan is literally the batch plan per micro-batch (no
+    * state store, no watermark needed) — drained with
+    * `Trigger.AvailableNow` into a memory sink. Oracle = the same gate
+    * as batch SQL, putting "stream curation == batch curation" under
+    * the same hash gate as the dedup twins. At 100 TB this is the
+    * shape of ingest-time filtering: reject junk the moment it lands,
+    * at scan speed, instead of re-reading the corpus later. */
+  val streamCurate = Q("stream_curate", (s, d) => {
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val sink = s"stream_curate_sink_${sinkId.incrementAndGet()}"
+    val rules = graft.operators.Curate
+      .gopherRules(graft.operators.TextOps.tokens($"text")).toMap
+    val q = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select($"doc_id", rules("n_words").as("n_words"),
+        rules("n_stop_distinct").as("n_stop_distinct"), rules("keep").as("k"))
+      .filter($"k").drop("k")
+      .writeStream.format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }, Some(s"""
+    WITH ${Curation.gopherStatsCtes}
+    SELECT doc_id, n_words, n_stop_distinct
+    FROM s WHERE ${Curation.gopherKeepSql}
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  val all: Seq[Q] = Seq(streamBatchEquiv, streamIncDedup, streamNearDedup,
+    streamCurate)
 }

@@ -34,6 +34,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L))) // unrelated: none
   }
 
+  test("pairJaccard: exact set Jaccard calibrates the signature estimate") {
+    val df = nearDups.toDF("doc_id", "text")
+    val m = TextOps.pairJaccard(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // exact duplicates: full signature agreement AND exact J = 1
+    val dup = m((1L, 4L))
+    assert(dup.getAs[Int]("n_eq") == 16)
+    assert(dup.getAs[Double]("est_jaccard") == 1.0)
+    assert(dup.getAs[Double]("exact_jaccard") == 1.0)
+    // one word changed at index 30 of 60: 3 of 58 shingles differ per side
+    // → |A∩B| = 55, |A∪B| = 61, J = 55/61 ≈ 0.902
+    val near = m((1L, 2L))
+    assert(near.getAs[Long]("n_inter") == 55 && near.getAs[Long]("n_union") == 61)
+    assert(math.abs(near.getAs[Double]("exact_jaccard") - 55.0 / 61) < 1e-12)
+    // the estimate is unbiased, not exact — just require it clears the gate
+    assert(near.getAs[Int]("n_eq") >= TextOps.verifyMinEqual)
+    // unrelated doc 3 appears in NO verified pair
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("expression-form minhash signature equals the aggregate table form") {
     val df = nearDups.toDF("doc_id", "text")
     val hv = TextOps.shingleHashes(TextOps.shingles(TextOps.tokens($"text")))
