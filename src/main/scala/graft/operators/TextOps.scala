@@ -21,9 +21,32 @@ object TextOps {
     * fingerprints; keeps `a*h+b` within long range. */
   val P: Long = 2147483647L
 
-  /** Fixed MinHash permutation constants (k=16): h_i(x) = (a_i·x + b_i) mod P. */
-  val minhashA: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
-  val minhashB: Seq[Long] = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+  /** Fixed MinHash permutation constants (k=16): h_i(x) = (a_i·x + b_i) mod P.
+    *
+    * The coefficients must be LARGE (uniform in [1, P)): an earlier
+    * revision used tiny primes (7..67), and the `pair_jaccard`
+    * calibration row caught the consequence — with a small multiplier,
+    * a·h+b is near-monotone in h, so every permutation tends to pick the
+    * SAME low-hash shingle as its minimum. Two documents sharing one
+    * low-valued shingle hash then agree on many signature components at
+    * once (measured: a single shared shingle out of ~100 → 16/16
+    * agreement, i.e. "exact duplicate", at true Jaccard 0.01; at sf0.01,
+    * 11 of 36 gate-passing pairs had exact J < 0.5). Large multipliers
+    * decorrelate the permutations, restoring E[agreement/k] = J — the
+    * property the verification gate and the banding math assume.
+    * Values are fixed (seeded once, hardcoded) so every signature, band
+    * key, and DuckDB oracle stays deterministic; a·h+b ≤ maxA·(P-1)+maxB
+    * < 2^62 stays inside signed-64 math in both engines. */
+  val minhashA: Seq[Long] = Seq(
+    1373158607L, 239081664L, 53710185L, 1592467582L, 590620972L,
+    525901257L, 479341424L, 299655413L, 1581559893L, 220106708L,
+    1453201079L, 1590571866L, 1915941033L, 1171165723L, 186699714L,
+    1268073013L)
+  val minhashB: Seq[Long] = Seq(
+    906070220L, 68252793L, 63989047L, 201209005L, 469521477L,
+    499635468L, 1085242216L, 1292825378L, 56985561L, 1205264595L,
+    427000596L, 1537640408L, 1395616196L, 1506083910L, 1170252923L,
+    900911954L)
   /** 4 bands × 4 rows over the 16-element signature. */
   val bands = 4
   val rowsPerBand = 4

@@ -1202,7 +1202,8 @@ object LlmOps {
     * instead of silently serving labels built by older code. */
   private def DedupAlgoToken: String =
     s"cc-v2|bands=${TextOps.bands}x${TextOps.rowsPerBand}" +
-      s"|k=${TextOps.minhashA.size}|verify>=${TextOps.verifyMinEqual}"
+      s"|k=${TextOps.minhashA.size}|verify>=${TextOps.verifyMinEqual}" +
+      s"|perm=${(TextOps.minhashA ++ TextOps.minhashB).hashCode}"
 
   // lazy: referenced by ivfKnn/ivfProbe above their textual position
   private lazy val ivfSql: String = s"""
