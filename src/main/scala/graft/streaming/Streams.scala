@@ -101,6 +101,75 @@ object Streams {
     batch.join(org.apache.spark.sql.functions.broadcast(near), Seq(idCol), "left_anti")
   }
 
+  /** Open-session state for [[sessionizeStream]], keyed by user. Times
+    * are event-time MICROSECONDS (the events fixture has sub-ms
+    * precision; `Timestamp.getTime` would truncate it). */
+  case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  /** A CLOSED session — emitted once, when the event-time watermark
+    * passes the session's gap horizon (or an in-batch gap closes it). */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n: Long)
+
+  /** Custom-state streaming sessionization (brief §streaming:
+    * `flatMapGroupsWithState` for state the built-in operators can't
+    * express): per-user activity sessions with an inactivity gap,
+    * emitted ONLY when closed — by a later in-batch event past the gap,
+    * or by the event-time timeout once the watermark passes
+    * `end + gap`. The batch twin is the oracle-gated `session_window`
+    * row; the spec proves stream == batch on the closed set.
+    *
+    * Input must carry `user_id` (long), an event-time `ts` (timestamp,
+    * ALREADY watermarked by the caller — the watermark drives the
+    * timeout) and `us` (= unix_micros(ts)).
+    *
+    * At scale this is the right state shape: one small fixed-size state
+    * record per ACTIVE user (not per event), hash-partitioned by user;
+    * the state store bounds memory by active-user cardinality and the
+    * watermark reaps it — the same reasoning the reference's
+    * clamp-to-now window state applied, generalized to per-key state. */
+  def sessionizeStream(events: DataFrame, gapUs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    events.select(col("user_id"), col("ts"), col("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is closed
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startUs, s.endUs, s.n))
+          } else {
+            // fold the batch's events (sorted — micro-batches aren't
+            // ordered) into the open session, closing on in-batch gaps
+            val sorted = batch.map(_._3).toSeq.sorted
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  open = Some(SessionState(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.startUs, s.endUs, s.n)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // event-time timeout is millisecond-granular: round UP so
+              // the timeout never fires before the true gap horizon
+              state.setTimeoutTimestamp((s.endUs + gapUs + 999) / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** The reference's S3-event → Lambda → store loop as ONE streaming
     * pipeline (`lambda_function.py:27-95`): match documents arriving in a
     * drop directory are ETL'd per micro-batch

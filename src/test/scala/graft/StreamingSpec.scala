@@ -208,6 +208,85 @@ class StreamingSpec extends SparkSpec {
     assert(count() == 3)
   }
 
+  test("flatMapGroupsWithState sessionize: in-batch gaps and timeouts both close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val src = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts", org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 minutes
+    val q = Streams.sessionizeStream(src, gapUs)
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    // batch 1: user 1 active at minutes 0 and 5; user 2 at minute 1
+    mem.addData((ts(0), 1L), (ts(5), 1L), (ts(1), 2L))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // nothing closed yet
+    // batch 2: user 1 reappears past the gap → closes [0,5] IN-BATCH;
+    // watermark advances to minute 90
+    mem.addData((ts(90), 1L))
+    q.processAllAvailable()
+    // batch 3: any data lets the timeout sweep run → user 2's session
+    // (horizon minute 31 < watermark 90) closes by TIMEOUT
+    mem.addData((ts(91), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val base = 1704067200000000L // 2024-01-01 in micros
+    def us(min: Int) = base + min * 60000000L
+    assert(out == Set(
+      (1L, us(0), us(5), 2L),  // closed by the in-batch gap
+      (2L, us(1), us(1), 1L))) // closed by the event-time timeout
+  }
+
+  test("sessionize stream == batch session_window on the full fixture (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val gapUs = 3600L * 1000 * 1000 // the batch row's 1-hour gap
+    val events = graft.sources.Tables.events(spark, d)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val mem = MemoryStream[(Long, Long)]
+    val src = mem.toDF().toDF("user_id", "us")
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_micros($"us").as("ts"), $"us")
+      .withWatermark("ts", "0 seconds")
+    val q = Streams.sessionizeStream(src, gapUs)
+      .writeStream.format("memory").queryName("sessions_full").outputMode("append")
+      .start()
+    // feed in three event-time-ordered chunks, then two far-future flush
+    // events (user -1): the first advances the watermark past every real
+    // horizon, the second triggers the timeout sweep for all real users
+    val maxUs = events.last._2
+    events.grouped((events.length / 3).max(1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    mem.addData((-1L, maxUs + 10L * 3600 * 1000000L)); q.processAllAvailable()
+    mem.addData((-1L, maxUs + 11L * 3600 * 1000000L)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_full")
+      .filter($"user_id" =!= -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: the oracle-gated session_window row's semantics
+    // (Spark session_window end = last event + gap)
+    val batch = graft.sources.Tables.events(spark, d)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id",
+        org.apache.spark.sql.functions.session_window($"ts", "1 hour").as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_micros($"w.start").as("start_us"),
+        (org.apache.spark.sql.functions.unix_micros($"w.end") - gapUs).as("end_us"),
+        $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream/batch session mismatch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
