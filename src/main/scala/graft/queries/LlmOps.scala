@@ -1027,12 +1027,24 @@ object LlmOps {
     * broadcast query side, two-phase top-k. */
   /** The rplsh pipeline as a frame builder, shared by `rplsh_knn` and
     * `rplsh_recall`. */
+  /** Multi-probe masks: 0 (the exact bucket) plus each single-bit flip
+    * of the 4-bit band key — the query probes the 5 buckets within
+    * Hamming distance 1 per band. Multi-probe buys recall with QUERY
+    * compute (5× candidate lookups) instead of index memory (more
+    * bands = another full copy of the key table) — the right trade at
+    * 100 TB, where the index dominates storage and queries are the
+    * small side. Probes exist ONLY on the broadcast query side; the
+    * corpus key table is untouched. */
+  private val RpLshProbeMasks: Seq[Long] = 0L +: (0 until 4).map(j => 1L << j)
+
   private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     val v = Tables.embeddings(s, d)
     val keys = Vectors.rpLshBands(v, "vec_id", "embedding", planes = 16, bands = 4)
     val qKeys = keys.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"band", $"band_key")
+      .select($"vec_id".as("qid"), $"band",
+        explode(array(RpLshProbeMasks.map(lit(_)): _*)).as("mask"), $"band_key")
+      .select($"qid", $"band", $"band_key".bitwiseXOR($"mask").as("band_key"))
     val cand = keys.join(broadcast(qKeys), Seq("band", "band_key"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cand_id")).distinct()
@@ -1071,10 +1083,14 @@ object LlmOps {
       SELECT vec_id, CAST(plane // 4 AS INTEGER) AS band,
              SUM(CASE WHEN bit THEN CAST(pow(2, plane % 4) AS BIGINT) ELSE 0 END) AS band_key
       FROM bits GROUP BY 1, 2),
+    probes AS (
+      SELECT k.vec_id AS qid, k.band, xor(k.band_key, m.mask) AS band_key
+      FROM keys k CROSS JOIN (SELECT unnest([${RpLshProbeMasks.mkString(", ")}]) AS mask) m
+      WHERE k.vec_id < 10),
     cand AS (
-      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand_id
-      FROM keys q JOIN keys c ON q.band = c.band AND q.band_key = c.band_key
-      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      SELECT DISTINCT p.qid, c.vec_id AS cand_id
+      FROM probes p JOIN keys c ON p.band = c.band AND p.band_key = c.band_key
+      WHERE c.vec_id <> p.qid),
     vn AS (
       SELECT vec_id, embedding,
         list_sum(list_transform(embedding,
