@@ -154,6 +154,43 @@ object Curate {
   }
 
   // ---------------------------------------------------------------------
+  // Curriculum ordering (global rank without a global-window reducer)
+  // ---------------------------------------------------------------------
+
+  /** Total-order rank over the whole corpus (curriculum ordering: feed
+    * training data easy-to-hard) WITHOUT the naive
+    * `row_number().over(Window.orderBy(...))` — that window has no
+    * partition key, so Spark funnels the ENTIRE dataset through one
+    * reducer: the same scale-killer the two-phase per-source scans
+    * eliminated, at corpus scope.
+    *
+    * Shape: `repartitionByRange` on the sort key (the distributed sort
+    * primitive — sampled range bounds, balanced partitions), then rank =
+    * per-partition row_number + the cumulative row count of earlier
+    * partitions. The offset frame is one row per partition (tiny — its
+    * own cumulative window is over ≤ numPartitions rows), broadcast back.
+    * Output rank is identical for ANY partition count — boundaries move,
+    * offsets compensate.
+    *
+    * `orderCols` must be a deterministic total order (tie-break to a
+    * unique key) or the rank itself is nondeterministic — true of any
+    * ranking, distributed or not. */
+  def globalRank(df: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wPid = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wPid), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    ranged.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankCol, (col("_off") + row_number().over(wLocal)).cast("long"))
+      .drop("_pid", "_off")
+  }
+
+  // ---------------------------------------------------------------------
   // PII scrubbing
   // ---------------------------------------------------------------------
 

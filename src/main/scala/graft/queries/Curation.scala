@@ -280,7 +280,27 @@ object Curation {
     LEFT JOIN contam c ON r.doc_id = c.doc_id
     WHERE r.doc_id % $BenchMod <> 0"""))
 
+  /** Curriculum ordering: a TOTAL rank over the corpus (shortest docs
+    * first, doc_id tie-break) via [[Curate.globalRank]]'s two-phase
+    * range-partitioned rank — the naive global window would drag the
+    * whole corpus through one reducer; this shape keeps every window
+    * partition-local (PlanSpec pins it). */
+  val curriculumOrder = Q("curriculum_order", (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(TextOps.tokens($"text")).as("n_words"))
+    Curate.globalRank(docs, "curriculum_rank", $"n_words".asc, $"doc_id".asc)
+      .select($"doc_id", $"n_words", $"curriculum_rank")
+  }, Some("""
+    WITH t AS (SELECT doc_id,
+        CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_words
+      FROM documents)
+    SELECT doc_id, n_words,
+      row_number() OVER (ORDER BY n_words, doc_id) AS curriculum_rank
+    FROM t ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
   val all: Seq[Q] = Seq(
     gopherFilter, repetitionProfile, decontaminate, domainMix, piiScrub,
-    curatePrep, curateFunnel)
+    curatePrep, curateFunnel, curriculumOrder)
 }

@@ -89,6 +89,19 @@ class CurationSpec extends SparkSpec {
     assert(ids1.sameElements(ids2))
   }
 
+  test("globalRank: two-phase rank equals the local total-order rank") {
+    val data = (1 to 500).map(i => (i.toLong, i * 37 % 100))
+    val expected = data.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _), ix) => id -> (ix + 1L) }.toMap
+    // input partitioning must not matter — offsets compensate
+    for (parts <- Seq(1, 7, 32)) {
+      val df = data.toDF("id", "score").repartition(parts)
+      val out = Curate.globalRank(df, "r", col("score").asc, col("id").asc)
+        .select($"id", $"r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"rank diverged at input parts=$parts")
+    }
+  }
+
   test("pii scrub: emails and phones are replaced, counts audited pre-replacement") {
     val df = Seq(
       (1L, "reach me at alice.smith+work@sub.example.co.uk or +1-800-555-0199 thanks"),

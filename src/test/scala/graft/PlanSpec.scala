@@ -167,6 +167,18 @@ class PlanSpec extends SparkSpec {
     assert(!rep.contains("Window"), "repetition_profile uses a window")
   }
 
+  test("curriculum_order: range-partitioned two-phase rank, no global window") {
+    val p = plan("curriculum_order")
+    assert(p.contains("rangepartitioning"), "lost the distributed range sort")
+    // every row_number window must be partition-local (keyed on _pid);
+    // a global window would read "Window [...], [n_words ...]" with no
+    // partition spec and funnel the corpus through one reducer
+    val rowNumberWindows = "Window \\[row_number\\(\\)[^\\n]*".r.findAllIn(p).toSeq
+    assert(rowNumberWindows.nonEmpty)
+    assert(rowNumberWindows.forall(_.contains("_pid")),
+      s"global row_number window found: ${rowNumberWindows.mkString("; ")}")
+  }
+
   test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
     // probe plan: scans the index parquet (centroids + assignments) and
     // never recomputes the corpus assignment (no posexplode/Lloyd stage)
