@@ -1002,14 +1002,18 @@ object LlmOps {
     * the cost model: `ivf_knn` pays build+assign+probe every run, this
     * pays probe only once the index exists. The per-rep bench spread shows
     * exactly that (rep 1 builds, later reps probe). */
-  val ivfProbe = Q("ivf_probe", (s, d) => {
+  private def ivfProbeDf(s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int) = {
     import s.implicits._
     val v = Tables.embeddings(s, d)
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     Vectors.ivfSearchIndexed(ivfIndex(s, d), v, "vec_id", "embedding",
-      q, "qid", "qe", nprobe = 2, k = 10)
-  }, Some(ivfSql), sortCols = Seq("qid", "rank"))
+      q, "qid", "qe", nprobe = nprobe, k = 10)
+  }
+
+  val ivfProbe = Q("ivf_probe", (s, d) => ivfProbeDf(s, d, nprobe = 2),
+    Some(ivfSql), sortCols = Seq("qid", "rank"))
 
   /** Random-hyperplane LSH ANN (the brief's "LSH-bucketed variant",
     * completing the similarity-search family next to IVF): 16 deterministic
@@ -1180,7 +1184,23 @@ object LlmOps {
       ivfProbe.run(s, d).select($"qid", $"cand_id".as("cid")))
   }, Some(s"""
     WITH $bfTruthSqlCtes,
-    $ivfSqlCtes,
+    ${ivfSqlCtes(2)},
+    ann_t AS (SELECT qid, cand_id AS cid FROM r WHERE rank <= 10),
+    ${recallSqlTail("ann_t")}"""),
+    sortCols = Seq("qid"))
+
+  /** The recall/cost SWEEP point: same probed index at nprobe=4 of 8 —
+    * together with [[ivfRecall]] (nprobe=2) this pins the knob every IVF
+    * deployment tunes: how much recall each extra probed cell buys, at
+    * linearly more corpus touched per query. Oracle-gated like the rest
+    * of the recall family. */
+  val ivfRecallN4 = Q("ivf_recall_n4", (s, d) => {
+    import s.implicits._
+    recallDf(knnDf(s, d, bucketed = false).select($"qid", $"cid"),
+      ivfProbeDf(s, d, nprobe = 4).select($"qid", $"cand_id".as("cid")))
+  }, Some(s"""
+    WITH $bfTruthSqlCtes,
+    ${ivfSqlCtes(4)},
     ann_t AS (SELECT qid, cand_id AS cid FROM r WHERE rank <= 10),
     ${recallSqlTail("ann_t")}"""),
     sortCols = Seq("qid"))
@@ -1223,13 +1243,13 @@ object LlmOps {
 
   // lazy: referenced by ivfKnn/ivfProbe above their textual position
   private lazy val ivfSql: String = s"""
-    WITH $ivfSqlCtes
+    WITH ${ivfSqlCtes(2)}
     SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
     ORDER BY qid, rank"""
 
   /** The IVF oracle's CTE chain (ends in `r` = ranked probed cosines),
     * shared by `ivf_knn`/`ivf_probe` and `ivf_recall`. */
-  private lazy val ivfSqlCtes: String = ("""v AS (
+  private def ivfSqlCtes(nprobe: Int): String = (s"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings),
     vn AS (
@@ -1273,7 +1293,7 @@ object LlmOps {
             list_sum(list_transform(list_zip(q.qe, cn.c),
               p -> round(p[1] * p[2] * 1e12))) / sqrt(q.qn2 * cn.cn2) DESC,
             cn.centroid_id) AS rn
-        FROM q, cn) WHERE rn <= 2),
+        FROM q, cn) WHERE rn <= $nprobe),
     sims AS (
       SELECT p.qid, vn.vec_id AS cand_id,
         list_sum(list_transform(list_zip(p.qe, vn.e),
@@ -1296,5 +1316,6 @@ object LlmOps {
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
-    embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshRecall, ivfRecall)
+    embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshRecall, ivfRecall,
+    ivfRecallN4)
 }
