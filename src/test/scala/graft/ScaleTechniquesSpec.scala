@@ -259,4 +259,40 @@ class ScaleTechniquesSpec extends SparkSpec {
     val some = spark.read.parquet(out).filter($"user_id" < 5).count()
     assert(some < all)
   }
+
+  test("z-order write: 2-D box predicate prunes more files than a linear layout") {
+    // deterministic 64×64 grid, 4 rows per cell — both dimensions spread
+    val grid = spark.range(16384).select(
+      (col("id") % 64).as("x"),
+      ((col("id") / 64).cast("long") % 64).as("y"))
+    val zOut = Files.createTempDirectory("graft_zorder").toString + "/z"
+    val linOut = Files.createTempDirectory("graft_zorder").toString + "/lin"
+    graft.sinks.Writers.clusteredByZOrder(grid, "x", "y", zOut, numFiles = 16)
+    graft.sinks.Writers.clusteredByRange(grid, "x", linOut, numFiles = 16)
+    // candidate files for the predicate y∈[8,15] — the dimension the
+    // linear layout did NOT sort by — decided exactly the way
+    // footer-based skipping decides: per-file min/max vs the predicate
+    def candidates(path: String): Int = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("y").as("ylo"), max("y").as("yhi"))
+      .filter($"yhi" >= 8 && $"ylo" <= 15)
+      .count().toInt
+    val zFiles = candidates(zOut)
+    val linFiles = candidates(linOut)
+    // linear-by-x: every file spans the full y range → zero y-skipping
+    // (all 16 files are candidates); z-order: each file is a small
+    // (x, y) rectangle, so most files' y-boxes miss the predicate
+    assert(linFiles == 16, s"x-sorted layout unexpectedly skips on y: $linFiles")
+    assert(zFiles <= 8,
+      s"z-order pruned too little: z=$zFiles linear=$linFiles of 16 files")
+    // identical content either way
+    assert(spark.read.parquet(zOut).count() == 16384)
+    // and the z-value itself interleaves correctly: z(1,0)=1, z(0,1)=2,
+    // z(3,5) = 1·1 + 2·0 + 4·1 + 8·0 + 16·0 + 32·1 = 0b100111 = 39
+    val zv = spark.range(1).select(
+      graft.sinks.Writers.zValue(lit(1L), lit(0L)).as("a"),
+      graft.sinks.Writers.zValue(lit(0L), lit(1L)).as("b"),
+      graft.sinks.Writers.zValue(lit(3L), lit(5L)).as("c")).head
+    assert(zv.getLong(0) == 1L && zv.getLong(1) == 2L && zv.getLong(2) == 39L)
+  }
 }
