@@ -315,6 +315,59 @@ object LlmOps {
     WHERE rn <= 30 ORDER BY source, doc_id"""),
     sortCols = Seq("source", "doc_id"))
 
+  /** Token-budget subsampling: keep docs per source, in doc_id order,
+    * until the source's cumulative TOKEN count reaches `budget` — the
+    * form mixture specs actually prescribe (token budgets, not doc
+    * counts; a doc-count cap over-serves sources with long documents).
+    * Keep rule: a doc survives iff the tokens BEFORE it are under
+    * budget, so the boundary doc that crosses the line is included —
+    * every source with any data gets ≥ 1 doc.
+    *
+    * Same two-phase prefix-sum shape as [[capPerSource]] (segment token
+    * subtotals → cumulative offsets → segment-local running sum), so no
+    * window ever spans a whole source and segments entirely past the
+    * budget are pruned before the row-level pass. */
+  val tokenBudget = Q("token_budget", (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", size(TextOps.tokens($"text")).as("n_tokens"))
+    capPerSourceTokens(docs, budget = 800L)
+  }, Some("""
+    WITH t AS (SELECT doc_id, source,
+        CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens
+      FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM t)
+    SELECT doc_id, source, n_tokens, cum_before
+    FROM c WHERE cum_before < 800 ORDER BY source, doc_id"""),
+    sortCols = Seq("source", "doc_id"))
+
+  /** Two-phase engine of [[tokenBudget]]: input (doc_id, source,
+    * n_tokens), output the surviving docs with their pre-doc cumulative
+    * token count. Granule-invariant like the other two-phase scans. */
+  def capPerSourceTokens(docs: org.apache.spark.sql.DataFrame, budget: Long,
+      segShift: Int = SegShift): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"), col("n_tokens"),
+      shiftright(col("doc_id"), segShift).as("seg"))
+    val wSeg = Window.partitionBy(col("source")).orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("seg"))
+      .agg(sum(col("n_tokens")).as("seg_n"))
+      .withColumn("seg_off", coalesce(sum(col("seg_n")).over(wSeg), lit(0L)))
+      .filter(col("seg_off") < budget) // segment starts past budget: prune it whole
+      .select(col("source"), col("seg"), col("seg_off"))
+    val wLocal = Window.partitionBy(col("source"), col("seg")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("source", "seg"))
+      .withColumn("cum_before",
+        col("seg_off") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+  }
+
   /** The two-phase cap (see [[perSourceCap]]), reusable: at most `cap`
     * docs per source in doc_id order, emitting (doc_id, source, rn).
     * `segShift` picks the segment granule (2^segShift docs) — see the
@@ -1311,7 +1364,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     docDedup, minhashBands, minhashPairs, minhashPairsVerified, pairJaccard,
     dupClusters, corpusDedup,
-    trainSplit, perSourceCap, lenQuantiles, incrementalDedup,
+    trainSplit, perSourceCap, tokenBudget, lenQuantiles, incrementalDedup,
     corpusDedupProbe, clusterSizes, chunkDocs, packSequences, hybridSearch,
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,

@@ -260,6 +260,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(some < all)
   }
 
+  test("two-phase token budget: equals the single-window form; granule-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), " ")).as("n_tokens"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val twoPhase = asSet(graft.queries.LlmOps.capPerSourceTokens(docs, 800L))
+    // reference: the naive whole-source running-sum window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = asSet(docs
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"cum_before" < 800))
+    assert(twoPhase == naive)
+    assert(twoPhase.nonEmpty)
+    // output is granule-invariant: only the task bounds move with segShift
+    val fine = asSet(graft.queries.LlmOps.capPerSourceTokens(docs, 800L, segShift = 3))
+    assert(fine == twoPhase)
+    // every source with data survives with at least one doc
+    val srcAll = docs.select($"source").distinct().count()
+    assert(twoPhase.map(_._2).size.toLong == srcAll)
+  }
+
   test("z-order write: 2-D box predicate prunes more files than a linear layout") {
     // deterministic 64×64 grid, 4 rows per cell — both dimensions spread
     val grid = spark.range(16384).select(
