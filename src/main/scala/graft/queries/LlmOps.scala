@@ -1258,6 +1258,57 @@ object LlmOps {
     ${recallSqlTail("ann_t")}"""),
     sortCols = Seq("qid"))
 
+  /** Semantic decontamination audit — the embedding-space complement of
+    * the n-gram `decontaminate` row (paraphrased benchmark leakage has
+    * no 5-gram overlap but lives next to the benchmark in embedding
+    * space): for every corpus vector, the max cosine against the
+    * benchmark set and the nearest benchmark id, ranked by risk. A
+    * practitioner inspects this distribution BEFORE picking a cutoff,
+    * so the row is primarily threshold-free; the `flagged` column
+    * applies a fixture-calibrated τ=0.45 (near-uniform random
+    * embeddings put the benign tail just below it).
+    *
+    * Scale shape: benchmark vectors broadcast (eval suites are bounded);
+    * the corpus side is a single pass — cross join against the
+    * broadcast set, partial max per vector — with the only exchange the
+    * per-vector max on the high-cardinality id. Ties on max_sim break
+    * to the smallest benchmark id (exact scaled-int cosines make ties
+    * well-defined cross-engine). */
+  val semanticDecontam = Q("semantic_decontam", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val bench = v.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bid"), $"embedding".as("be"), $"n2".as("bn2"))
+    val corpus = v.filter($"vec_id" % 50 =!= 0)
+    val sims = corpus.crossJoin(broadcast(bench))
+      .select($"vec_id", $"bid",
+        Vectors.cosine(Vectors.dotScaled($"embedding", $"be"), $"n2", $"bn2").as("sim"))
+    val maxs = sims.groupBy($"vec_id").agg(max($"sim").as("max_sim"))
+    sims.join(maxs, Seq("vec_id")).filter($"sim" === $"max_sim")
+      .groupBy($"vec_id", $"max_sim").agg(min($"bid").as("top_bench"))
+      .select($"vec_id", $"top_bench", $"max_sim",
+        ($"max_sim" >= 0.45).as("flagged"))
+  }, Some("""
+    WITH v AS (SELECT vec_id, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings),
+    b AS (SELECT vec_id AS bid, embedding AS be, n2 AS bn2 FROM v WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, embedding, n2 FROM v WHERE vec_id % 50 <> 0),
+    s AS (SELECT c.vec_id, b.bid,
+        list_sum(list_transform(list_zip(c.embedding, b.be),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(c.n2 * b.bn2) AS sim
+      FROM c CROSS JOIN b),
+    m AS (SELECT vec_id, max(sim) AS max_sim FROM s GROUP BY 1)
+    SELECT s.vec_id, min(s.bid) AS top_bench, m.max_sim,
+      m.max_sim >= 0.45 AS flagged
+    FROM s JOIN m ON s.vec_id = m.vec_id AND s.sim = m.max_sim
+    GROUP BY s.vec_id, m.max_sim
+    ORDER BY s.vec_id"""),
+    sortCols = Seq("vec_id"))
+
   /** Persisted IVF index: built at most once per embeddings fingerprint
     * (stale-proof, race-proof — see [[graft.sources.BuildOnce]]), probed
     * by `ivf_probe` and reusable across Verify/Bench JVMs. */
@@ -1370,5 +1421,5 @@ object LlmOps {
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshRecall, ivfRecall,
-    ivfRecallN4)
+    ivfRecallN4, semanticDecontam)
 }
