@@ -170,6 +170,48 @@ object Streams {
       }
   }
 
+  /** A doc admitted by [[tokenBudgetStream]], with the tokens consumed
+    * before it within its source. */
+  case class BudgetedDoc(doc_id: Long, source: String, n_tokens: Long,
+      cum_before: Long)
+
+  /** Streaming token-budget admission — the cross-batch twin of the
+    * batch `token_budget` row: documents arrive over many micro-batches,
+    * and each SOURCE's running token consumption persists as keyed state
+    * (one long per source), so admission decisions made in batch 1 bind
+    * batch 100. A doc is admitted iff its source's tokens consumed
+    * BEFORE it are under budget (boundary doc included, same contract as
+    * the batch row); once a source is exhausted its state is a tombstone
+    * that rejects everything after.
+    *
+    * Within a micro-batch, docs are folded in doc_id order, so feeding
+    * batches in doc order reproduces the batch row EXACTLY
+    * (StreamingSpec proves it). State is one fixed-size record per
+    * source — ingest-time corpus mixing at any scale, without
+    * re-reading landed data. */
+  def tokenBudgetStream(docs: DataFrame, budget: Long): org.apache.spark.sql.Dataset[BudgetedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    docs.select(col("source"), col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BudgetedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[(String, Long, Long)],
+            state: GroupState[Long]) =>
+          var consumed = state.getOption.getOrElse(0L)
+          val admitted = batch.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (consumed < budget) {
+              val row = BudgetedDoc(id, source, n, consumed)
+              consumed += n
+              Some(row)
+            } else None
+          }
+          state.update(consumed)
+          admitted.iterator
+      }
+  }
+
   /** The reference's S3-event → Lambda → store loop as ONE streaming
     * pipeline (`lambda_function.py:27-95`): match documents arriving in a
     * drop directory are ETL'd per micro-batch

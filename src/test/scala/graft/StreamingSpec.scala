@@ -287,6 +287,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("token-budget stream == batch token_budget; state persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim($"text"), " ")).cast("long").as("n_tokens"))
+    val ordered = docs.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .sortBy(_._2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.tokenBudgetStream(
+        mem.toDF().toDF("source", "doc_id", "n_tokens"), budget = 800L)
+      .writeStream.format("memory").queryName("budgeted").outputMode("append")
+      .start()
+    // five batches: admission state for every source must carry across
+    ordered.grouped((ordered.length / 5).max(1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("budgeted")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.queries.LlmOps.capPerSourceTokens(docs, 800L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream/batch budget mismatch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
