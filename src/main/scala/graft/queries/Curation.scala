@@ -212,10 +212,17 @@ object Curation {
     * domain-mixture sampling, emitting the surviving docs with their
     * mixture weights. Stage order is chosen for scale: the narrow quality
     * predicate runs FIRST (shrinking the gram-explode side of the
-    * decontamination probe), the contaminated-id set — small by
-    * construction — broadcasts into an anti-join, and the mix predicate
-    * is again narrow. One exchange total (the per-doc hit count inside
-    * decontaminate) on the high-cardinality doc key. */
+    * decontamination probe), the contaminated-id set broadcasts into an
+    * anti-join, and the mix predicate is again narrow. One exchange
+    * total (the per-doc hit count inside decontaminate) on the
+    * high-cardinality doc key.
+    *
+    * The broadcast assumes contamination is rare (real-world benchmark
+    * leakage is per-mille scale, and the set holds only 8-byte ids, so
+    * even 1e8 contaminated docs ≈ 800 MB is the pathological ceiling).
+    * If a poisoned corpus ever breaks that assumption, drop the
+    * broadcast hint and the same plan degrades to a shuffled anti-join —
+    * semantics unchanged. */
   val curatePrep = Q("curate_prep", (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
