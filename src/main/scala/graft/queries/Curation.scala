@@ -119,7 +119,15 @@ object Curation {
     import s.implicits._
     val ratePct = lit(100) -
       regexp_extract($"source", "([0-9]+)$", 1).cast("int") * 4
-    Curate.domainMix(Tables.documents(s, d), "doc_id", ratePct)
+    val docs = Tables.documents(s, d)
+    // loud fixture guard (ADVICE r06 class): the linear rate formula
+    // assumes source indices 0..24 — a regenerated fixture with more
+    // sources would otherwise silently sample them at rate ≤ 0
+    val worst = docs.select(min(ratePct).as("lo"), max(ratePct).as("hi")).head
+    require(!worst.isNullAt(0) && worst.getInt(0) > 0 && worst.getInt(1) <= 100,
+      s"domain_mix: rate_pct out of (0,100] for some source " +
+        s"(min=${worst.get(0)}, max=${worst.get(1)}) — fixture drifted")
+    Curate.domainMix(docs, "doc_id", ratePct)
       .select($"doc_id", $"source", $"rate_pct", $"weight")
   }, Some(s"""
     WITH r AS (SELECT doc_id, source,
