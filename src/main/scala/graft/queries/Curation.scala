@@ -315,7 +315,35 @@ object Curation {
     FROM t ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
+  /** Stratified eval sampling: exactly K docs per (source, lang)
+    * stratum, ranked by a salted portable hash — the held-out-set
+    * construction that needs every stratum represented regardless of
+    * its share of the corpus (domain_mix keeps proportions; this pins
+    * counts). Hash-ranked selection is deterministic and RNG-free like
+    * train_split, and the heavy lifting reuses
+    * [[graft.operators.Vectors.topKPerKey]] — partial per-partition
+    * top-K heaps before the per-stratum window, so no reducer ever
+    * sorts a whole stratum. */
+  val evalSample = Q("eval_sample", (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"lang",
+      hash60(concat(lit("eval:"), $"doc_id".cast("string"))).as("h"))
+    graft.operators.Vectors
+      .topKPerKey(docs, struct($"source", $"lang"), $"h", $"doc_id", 3)
+      .select($"doc_id", $"source", $"lang", $"rank")
+  }, Some(s"""
+    WITH t AS (SELECT doc_id, source, lang,
+        ${hash60Sql("'eval:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    r AS (SELECT doc_id, source, lang,
+        CAST(row_number() OVER (PARTITION BY source, lang
+          ORDER BY h DESC, doc_id) AS INTEGER) AS rank
+      FROM t)
+    SELECT doc_id, source, lang, rank FROM r WHERE rank <= 3
+    ORDER BY source, lang, rank"""),
+    sortCols = Seq("source", "lang", "rank"))
+
   val all: Seq[Q] = Seq(
     gopherFilter, repetitionProfile, decontaminate, domainMix, piiScrub,
-    curatePrep, curateFunnel, curriculumOrder)
+    curatePrep, curateFunnel, curriculumOrder, evalSample)
 }
