@@ -102,6 +102,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("topKPerKey as stratified sampler: exactly K per stratum, all of smaller strata") {
+    import graft.operators.Vectors
+    // stratum A: 10 docs, stratum B: 2 docs (< K) — B must keep both
+    val docs = ((1 to 10).map(i => (i.toLong, "A")) ++ Seq((11L, "B"), (12L, "B")))
+      .toDF("doc_id", "stratum")
+      .withColumn("h", graft.queries.hash60(concat(lit("eval:"), $"doc_id".cast("string"))))
+    val out = Vectors.topKPerKey(docs, $"stratum", $"h", $"doc_id", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    val byStratum = out.groupBy(_._1)
+    assert(byStratum("A").length == 3 && byStratum("B").length == 2)
+    // ranks are 1..n within each stratum, deterministic across runs
+    assert(byStratum("A").map(_._3).sorted.sameElements(Seq(1, 2, 3)))
+    val again = Vectors.topKPerKey(docs.repartition(7), $"stratum", $"h", $"doc_id", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    assert(again == out.toSet)
+  }
+
   test("pii scrub: emails and phones are replaced, counts audited pre-replacement") {
     val df = Seq(
       (1L, "reach me at alice.smith+work@sub.example.co.uk or +1-800-555-0199 thanks"),
