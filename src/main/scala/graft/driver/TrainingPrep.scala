@@ -55,9 +55,13 @@ object TrainingPrep {
     val pairs = TextOps.verifiedCandidatePairs(exactDeduped, idCol, textCol, hashFn)
     val clusters = graft.operators.Components
       .connectedComponents(pairs, "doc_a", "doc_b")
+    // the drop list is corpus-proportional (dedup removes 20–50% of a web
+    // corpus), so NO static broadcast hint (VERDICT r07 finding 2): AQE
+    // broadcasts only when the measured size allows, else this is a
+    // shuffled anti-join shipping bare ids
     val dropIds = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    val nearDeduped = exactDeduped.join(broadcast(dropIds), Seq(idCol), "left_anti")
+    val nearDeduped = exactDeduped.join(dropIds, Seq(idCol), "left_anti")
 
     // 4. feature stamps (lang_pred, not lang: never silently replace a
     // source-provided label column)

@@ -226,14 +226,19 @@ object LlmOps {
 
   /** End-to-end near-dup corpus dedup: drop every cluster member except
     * the canonical keeper (min doc_id), keep all un-clustered docs. The
-    * drop list is tiny relative to the corpus, so the anti-join broadcasts
-    * at scale; the corpus body crosses no shuffle. */
+    * drop list is CORPUS-PROPORTIONAL — real web corpora dedup away
+    * 20–50% of documents — so it carries NO static broadcast hint
+    * (VERDICT r07 finding 2: at 1e10 docs the hint forces ~80 GB through
+    * the driver). AQE broadcasts only when the measured size allows;
+    * otherwise the plan degrades to a shuffled sort-merge anti-join where
+    * the drop side ships bare ids and the corpus side the 3-column
+    * projection — never the body. */
   val corpusDedup = Q("corpus_dedup", (s, d) => {
     import s.implicits._
     val pairs = TextOps.verifiedCandidatePairs(Tables.documents(s, d), "doc_id", "text")
     val cc = Components.connectedComponents(pairs, "doc_a", "doc_b")
     val drop = cc.filter($"id" =!= $"comp").select($"id".as("doc_id"))
-    Tables.documents(s, d).join(broadcast(drop), Seq("doc_id"), "left_anti")
+    Tables.documents(s, d).join(drop, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"source", $"n_chars")
   }, Some(s"""
     WITH RECURSIVE $clustersSqlCtes
@@ -412,15 +417,19 @@ object LlmOps {
   /** [[corpusDedup]] from the PERSISTED labeling (the index analog of
     * `ivf_knn` vs `ivf_probe`): the clustering is read from the build-once
     * parquet artifact instead of re-derived per query, so the per-query
-    * cost is one broadcast anti-join over the corpus — the shape every
-    * downstream consumer of a dedup labeling actually runs. Same oracle
-    * as `corpus_dedup`: the persisted labels must reproduce the inline
-    * clustering exactly. */
+    * cost is one anti-join over the corpus — the shape every downstream
+    * consumer of a dedup labeling actually runs. Like [[corpusDedup]],
+    * the drop list is corpus-proportional, so NO static broadcast hint
+    * (VERDICT r07 finding 2): the planner/AQE picks broadcast from the
+    * artifact's measured size, and above the threshold the plan is a
+    * shuffled anti-join of bare ids vs the 3-column projection. Same
+    * oracle as `corpus_dedup`: the persisted labels must reproduce the
+    * inline clustering exactly. */
   val corpusDedupProbe = Q("corpus_dedup_probe", (s, d) => {
     import s.implicits._
     val labels = s.read.parquet(s"${dedupLabels(s, d)}/labels")
     val drop = labels.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
-    Tables.documents(s, d).join(broadcast(drop), Seq("doc_id"), "left_anti")
+    Tables.documents(s, d).join(drop, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"source", $"n_chars")
   }, Some(s"""
     WITH RECURSIVE $clustersSqlCtes
@@ -438,34 +447,34 @@ object LlmOps {
     * components (VERDICT r06 finding 1: a bare bucket collision is
     * precision-losing by design — dropping on it silently deletes
     * training data; the agreement fraction estimates Jaccard, so the
-    * gate ≈ J ≥ 0.5). At 100 TB the corpus side of both probes is a
-    * pre-built artifact (the hash set and the signature/band table are
-    * exactly what [[docDedup]]/[[minhashBands]] persist), so a daily
-    * batch joins against indexes, not raw text; only hashes, band keys,
-    * and 128 B signatures cross the shuffle. Here doc_id <
-    * [[CorpusBoundaryId]] stands in for the landed corpus and the rest
-    * for the arriving batch. */
+    * gate ≈ J ≥ 0.5). The corpus side of both gates is the BUCKETED
+    * build-once index ([[graft.sources.DedupIndex]]): hash set bucketed
+    * on `h`, band table bucketed on (band, band_key). The batch — the
+    * genuinely small side of the daily flow — shuffles into the bucket
+    * layout and sort-merge anti/semi joins; the corpus index crosses NO
+    * exchange and NO broadcast (VERDICT r07 finding 1: the previous plan
+    * broadcast the corpus hash set and band table, which at 100 TB are
+    * billions of 32 B hashes and 4× corpus rows of 128 B signatures —
+    * unbounded build sides that also materialize on the driver).
+    * PlanSpec pins the hint-free plan; ScaleTechniquesSpec measures the
+    * bucketed anti-join. Here doc_id < [[CorpusBoundaryId]] stands in
+    * for the landed corpus and the rest for the arriving batch; the
+    * boundary-spanning fixture guard runs once per session in
+    * [[FixtureGuards]], not here (VERDICT r07 finding 4). */
   val incrementalDedup = Q("incremental_dedup", (s, d) => {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    // loud fixture guard (ADVICE r06): both sides of the boundary must be
-    // populated, or the row would pass vacuously after a fixture change
-    val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
-    require(!bounds.isNullAt(0) && bounds.getLong(0) < CorpusBoundaryId &&
-      bounds.getLong(1) >= CorpusBoundaryId,
-      s"incremental_dedup: documents must span the corpus/batch boundary " +
-        s"$CorpusBoundaryId (got ids ${bounds.get(0)}..${bounds.get(1)})")
-    val batch = docs.filter($"doc_id" >= CorpusBoundaryId)
-      .select($"doc_id", $"source", sha2($"text", 256).as("h"))
-    val corpusHashes = docs.filter($"doc_id" < CorpusBoundaryId)
-      .select(sha2($"text", 256).as("h")).distinct()
-    val exactNew = batch.join(broadcast(corpusHashes), Seq("h"), "left_anti")
-    val bands = TextOps.bandTableFromSignatures(
-      TextOps.minhashSignatures(docs, "doc_id", "text"), "doc_id", keepSig = true)
-    val corpusBuckets = bands.filter($"doc_id" < CorpusBoundaryId)
+    val batchDocs = Tables.documents(s, d).filter($"doc_id" >= CorpusBoundaryId)
+    val batch = batchDocs.select($"doc_id", $"source", sha2($"text", 256).as("h"))
+    val exactNew = batch.join(
+      graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
+      Seq("h"), "left_anti")
+    val batchBands = TextOps.bandTableFromSignatures(
+      TextOps.minhashSignatures(batchDocs, "doc_id", "text"), "doc_id", keepSig = true)
+    val corpusBuckets = graft.sources.DedupIndex
+      .corpusBands(s, d, CorpusBoundaryId)
       .select($"band", $"band_key", $"sig".as("corpus_sig"))
-    val nearDup = bands.filter($"doc_id" >= CorpusBoundaryId)
-      .join(broadcast(corpusBuckets), Seq("band", "band_key"))
+    val nearDup = batchBands
+      .join(corpusBuckets, Seq("band", "band_key"))
       .filter(TextOps.sigAgreement($"sig", $"corpus_sig") >= MinEq)
       .select($"doc_id").distinct()
     exactNew.join(nearDup, Seq("doc_id"), "left_anti")
@@ -1269,11 +1278,14 @@ object LlmOps {
     * embeddings put the benign tail just below it).
     *
     * Scale shape: benchmark vectors broadcast (eval suites are bounded);
-    * the corpus side is a single pass — cross join against the
-    * broadcast set, partial max per vector — with the only exchange the
-    * per-vector max on the high-cardinality id. Ties on max_sim break
-    * to the smallest benchmark id (exact scaled-int cosines make ties
-    * well-defined cross-engine). */
+    * the corpus side is a single pass — ONE cross join against the
+    * broadcast set feeding ONE argmax aggregation
+    * (`max(struct(sim, -bid))` = max sim with min-benchmark-id
+    * tie-break), so the dominant cost — the corpus×benchmark cosine
+    * pass — executes exactly once (VERDICT r07 finding 3: the previous
+    * max-then-join-back plan re-ran it). The only exchange is the
+    * per-vector max on the high-cardinality id. Ties on max_sim are
+    * well-defined cross-engine thanks to the exact scaled-int cosines. */
   val semanticDecontam = Q("semantic_decontam", (s, d) => {
     import s.implicits._
     val v = Tables.embeddings(s, d)
@@ -1284,11 +1296,10 @@ object LlmOps {
     val sims = corpus.crossJoin(broadcast(bench))
       .select($"vec_id", $"bid",
         Vectors.cosine(Vectors.dotScaled($"embedding", $"be"), $"n2", $"bn2").as("sim"))
-    val maxs = sims.groupBy($"vec_id").agg(max($"sim").as("max_sim"))
-    sims.join(maxs, Seq("vec_id")).filter($"sim" === $"max_sim")
-      .groupBy($"vec_id", $"max_sim").agg(min($"bid").as("top_bench"))
-      .select($"vec_id", $"top_bench", $"max_sim",
-        ($"max_sim" >= 0.45).as("flagged"))
+    sims.groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"bid").as("neg_bid"))).as("best"))
+      .select($"vec_id", (-$"best.neg_bid").as("top_bench"),
+        $"best.sim".as("max_sim"), ($"best.sim" >= 0.45).as("flagged"))
   }, Some("""
     WITH v AS (SELECT vec_id, embedding,
         list_sum(list_transform(embedding,

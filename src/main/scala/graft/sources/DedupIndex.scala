@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Bucketed corpus-side index for incremental (batch-vs-landed-corpus)
+  * dedup: the content-hash set and the MinHash band table of the landed
+  * corpus, persisted ONCE per corpus fingerprint ([[BuildOnce]]) as
+  * BUCKETED tables on their join keys.
+  *
+  * Why bucketed instead of broadcast (VERDICT r07 finding 1): at 100 TB
+  * the corpus hash set is billions of 32 B hashes and the band table is
+  * `bands`× the corpus rows carrying 128 B signatures — neither fits an
+  * executor, and a broadcast materializes on the driver first. Bucketing
+  * inverts the cost: the big, slowly-changing corpus index is laid out
+  * once, hash-partitioned and sorted on its join key, and each arriving
+  * batch — the genuinely small side of the production flow
+  * (`EC2/processor.py:95-144`'s daily-batch analog) — shuffles into that
+  * layout for a sort-merge anti/semi join. No exchange, no broadcast,
+  * ever touches the corpus side again (PlanSpec + ScaleTechniquesSpec pin
+  * the plan). Bucket count: sized to corpus/target-file-size in a real
+  * deployment; 8 at the test SFs.
+  *
+  * The parquet files are written with Spark's bucketed writer and the
+  * bucket spec is re-declared per session over the shared artifact
+  * directory (`CREATE TABLE … CLUSTERED BY … LOCATION`), because bucket
+  * metadata lives in the catalog, not in the files — re-registration is
+  * what lets Verify, Bench, and test JVMs all reuse one build.
+  */
+object DedupIndex {
+
+  val Buckets = 8
+
+  /** Distinct sha256 content hashes of corpus docs (`doc_id < boundary`),
+    * bucketed+sorted on `h` — the build side of the exact-dedup anti-join. */
+  def corpusHashes(s: SparkSession, d: String, boundary: Long): DataFrame =
+    s.table(ensure(s, d, boundary)._1)
+
+  /** MinHash band rows `(band, band_key, sig)` of corpus docs, bucketed+
+    * sorted on (band, band_key) — the build side of the near-dup gate;
+    * the signature rides along so in-bucket verification needs no second
+    * join (same rationale as [[TextOps.bandTableFromSignatures]]). */
+  def corpusBands(s: SparkSession, d: String, boundary: Long): DataFrame =
+    s.table(ensure(s, d, boundary)._2)
+
+  /** Algorithm token folded into the stamp (ADVICE r06): banding or
+    * threshold changes must route to a fresh artifact, not silently
+    * serve an index built by older code. */
+  private def algoToken(boundary: Long): String =
+    s"incr-v1|boundary=$boundary|bands=${TextOps.bands}x${TextOps.rowsPerBand}" +
+      s"|k=${TextOps.minhashA.size}|perm=${(TextOps.minhashA ++ TextOps.minhashB).hashCode}"
+
+  /** Build (at most once per stamp, across JVMs) and register (at most
+    * once per session) the two bucketed tables; returns their names. */
+  private def ensure(s: SparkSession, d: String, boundary: Long): (String, String) = {
+    val stamp = BuildOnce.stampOf(s"$d/documents.parquet", algoToken(boundary))
+    val base = BuildOnce.dir("graft_incr", stamp,
+      b => new java.io.File(s"$b/hashes/_SUCCESS").exists() &&
+        new java.io.File(s"$b/bands/_SUCCESS").exists()) { tmp =>
+      val corpus = Tables.documents(s, d).filter(col("doc_id") < boundary)
+      val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      // bucketed layout needs the table writer; the throwaway catalog
+      // entries are dropped right after (external: files stay), leaving
+      // plain bucketed parquet for BuildOnce's atomic rename
+      corpus.select(sha2(col("text"), 256).as("h")).distinct()
+        .write.bucketBy(Buckets, "h").sortBy("h")
+        .option("path", s"$tmp/hashes").saveAsTable(s"graft_build_h_$tag")
+      s.sql(s"DROP TABLE graft_build_h_$tag")
+      TextOps.bandTableFromSignatures(
+          TextOps.minhashSignatures(corpus, "doc_id", "text"), "doc_id", keepSig = true)
+        .select(col("band"), col("band_key"), col("sig"))
+        .write.bucketBy(Buckets, "band", "band_key").sortBy("band", "band_key")
+        .option("path", s"$tmp/bands").saveAsTable(s"graft_build_b_$tag")
+      s.sql(s"DROP TABLE graft_build_b_$tag")
+    }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val (hn, bn) = (s"graft_corpus_hashes_$tag", s"graft_corpus_bands_$tag")
+    synchronized {
+      if (!s.catalog.tableExists(hn))
+        s.sql(s"""CREATE TABLE $hn (h STRING) USING PARQUET
+          CLUSTERED BY (h) SORTED BY (h) INTO $Buckets BUCKETS
+          LOCATION '$base/hashes'""")
+      if (!s.catalog.tableExists(bn))
+        s.sql(s"""CREATE TABLE $bn (band INT, band_key BIGINT, sig ARRAY<BIGINT>)
+          USING PARQUET
+          CLUSTERED BY (band, band_key) SORTED BY (band, band_key) INTO $Buckets BUCKETS
+          LOCATION '$base/bands'""")
+    }
+    (hn, bn)
+  }
+}

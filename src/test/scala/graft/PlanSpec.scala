@@ -7,9 +7,21 @@ package graft
 class PlanSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
+  private def df(name: String) =
+    SparkEntry.catalog.find(_.name == name).get.run(spark, d)
   private def plan(name: String): String =
-    SparkEntry.catalog.find(_.name == name).get
-      .run(spark, d).queryExecution.executedPlan.toString
+    df(name).queryExecution.executedPlan.toString
+
+  /** Build `body` with the given confs set, restoring previous values. */
+  private def withConfs[A](confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 
   test("filters and projections reach the parquet scan") {
     val p = plan("filter_null")
@@ -81,12 +93,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("training_prep")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the composed prep chain grew a cartesian/nested-loop join")
-    // the near-dup drop is a broadcast anti-join against the cluster
-    // labeling (the LSH pairing + connected components run inside the
-    // checkpointed Components subgraph, so they are not in THIS plan —
-    // the pairing shape itself is pinned below on minhash_pairs)
-    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
-      "canonical-keep drop is not a broadcast anti-join")
+    // the near-dup drop is an anti-join against the cluster labeling,
+    // with NO static broadcast hint — the drop list is corpus-
+    // proportional (VERDICT r07 finding 2), so broadcast is AQE's
+    // runtime call, never forced. (The LSH pairing + connected
+    // components run inside the checkpointed Components subgraph, so
+    // they are not in THIS plan — the pairing shape itself is pinned
+    // below on minhash_pairs.)
+    assert(p.contains("LeftAnti"), "canonical-keep drop lost its anti-join")
     assert(plan("minhash_pairs").contains("collect_set"),
       "bucket-group pairing shape lost")
   }
@@ -136,14 +150,67 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("scaled_dot"), "similarity kernel fell back off the native expression")
   }
 
-  test("corpus_dedup_probe: one broadcast anti-join against the labeling artifact") {
+  test("corpus_dedup_probe: one anti-join against the labeling artifact, no forced broadcast") {
     val p = plan("corpus_dedup_probe")
     assert(p.contains("graft_cc_"), "probe is not reading the persisted labeling")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      "canonical-keep filter is not a broadcast anti-join")
-    // the corpus side must not shuffle: drop list broadcasts, body stays put
-    assert(!p.contains("Exchange hashpartitioning"),
-      "corpus body crosses a shuffle in the probe plan")
+    assert(p.contains("LeftAnti"), "canonical-keep filter lost its anti-join")
+    // at this SF the planner broadcasts the drop list from its MEASURED
+    // size — allowed; what is pinned (below, threshold=-1) is that no
+    // HINT forces it, because the drop list is corpus-proportional
+  }
+
+  test("dedup drop-lists carry no corpus-proportional broadcast hint (VERDICT r07)") {
+    // with size-based broadcast disabled, any surviving BroadcastExchange
+    // can only come from a static hint — exactly what finding 1/2 bans
+    // for join sides that grow with the corpus (AQE off + executedPlan:
+    // exchanges exist only after EnsureRequirements)
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      for (q <- Seq("incremental_dedup", "corpus_dedup", "corpus_dedup_probe",
+          "training_prep")) {
+        val p = df(q).queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastExchange"),
+          s"$q still forces a broadcast on a corpus-proportional side:\n$p")
+      }
+    }
+  }
+
+  test("incremental_dedup: bucketed corpus index joins with no exchange on the corpus side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so executedPlan is the traversable post-EnsureRequirements
+    // tree (with AQE it is an opaque AdaptiveSparkPlanExec leaf)
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val plan = df("incremental_dedup").queryExecution.executedPlan
+      val indexScans = plan.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_incr_")) => s
+      }
+      assert(indexScans.size == 2, s"expected hash+band index scans, got $indexScans")
+      assert(indexScans.forall(_.bucketedScan),
+        "corpus index scans are not bucketed — the co-located join is lost")
+      // the corpus index must never itself be reshuffled: no exchange may
+      // sit directly over an index scan (downstream exchanges ABOVE the
+      // join — e.g. the distinct's aggregation — are the batch's, and
+      // legitimately contain the scan deep in their subtree)
+      def scansIndexDirectly(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("graft_incr_"))
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(scansIndexDirectly)
+        }
+      val shuffledIndex = plan.collect { case e: ShuffleExchangeExec => e }
+        .exists(e => scansIndexDirectly(e.child))
+      assert(!shuffledIndex, "corpus index is reshuffled before its join")
+    }
+  }
+
+  test("semantic_decontam: ONE corpus×benchmark pass (single nested-loop subtree)") {
+    val p = plan("semantic_decontam")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"the dominant cosine pass is not executed exactly once:\n$p")
   }
 
   test("curation: narrow rows stay exchange-free; decontamination broadcasts") {

@@ -120,6 +120,49 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed dedup index: only the batch shuffles into the anti-join (VERDICT r07)") {
+    val d = "/root/testdata/sf0.001"
+    val boundary = graft.queries.LlmOps.CorpusBoundaryId
+    val docs = graft.sources.Tables.documents(spark, d)
+    val batch = docs.filter($"doc_id" >= boundary)
+      .select($"doc_id", sha2($"text", 256).as("h"))
+    val idx = graft.sources.DedupIndex.corpusHashes(spark, d, boundary)
+    withShuffleConfs() {
+      val bucketed = batch.join(idx, Seq("h"), "left_anti")
+      // the corpus index scan uses its buckets; the single exchange in the
+      // plan is the batch side shuffling INTO the bucket layout
+      // (executedPlan, not sparkPlan: exchanges exist only after
+      // EnsureRequirements)
+      val p = bucketed.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"index scan lost bucketing:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"expected exactly the batch-side exchange:\n$p")
+      // same rows as the inline (derive-the-corpus-hashes-per-query) form
+      val inline = batch.join(
+        docs.filter($"doc_id" < boundary).select(sha2($"text", 256).as("h")).distinct(),
+        Seq("h"), "left_anti")
+      assert(bucketed.select("doc_id").except(inline.select("doc_id")).isEmpty &&
+        inline.select("doc_id").except(bucketed.select("doc_id")).isEmpty,
+        "bucketed index anti-join diverged from the inline form")
+      // measured: the records crossing the shuffle are the batch's, not
+      // the corpus index's (the index is ~4/5 of the fixture)
+      val batchRows = batch.count()
+      val read = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            read.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        bucketed.write.format("noop").mode("overwrite").save()
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(read.get() == batchRows,
+        s"shuffle carried ${read.get()} records, expected the $batchRows batch rows only")
+    }
+  }
+
   test("two-phase per-source cap: equals the single-window form; bounds the max task") {
     import graft.queries.LlmOps
     import org.apache.spark.sql.expressions.Window
