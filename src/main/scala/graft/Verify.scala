@@ -19,6 +19,10 @@ object Verify {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-drift guards: once per run, NOT per query builder (VERDICT
+    // r07 finding 4) — a drifted fixture must fail loudly here rather
+    // than let calibrated rows pass vacuously
+    graft.queries.FixtureGuards.check(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -20,6 +20,27 @@ import graft.queries.hash60
   */
 object Curate {
 
+  /** Broadcast ceiling for bounded-by-assumption build sides (benchmark
+    * gram sets, contaminated-id lists): past this optimizer-estimated
+    * size the hint is dropped. 256 MB — far above Spark's 10 MB auto
+    * threshold (a benchmark gram set of tens of MB is still worth
+    * shipping to every executor instead of shuffling the 100 TB probe
+    * side), far below anything that would hurt the driver. */
+  val BroadcastCeilingBytes: Long = 256L << 20
+
+  /** The documented broadcast ceiling as CODE (VERDICT r07 item 7): hint
+    * `df` for broadcast only while Catalyst's own size estimate for its
+    * optimized plan stays within `maxBytes`; beyond the ceiling return
+    * it unhinted, so the same join degrades to the shuffled plan with
+    * identical semantics and AQE re-decides from measured sizes at
+    * runtime. The estimate is the optimizer's (`stats.sizeInBytes`) —
+    * no extra pass, no driver action, and deliberately conservative:
+    * an overestimate merely falls back to AQE's runtime call. */
+  def boundedBroadcast(df: DataFrame, maxBytes: Long = BroadcastCeilingBytes): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) broadcast(df) else df
+  }
+
   // ---------------------------------------------------------------------
   // Quality gates (Gopher-style rules; Rae et al. 2021, §A1.1 — public)
   // ---------------------------------------------------------------------
@@ -116,15 +137,18 @@ object Curate {
     * MBs, not TBs) → distinct + broadcast; the corpus side explodes its
     * grams NARROWLY and probes the broadcast — the 100 TB side never
     * shuffles for the probe, and the only exchange is the per-doc hit
-    * count on the high-cardinality doc key. If the benchmark ever
-    * outgrew broadcast, the same plan degrades gracefully to a shuffled
-    * hash join on gram_hash — still never all-pairs. */
+    * count on the high-cardinality doc key. The broadcast is
+    * size-GATED, not assumed ([[boundedBroadcast]]): if the benchmark
+    * ever outgrows the ceiling, the hint drops and the same plan
+    * degrades gracefully to a shuffled hash join on gram_hash — still
+    * never all-pairs (CurationSpec pins both shapes). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      maxBroadcastBytes: Long = BroadcastCeilingBytes): DataFrame = {
     val benchGrams = TextOps.ngramHashRows(benchmark, idCol, textCol, ContamGramN)
       .select(col("gram_hash")).distinct()
     val hits = TextOps.ngramHashRows(corpus, idCol, textCol, ContamGramN)
-      .join(broadcast(benchGrams), Seq("gram_hash"))
+      .join(boundedBroadcast(benchGrams, maxBroadcastBytes), Seq("gram_hash"))
       .groupBy(col(idCol)).agg(countDistinct(col("gram_hash")).as("n_hits"))
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.operators.{Curate, TextOps}
 import graft.sources.Tables
@@ -115,19 +116,18 @@ object Curation {
     * per-source target rate (src0 → 100% … src19 → 24%), carrying the
     * inverse-propensity weight. Narrow map, no RNG state, reproducible
     * engine-to-engine — same portable-hash design as train_split. */
+  /** The linear rate formula assumes source indices 0..24; a drifted
+    * fixture (more sources, or one without trailing digits → null rate)
+    * is caught LOUDLY by [[FixtureGuards.check]], which Verify and the
+    * specs run once per session — never here in the builder, where the
+    * min/max pass would re-scan the corpus on every invocation (VERDICT
+    * r07 finding 4). */
+  private[queries] def mixRatePct: Column = lit(100) -
+    regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") * 4
+
   val domainMix = Q("domain_mix", (s, d) => {
     import s.implicits._
-    val ratePct = lit(100) -
-      regexp_extract($"source", "([0-9]+)$", 1).cast("int") * 4
-    val docs = Tables.documents(s, d)
-    // loud fixture guard (ADVICE r06 class): the linear rate formula
-    // assumes source indices 0..24 — a regenerated fixture with more
-    // sources would otherwise silently sample them at rate ≤ 0
-    val worst = docs.select(min(ratePct).as("lo"), max(ratePct).as("hi")).head
-    require(!worst.isNullAt(0) && worst.getInt(0) > 0 && worst.getInt(1) <= 100,
-      s"domain_mix: rate_pct out of (0,100] for some source " +
-        s"(min=${worst.get(0)}, max=${worst.get(1)}) — fixture drifted")
-    Curate.domainMix(docs, "doc_id", ratePct)
+    Curate.domainMix(Tables.documents(s, d), "doc_id", mixRatePct)
       .select($"doc_id", $"source", $"rate_pct", $"weight")
   }, Some(s"""
     WITH r AS (SELECT doc_id, source,
@@ -226,11 +226,11 @@ object Curation {
     * high-cardinality doc key.
     *
     * The broadcast assumes contamination is rare (real-world benchmark
-    * leakage is per-mille scale, and the set holds only 8-byte ids, so
-    * even 1e8 contaminated docs ≈ 800 MB is the pathological ceiling).
-    * If a poisoned corpus ever breaks that assumption, drop the
-    * broadcast hint and the same plan degrades to a shuffled anti-join —
-    * semantics unchanged. */
+    * leakage is per-mille scale, and the set holds only 8-byte ids) —
+    * and the assumption is ENFORCED, not documented
+    * ([[Curate.boundedBroadcast]], VERDICT r07 item 7): past the
+    * ceiling the hint drops and the same plan degrades to a shuffled
+    * anti-join — semantics unchanged, CurationSpec pins both shapes. */
   val curatePrep = Q("curate_prep", (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -239,7 +239,7 @@ object Curation {
     val contamIds = Curate.decontaminate(
         quality, docs.filter($"doc_id" % BenchMod === 0), "doc_id", "text")
       .filter($"contaminated").select($"doc_id")
-    val clean = quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+    val clean = quality.join(Curate.boundedBroadcast(contamIds), Seq("doc_id"), "left_anti")
     val ratePct = lit(100) -
       regexp_extract($"source", "([0-9]+)$", 1).cast("int") * 4
     Curate.domainMix(clean, "doc_id", ratePct)
@@ -275,7 +275,7 @@ object Curation {
       regexp_extract($"source", "([0-9]+)$", 1).cast("int") * 4
     val mixKeep = pmod(
       hash60(concat(lit("mix:"), $"doc_id".cast("string"))), lit(100L)) < ratePct
-    corpus.join(broadcast(contamIds), Seq("doc_id"), "left")
+    corpus.join(Curate.boundedBroadcast(contamIds), Seq("doc_id"), "left")
       .select($"q", coalesce($"bad", lit(false)).as("bad"), mixKeep.as("m"))
       .agg(
         count(lit(1)).as("n_corpus"),

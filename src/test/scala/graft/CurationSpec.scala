@@ -138,4 +138,56 @@ class CurationSpec extends SparkSpec {
       .filter(col("clean").rlike(Curate.EmailRe) || col("clean").rlike(Curate.PhoneRe))
     assert(survivors.count() == 0)
   }
+
+  test("broadcast ceiling enforced in code: oversized side loses the hint, results unchanged") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // auto-broadcast off: any broadcast in the initial plan is the HINT's
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = Curate.decontaminate(corpus, bench, "doc_id", "text")
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "within the ceiling, the benchmark gram set must keep its broadcast hint")
+      // ceiling of 0 bytes simulates a benchmark set past the ceiling
+      val unhinted = Curate.decontaminate(corpus, bench, "doc_id", "text",
+        maxBroadcastBytes = 0L)
+      val p = unhinted.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"past the ceiling the hint must drop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"past the ceiling the probe must degrade to a shuffled join:\n$p")
+      // identical rows either way
+      assert(hinted.except(unhinted).isEmpty && unhinted.except(hinted).isEmpty,
+        "ceiling fallback changed decontamination results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("fixture guards: pass on the real fixture, fail loudly on every drift mode") {
+    import graft.queries.FixtureGuards
+    // the real fixture passes (this is what Verify runs once per session)
+    FixtureGuards.check(spark, "/root/testdata/sf0.001")
+    val boundary = graft.queries.LlmOps.CorpusBoundaryId
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "source")
+    val ok = (0L, "src0") :: (boundary, "src5") :: Nil
+    FixtureGuards.checkDocs(docs(ok: _*))
+    // drift 1: a source index beyond 24 → rate ≤ 0
+    intercept[IllegalArgumentException] {
+      FixtureGuards.checkDocs(docs((0L, "src30"), (boundary, "src0")))
+    }
+    // drift 2 (ADVICE r07): a source WITHOUT trailing digits → null rate,
+    // previously invisible to min/max, now a counted failure
+    intercept[IllegalArgumentException] {
+      FixtureGuards.checkDocs(docs((0L, "web"), (boundary, "src0")))
+    }
+    // drift 3: all ids on one side of the incremental boundary
+    intercept[IllegalArgumentException] {
+      FixtureGuards.checkDocs(docs((0L, "src0"), (1L, "src1")))
+    }
+    intercept[IllegalArgumentException] {
+      FixtureGuards.checkDocs(docs((boundary, "src0"), (boundary + 1, "src1")))
+    }
+  }
 }
