@@ -61,7 +61,15 @@ object Writers {
     * at position 2i, bit i of `b` at 2i+1. Pure codegen'd shift/and/or
     * chain — `bits` ≤ 31 keeps the interleave inside a long. Nearby
     * (a, b) points get nearby z-values, which is the whole trick:
-    * sorting by ONE derived key clusters BOTH dimensions. */
+    * sorting by ONE derived key clusters BOTH dimensions.
+    *
+    * Input DOMAIN is [0, 2^bits) per column (ADVICE r07): bits at or
+    * above position `bits` are silently ignored, so out-of-domain keys
+    * alias to the same z-prefix and quietly degrade 2-D skipping (output
+    * VALUES stay correct — `_z` is layout-only — but the layout stops
+    * clustering). [[clusteredByZOrder]] derives `bits` from the real key
+    * range and rejects negatives, so the sink never relies on the
+    * caller knowing this. */
   def zValue(a: Column, b: Column, bits: Int = 21): Column =
     (0 until bits).foldLeft(lit(0L): Column) { (acc, i) =>
       acc
@@ -81,12 +89,30 @@ object Writers {
     * partition pruning — layout chosen once at load time, paid back by
     * every selective scan after. */
   def clusteredByZOrder(df: DataFrame, colA: String, colB: String,
-      path: String, numFiles: Int): Unit =
-    df.withColumn("_z", zValue(col(colA), col(colB)))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+      path: String, numFiles: Int): Unit = {
+    // derive the interleave width from the REAL key range (ADVICE r07):
+    // a fixed width silently aliases keys ≥ 2^bits onto one z-prefix and
+    // degrades skipping; negatives would interleave sign bits. One
+    // bounded min/max aggregation — cheap next to the write it shapes.
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (r.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      val lo = math.min(r.getLong(0), r.getLong(2))
+      val hi = math.max(r.getLong(1), r.getLong(3))
+      require(lo >= 0, s"z-order keys must be non-negative (min($colA,$colB)=$lo)")
+      require(hi < (1L << 31),
+        s"z-order interleave supports keys < 2^31 (max($colA,$colB)=$hi)")
+      val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(hi))
+      df.withColumn("_z", zValue(col(colA), col(colB), bits))
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
 
   /** K7: local debug dump (`save_json`, `S3.py:345-349`). */
   def jsonDump(df: DataFrame, path: String): Unit =

@@ -171,9 +171,12 @@ object Streams {
   }
 
   /** A doc admitted by [[tokenBudgetStream]], with the tokens consumed
-    * before it within its source. */
+    * before it within its source. `out_of_order` surfaces an
+    * ordering-contract violation: this doc's id is ≤ the largest id its
+    * source had already delivered in an EARLIER micro-batch, so the
+    * admitted set may diverge from the batch `token_budget` twin. */
   case class BudgetedDoc(doc_id: Long, source: String, n_tokens: Long,
-      cum_before: Long)
+      cum_before: Long, out_of_order: Boolean)
 
   /** Streaming token-budget admission — the cross-batch twin of the
     * batch `token_budget` row: documents arrive over many micro-batches,
@@ -186,28 +189,35 @@ object Streams {
     *
     * Within a micro-batch, docs are folded in doc_id order, so feeding
     * batches in doc order reproduces the batch row EXACTLY
-    * (StreamingSpec proves it). State is one fixed-size record per
-    * source — ingest-time corpus mixing at any scale, without
-    * re-reading landed data. */
+    * (StreamingSpec proves it). The cross-batch half of that ordering
+    * contract is ENFORCED, not assumed (ADVICE r07): the state carries
+    * the max doc_id each source has delivered, and any later batch
+    * delivering a smaller id marks its rows `out_of_order = true` — the
+    * violation is surfaced per row instead of silently diverging from
+    * the batch twin. State is one fixed-size record per source —
+    * ingest-time corpus mixing at any scale, without re-reading landed
+    * data. */
   def tokenBudgetStream(docs: DataFrame, budget: Long): org.apache.spark.sql.Dataset[BudgetedDoc] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     docs.select(col("source"), col("doc_id"), col("n_tokens"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, BudgetedDoc](
+      .flatMapGroupsWithState[(Long, Long), BudgetedDoc](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (source: String, batch: Iterator[(String, Long, Long)],
-            state: GroupState[Long]) =>
-          var consumed = state.getOption.getOrElse(0L)
+            state: GroupState[(Long, Long)]) =>
+          var (consumed, maxSeen) = state.getOption.getOrElse((0L, Long.MinValue))
+          val priorMax = maxSeen // ids from earlier batches only
           val admitted = batch.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (id > maxSeen) maxSeen = id
             if (consumed < budget) {
-              val row = BudgetedDoc(id, source, n, consumed)
+              val row = BudgetedDoc(id, source, n, consumed, id <= priorMax)
               consumed += n
               Some(row)
             } else None
           }
-          state.update(consumed)
+          state.update((consumed, maxSeen))
           admitted.iterator
       }
   }

@@ -316,6 +316,26 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch budget mismatch: only-stream=${(streamed -- batch).take(3)} " +
         s"only-batch=${(batch -- streamed).take(3)}")
     assert(streamed.nonEmpty)
+    // in-order delivery: the ordering-contract flag is false everywhere
+    assert(spark.table("budgeted").filter($"out_of_order").count() == 0)
+  }
+
+  test("token-budget stream flags cross-batch out-of-order delivery (ADVICE r07)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.tokenBudgetStream(
+        mem.toDF().toDF("source", "doc_id", "n_tokens"), budget = 1000L)
+      .writeStream.format("memory").queryName("budget_ooo").outputMode("append")
+      .start()
+    mem.addData(("s", 10L, 5L), ("s", 20L, 5L)); q.processAllAvailable()
+    // a later batch delivers id 15 < max-admitted 20: admitted (budget
+    // remains) but FLAGGED — the silent-divergence case the flag exists for
+    mem.addData(("s", 15L, 5L), ("s", 30L, 5L)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("budget_ooo")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(rows == Map(10L -> false, 20L -> false, 15L -> true, 30L -> false),
+      s"unexpected flags: $rows")
   }
 
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
