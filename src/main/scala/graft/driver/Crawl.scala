@@ -1,0 +1,206 @@
+package graft.driver
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Evolve
+import graft.sources.Resilience
+import graft.sinks.Writers
+
+/** The composed crawl driver — the reference's EC2 fetcher flow
+  * (`EC2/main.py:9-48`, `EC2/fetcher.py:21-180`) as ONE tested
+  * composition of the library's connector and operator pieces: tier
+  * union with the cap semantics (S3/P7) → low-elo pagination (S4) →
+  * rank stamp (P3) → puuid rank map (the `player_rank_map` analog) →
+  * player-list truncation (L1) → windowed per-player matchList fan-out
+  * under [[Resilience.guardedFetch]] → match-id dedup (A1) → envelope
+  * write with retry (`fetcher.py:139-170`) → failed-player leftover
+  * persistence (K8). CrawlSpec drives the whole flow over fixture
+  * fetchers through [[Windows.step]], like PipelineSpec does for the
+  * Lambda ETL.
+  *
+  * Spark-first split of labor: the page/tier FETCHES are driver-side
+  * externals (a rate-limited REST API is inherently sequential — same
+  * rationale as [[graft.sources.Paginate]]), injected as functions so
+  * specs drive fixtures and production drives HTTP; everything the
+  * engine can own — unions, stamps, the rank map, dedup, the envelope —
+  * is lazy DataFrame composition, evaluated as one plan at the write.
+  * Driver-side row counts exist only where the reference's own control
+  * flow needs them (the cap check between fetches), and are bounded by
+  * the API page size × pages fetched, never by corpus scale.
+  */
+object Crawl {
+
+  /** The reference's tier ladder (`fetcher.py:33-35`). */
+  val HighRanks: Seq[String] = Seq("challenger", "grandmaster", "master")
+  val LowTiers: Seq[String] = Seq("DIAMOND")
+  val LowDivisions: Seq[String] = Seq("I", "II", "III", "IV")
+
+  /** S3 + P7 with the reference's cap semantics (`fetcher.py:40-58`):
+    * ranks fetched IN ORDER, and collection stops after the FIRST rank
+    * that reaches the cap — the collected list may exceed the cap until
+    * the final truncation (the rank map is deliberately built from the
+    * full pre-truncation list, `fetcher.py:105`). Each fetched frame is
+    * stamped with its fetch position `_ord` — the lineage that stands in
+    * for the reference's list order when later stages need determinism.
+    * Returns (frames in fetch order, running row count). */
+  def highEloUnion(fetchRank: String => Option[DataFrame],
+      ranks: Seq[String] = HighRanks, cap: Long = Long.MaxValue,
+      startOrd: Int = 0): (List[DataFrame], Long) = {
+    var total = 0L
+    val out = scala.collection.mutable.ListBuffer[DataFrame]()
+    val it = ranks.iterator
+    while (it.hasNext && total < cap) {
+      fetchRank(it.next()).foreach { df =>
+        val stamped = df.withColumn("_ord", lit(startOrd + out.size))
+        out += stamped
+        total += df.count()
+      }
+    }
+    (out.toList, total)
+  }
+
+  /** S4 with the cap woven through the page loop (`fetcher.py:61-90`):
+    * per (tier, division), page++ until the first empty page, breaking
+    * out of EVERYTHING the moment the cap is reached — mid-division,
+    * mid-page-sequence, exactly like the reference's triple break. */
+  def lowEloUnion(fetchPage: (String, String, Int) => Option[DataFrame],
+      tiers: Seq[String] = LowTiers, divisions: Seq[String] = LowDivisions,
+      cap: Long = Long.MaxValue, already: Long = 0L,
+      startOrd: Int = 0): (List[DataFrame], Long) = {
+    var total = already
+    val out = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (t <- tiers; dv <- divisions if total < cap) {
+      var page = 1
+      var continue = true
+      while (continue && total < cap) {
+        fetchPage(t, dv, page) match {
+          case Some(df) if !df.isEmpty =>
+            out += df.withColumn("_ord", lit(startOrd + out.size))
+            total += df.count()
+            page += 1
+          case _ => continue = false
+        }
+      }
+    }
+    (out.toList, total)
+  }
+
+  /** P3 stamp + rename (`fetcher.py:99-103`): one collection timestamp
+    * on every row, `rank` renamed to `player_rank`. Schema drift across
+    * tier endpoints evolves via [[Evolve.unionEvolve]] (P8), like every
+    * heterogeneous append in the library. */
+  def stampedPlayers(frames: List[DataFrame], timestamp: Long): DataFrame =
+    Evolve.unionEvolve(frames)
+      .withColumn("time_stamp", lit(timestamp))
+      .withColumnRenamed("rank", "player_rank")
+
+  /** The `player_rank_map` analog (`fetcher.py:105`): one row per puuid
+    * over the FULL pre-truncation list. The reference's dict
+    * comprehension keeps the LAST occurrence of a duplicated puuid; the
+    * deterministic engine twin is max-`_ord` wins (fetch order is the
+    * only order the reference has). In Spark the keyed frame IS the
+    * map — E7's map-explode is its inverse. */
+  def rankMap(stamped: DataFrame): DataFrame = {
+    val latest = stamped.groupBy(col("puuid")).agg(max(col("_ord")).as("_ord"))
+    stamped.join(latest, Seq("puuid", "_ord"), "left_semi").drop("_ord")
+  }
+
+  /** L1 truncation to the configured cap (`fetcher.py:106`): the
+    * reference truncates its fetch-ordered list, so the deterministic
+    * order is (_ord, puuid) — fetch position first, key tie-break. */
+  def truncatePlayers(stamped: DataFrame, maxPlayers: Int): DataFrame =
+    stamped.orderBy(col("_ord"), col("puuid")).limit(maxPlayers)
+
+  /** One player's matchList outcome in the fan-out. */
+  sealed trait MatchFetch
+  final case class Matches(puuid: String, ids: Seq[String]) extends MatchFetch
+  final case class Failed(puuid: String) extends MatchFetch
+
+  /** The windowed matchList fan-out (`fetcher.py:111-133`): one guarded
+    * fetch per capped player, window bounds passed through to the
+    * source. Failures don't abort the crawl — they are returned for
+    * leftover persistence (the reference logs via `handle_api_response`
+    * and carries on; landing them as a K8 leftover dataset is this
+    * library's re-drive contract, `EC2/leftover.py`'s shape). The loop
+    * is driver-side and bounded by `maxPlayers` — the same bound the
+    * reference's sequential REST loop has. */
+  def fetchMatchLists(puuids: Seq[String], window: Windows.WindowState,
+      fetch: (String, Windows.WindowState) => Resilience.Outcome[Seq[String]],
+      limiter: Resilience.SlidingWindowRateLimiter,
+      breaker: Resilience.CircuitBreaker,
+      maxRetries: Int = 3,
+      clock: Resilience.Clock = Resilience.Clock.system): Seq[MatchFetch] =
+    puuids.map { p =>
+      Resilience.guardedFetch(limiter, breaker, maxRetries, clock)(
+        _ => fetch(p, window)) match {
+        case Some(ids) => Matches(p, ids)
+        case None => Failed(p)
+      }
+    }
+
+  /** The envelope the fetcher uploads (`fetcher.py:141-146`): ONE row
+    * `{ranked_map: {puuid: stats…}, matchlist: [distinct ids]}` — the
+    * rank map as a JSON object keyed by puuid, the match ids deduped
+    * (A1 `set(matchesList)`). Bounded by construction: one window's
+    * crawl output, the thing the reference holds in driver memory too. */
+  def envelope(rankMapDf: DataFrame, matchIds: DataFrame): DataFrame = {
+    val statCols = rankMapDf.columns.filterNot(_ == "puuid")
+    val stats = struct(statCols.map(col): _*)
+    rankMapDf
+      .agg(map_from_entries(collect_list(struct(col("puuid"), stats))).as("ranked_map"))
+      .crossJoin(
+        matchIds.distinct().agg(sort_array(collect_list(col("matchId"))).as("matchlist")))
+  }
+
+  /** The envelope key (`fetcher.py:139`). */
+  def envelopeKey(w: Windows.WindowState): String =
+    s"backfill/matchlists/match_ids_${w.startEpoch}_${w.endEpoch}_.json"
+
+  /** Upload with retry (`fetcher.py:148-170`: 3 attempts, fixed 30 s
+    * waits): re-expressed on [[Resilience.fetchWithBackoff]] — same
+    * attempt budget, exponential-with-jitter waits instead of the fixed
+    * 30 s (the library's one backoff discipline; a declared divergence).
+    * Returns false when every attempt failed (the reference exits 1). */
+  def writeEnvelopeWithRetry(env: DataFrame, path: String, maxRetries: Int = 3,
+      clock: Resilience.Clock = Resilience.Clock.system): Boolean =
+    Resilience.fetchWithBackoff(maxRetries, clock) { _ =>
+      try { Writers.jsonDump(env, path); Resilience.Ok(()) }
+      catch { case e: Exception => Resilience.TransportError(e) }
+    }.isDefined
+
+  /** The whole fetcher run for one window — `run_fetcher(config)` end to
+    * end. Collects tiers under the cap, stamps + maps ranks, truncates,
+    * fans out the guarded matchList fetches, and lands BOTH outputs:
+    * the envelope under [[envelopeKey]] (retried) and failed players as
+    * a K8 leftover dataset for the next run's re-drive. Returns the
+    * envelope key, or None when the upload exhausted its retries. */
+  def runFetcher(spark: SparkSession, outRoot: String,
+      window: Windows.WindowState, maxPlayers: Int, nowEpoch: Long,
+      fetchRank: String => Option[DataFrame],
+      fetchPage: (String, String, Int) => Option[DataFrame],
+      fetchMatches: (String, Windows.WindowState) => Resilience.Outcome[Seq[String]],
+      limiter: Resilience.SlidingWindowRateLimiter,
+      breaker: Resilience.CircuitBreaker,
+      clock: Resilience.Clock = Resilience.Clock.system): Option[String] = {
+    import spark.implicits._
+    val (high, nHigh) = highEloUnion(fetchRank, HighRanks, maxPlayers)
+    val (low, _) = lowEloUnion(fetchPage, LowTiers, LowDivisions,
+      maxPlayers, nHigh, startOrd = high.size)
+    val stamped = stampedPlayers(high ++ low, nowEpoch)
+    val ranks = rankMap(stamped)
+    val capped = truncatePlayers(stamped, maxPlayers)
+    // driver fan-out over the capped puuids — bounded by maxPlayers, the
+    // same driver-memory bound the reference's sequential loop carries
+    val puuids = capped.select("puuid").as[String].collect().toSeq
+    val fetched = fetchMatchLists(puuids, window, fetchMatches, limiter, breaker,
+      clock = clock)
+    val ids = fetched.collect { case Matches(_, ms) => ms }.flatten
+    val failed = fetched.collect { case Failed(p) => p }
+    if (failed.nonEmpty)
+      Writers.saveLeftovers(failed.toDF("key"), s"$outRoot/backfill/leftovers/players")
+    val key = envelopeKey(window)
+    val env = envelope(ranks, ids.toDF("matchId"))
+    if (writeEnvelopeWithRetry(env, s"$outRoot/$key", clock = clock)) Some(key)
+    else None
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.driver.{Crawl, Windows}
+import graft.sources.Resilience
+
+/** E2e spec for the composed crawl driver (`EC2/main.py` + `fetcher.py`
+  * flow) — fixture fetchers, deterministic clock, driven through
+  * [[Windows.step]] like PipelineSpec drives the Lambda ETL. */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noWait = Resilience.Clock(() => 0L, _ => (), () => 0.5)
+  private def limiter = new Resilience.SlidingWindowRateLimiter(
+    Seq((1000, 1L)), noWait)
+  private def breaker = new Resilience.CircuitBreaker(clock = noWait)
+
+  private def players(rows: (String, String, String, Int)*): DataFrame =
+    rows.toDF("puuid", "rank", "tier", "lp")
+
+  test("highEloUnion stops after the rank that reaches the cap; list may overshoot") {
+    val fetched = scala.collection.mutable.ListBuffer[String]()
+    def fetchRank(r: String): Option[DataFrame] = {
+      fetched += r
+      Some(Map(
+        "challenger" -> players(("p1", "I", "challenger", 900), ("p2", "I", "challenger", 880)),
+        "grandmaster" -> players(("p3", "I", "grandmaster", 700), ("p3b", "I", "grandmaster", 690)),
+        "master" -> players(("p4", "I", "master", 500))).apply(r))
+    }
+    val (frames, total) = Crawl.highEloUnion(fetchRank, cap = 3)
+    // grandmaster crosses the cap → master never fetched; total overshoots
+    assert(fetched.toList == List("challenger", "grandmaster"))
+    assert(total == 4 && frames.size == 2)
+  }
+
+  test("lowEloUnion paginates until empty and breaks out mid-division at the cap") {
+    val calls = scala.collection.mutable.ListBuffer[(String, Int)]()
+    def fetchPage(t: String, d: String, page: Int): Option[DataFrame] = {
+      calls += ((d, page))
+      if (d == "I" && page <= 2)
+        Some(players((s"low_${d}_${page}_a", "I", t, 50), (s"low_${d}_${page}_b", "I", t, 40)))
+      else Some(players())
+    }
+    val (frames, total) = Crawl.lowEloUnion(fetchPage, cap = 3, already = 0)
+    // page 2 crosses the cap → divisions II/III/IV never probed
+    assert(calls.toList == List(("I", 1), ("I", 2)))
+    assert(total == 4 && frames.size == 2)
+    // already at the cap → no page is ever fetched
+    val (none, t2) = Crawl.lowEloUnion(fetchPage, cap = 3, already = 3)
+    assert(none.isEmpty && t2 == 3)
+  }
+
+  test("rankMap keeps the LAST occurrence of a duplicated puuid (dict-comprehension twin)") {
+    val a = players(("dup", "I", "challenger", 900)).withColumn("_ord",
+      org.apache.spark.sql.functions.lit(0))
+    val b = players(("dup", "I", "grandmaster", 700)).withColumn("_ord",
+      org.apache.spark.sql.functions.lit(1))
+    val m = Crawl.rankMap(a.unionByName(b)).collect()
+    assert(m.length == 1 && m.head.getAs[String]("tier") == "grandmaster")
+  }
+
+  test("envelope write retries transport failures and reports exhaustion") {
+    val dir = Files.createTempDirectory("graft_env").toString
+    val env = Crawl.envelope(
+      players(("p1", "I", "challenger", 900))
+        .withColumn("_ord", org.apache.spark.sql.functions.lit(0))
+        .transform(Crawl.rankMap),
+      Seq("m1", "m2", "m1").toDF("matchId"))
+    assert(Crawl.writeEnvelopeWithRetry(env, s"$dir/ok.json", clock = noWait))
+    // parent is a FILE → every attempt throws → false after the budget
+    val blocker = new java.io.File(s"$dir/blocked"); blocker.createNewFile()
+    assert(!Crawl.writeEnvelopeWithRetry(env, s"$dir/blocked/x.json", clock = noWait))
+  }
+
+  test("fetcher flow e2e through Windows.step: cap, pre-truncation rank map, retry, dedup, leftovers") {
+    val dir = Files.createTempDirectory("graft_crawl").toString
+    val statePath = s"$dir/state.json"
+    val day = 24 * 3600L
+    def fetchRank(r: String): Option[DataFrame] = Some(Map(
+      "challenger" -> players(("p1", "I", "challenger", 900), ("p2", "I", "challenger", 880)),
+      "grandmaster" -> players(("p3", "I", "grandmaster", 700), ("p3b", "I", "grandmaster", 690)),
+      "master" -> players(("p4", "I", "master", 500))).apply(r))
+    val pageCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def fetchPage(t: String, d: String, p: Int): Option[DataFrame] = {
+      pageCalls.incrementAndGet(); Some(players())
+    }
+    // p2's first attempt is rate-limited (guardedFetch must retry), p3
+    // 404s (client error: fail fast → leftover), the rest succeed
+    val p2Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def fetchMatches(p: String, w: Windows.WindowState): Resilience.Outcome[Seq[String]] = {
+      assert(w.startEpoch == 2 * day && w.endEpoch == 4 * day) // window reaches the source
+      p match {
+        case "p1" => Resilience.Ok(Seq("m1", "m2"))
+        case "p2" =>
+          if (p2Attempts.getAndIncrement() == 0)
+            Resilience.Status(429, retryAfterSec = Some(0))
+          else Resilience.Ok(Seq("m2", "m3"))
+        case "p3" => Resilience.Status(404)
+        case other => fail(s"capped-out player fetched: $other")
+      }
+    }
+    val advanced = Windows.step(statePath, nowEpoch = 4 * day,
+      bootstrap = Windows.WindowState(0, 2 * day)) { w =>
+      val key = Crawl.runFetcher(spark, dir, w, maxPlayers = 3, nowEpoch = 4 * day,
+        fetchRank, fetchPage, fetchMatches, limiter, breaker, clock = noWait)
+      assert(key.contains(s"backfill/matchlists/match_ids_${2 * day}_${4 * day}_.json"))
+    }
+    assert(advanced.contains(Windows.WindowState(2 * day, 4 * day)))
+    // cap=3 reached in the high tiers → low-elo pagination never probed
+    assert(pageCalls.get() == 0)
+    val env = spark.read.json(s"$dir/backfill/matchlists/match_ids_${2 * day}_${4 * day}_.json")
+    val row = env.head()
+    // dedup: m2 appears from both p1 and p2, once in the envelope
+    assert(row.getAs[scala.collection.Seq[String]]("matchlist").toSeq ==
+      Seq("m1", "m2", "m3"))
+    // rank map is built from the FULL pre-truncation list: p3b is in the
+    // map even though the fan-out stopped at 3 players (and master was
+    // never fetched — the cap stopped the ladder at grandmaster, exactly
+    // the reference's break)
+    val mapped = env.select("ranked_map.*").schema.fieldNames.toSet
+    assert(mapped == Set("p1", "p2", "p3", "p3b"))
+    assert(env.select("ranked_map.p3b.player_rank").head().getString(0) == "I")
+    // the 404'd player landed as a K8 leftover for the next run's re-drive
+    val leftovers = spark.read.parquet(s"$dir/backfill/leftovers/players")
+      .collect().map(_.getString(0)).toSet
+    assert(leftovers == Set("p3"))
+    // state persisted only after the fetcher succeeded
+    assert(graft.sinks.Writers.readState(statePath).contains((2 * day, 4 * day)))
+  }
+}
