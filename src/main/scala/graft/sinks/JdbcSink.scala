@@ -128,6 +128,38 @@ object JdbcSink {
     ddl
   }
 
+  /** FAITHFUL twin of [[appendEvolve]] (`insert_data_to_mysql`,
+    * `Utils/sql.py:26-43`): the reference reads `existing_columns` ONCE,
+    * BEFORE the ALTERs, then aligns rows and builds its INSERT against
+    * that stale list — so the very batch that INTRODUCES a column is
+    * inserted WITHOUT it (the column exists after the ALTER but holds
+    * NULL for this batch's rows); values only arrive from the next batch
+    * on. Kept next to the fixed semantics the way E3's last-frame bug
+    * got its `explode_pframes_last` twin: a user replaying reference
+    * history needs the quirk reproducible, not silently repaired. On a
+    * brand-new table the two agree (CREATE uses the full incoming
+    * schema; the reference's tables pre-exist,
+    * `CollectionTests/collection_test.py:71`). */
+  def appendEvolveFaithful(df: DataFrame, url: String, table: String,
+      dialect: Dialect = Derby): Seq[String] = {
+    val conn = connect(url)
+    val (ddl, stale) = try {
+      val pre = tableSchema(conn, table) // the one DESCRIBE, sql.py:26
+      (ensureEvolved(conn, table, df.schema, dialect), pre)
+    } finally conn.close()
+    val target = stale.getOrElse(df.schema)
+    // align_row_data (sql.py:22-23) against the STALE list: this batch's
+    // novel columns are dropped; stale columns the batch lacks → NULL
+    import org.apache.spark.sql.functions.{col, lit}
+    val aligned = df.select(target.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    aligned.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+    ddl
+  }
+
   private def insertSql(table: String, target: StructType, dialect: Dialect): String =
     s"INSERT INTO $table (${target.fieldNames.map(dialect.quote).mkString(", ")}) " +
       s"VALUES (${Seq.fill(target.size)("?").mkString(", ")})"

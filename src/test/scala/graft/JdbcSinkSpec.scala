@@ -40,6 +40,36 @@ class JdbcSinkSpec extends SparkSpec {
     assert(JdbcSink.appendEvolve(b2, url, "loads").isEmpty)
   }
 
+  test("K4 faithful twin: the batch that introduces a column loses its values (sql.py:26-39)") {
+    val url = freshUrl("faithful")
+    val b1 = Seq((1L, "open"), (2L, "closed")).toDF("k", "status")
+    val b2 = Seq((3L, "open", 12.5), (4L, "open", 7.25)).toDF("k", "status", "price")
+
+    // first batch on a fresh table: twin and fixed semantics agree
+    val ddl1 = JdbcSink.appendEvolveFaithful(b1, url, "loads_f")
+    assert(ddl1.size == 1 && ddl1.head.startsWith("CREATE TABLE loads_f"))
+    // the evolving batch: ALTER runs (column exists), but the INSERT is
+    // aligned to the PRE-ALTER column list — b2's prices are dropped
+    val ddl2 = JdbcSink.appendEvolveFaithful(b2, url, "loads_f")
+    assert(ddl2 == Seq("ALTER TABLE loads_f ADD COLUMN \"price\" DECIMAL(10,2)"))
+    val afterB2 = readTable(url, "loads_f")
+    assert(afterB2.columns.toSeq == Seq("k", "status", "price"))
+    assert(afterB2.filter($"price".isNotNull).count() == 0,
+      "faithful twin repaired the first-batch column drop")
+    // the NEXT batch's values land — the quirk is first-batch-only
+    JdbcSink.appendEvolveFaithful(
+      Seq((5L, "open", 3.75)).toDF("k", "status", "price"), url, "loads_f")
+    val afterB3 = readTable(url, "loads_f")
+    assert(afterB3.filter($"k" === 5).select($"price".cast("double"))
+      .head().getDouble(0) == 3.75)
+    assert(afterB3.filter($"price".isNotNull).count() == 1)
+    // contrast: the FIXED semantics (appendEvolve) land b2's values
+    // immediately — the divergence the twin exists to document
+    JdbcSink.appendEvolve(b1, url, "loads_fixed")
+    JdbcSink.appendEvolve(b2, url, "loads_fixed")
+    assert(readTable(url, "loads_fixed").filter($"price".isNotNull).count() == 2)
+  }
+
   test("K6: transactionalLoad lands all batches; aligned to table order") {
     val url = freshUrl("txn")
     // 5 rows with batchSize=2 → 3 executeBatch calls in one txn
