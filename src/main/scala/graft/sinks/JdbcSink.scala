@@ -60,6 +60,17 @@ object JdbcSink {
     DriverManager.getConnection(url)
   }
 
+  /** [[connect]] from provider-sourced credentials ([[Credentials]]):
+    * the production entry point — deployments resolve url/user/password
+    * through a [[Credentials.SecretSource]] instead of baking them into
+    * config (`Lambda/lambda_function.py:44-62`). */
+  def connect(creds: Credentials.DbCreds): Connection = {
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${System.getProperty("java.io.tmpdir")}/derby.log")
+    DriverManager.getConnection(creds.url, creds.properties)
+  }
+
   /** Current table schema via JDBC metadata (the `DESCRIBE` analog,
     * `sql.py:5-7`), in ordinal order; None when the table doesn't exist.
     * Table names are used UNQUOTED (Derby folds them to uppercase);
@@ -125,6 +136,22 @@ object JdbcSink {
     val ddl = try ensureEvolved(conn, table, df.schema, dialect) finally conn.close()
     df.write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table).save()
+    ddl
+  }
+
+  /** [[appendEvolve]] with provider-sourced credentials — the deployment
+    * shape: resolve the connection through a [[Credentials.SecretSource]]
+    * (secrets service / env / mounted file), never raw strings in
+    * config. Derby dialect (the embedded engine this sink ships with). */
+  def appendEvolve(df: DataFrame, creds: Credentials.DbCreds,
+      table: String): Seq[String] = {
+    val conn = connect(creds)
+    val ddl = try ensureEvolved(conn, table, df.schema, Derby) finally conn.close()
+    val w = df.write.mode("append").format("jdbc")
+      .option("url", creds.url).option("dbtable", table)
+    creds.user.foreach(w.option("user", _))
+    creds.password.foreach(w.option("password", _))
+    w.save()
     ddl
   }
 

@@ -40,6 +40,39 @@ class JdbcSinkSpec extends SparkSpec {
     assert(JdbcSink.appendEvolve(b2, url, "loads").isEmpty)
   }
 
+  test("credential provider: sourced creds drive the sink; missing keys reported together") {
+    import graft.sinks.Credentials
+    val dir = Files.createTempDirectory("graft_derby_creds").toString
+    val src = new Credentials.MapSource(Map(
+      "DB_URL-dev" -> s"jdbc:derby:$dir/db;create=true",
+      "DB_USER" -> "app", "DB_PASSWORD-dev" -> "s3cret"))
+    val creds = Credentials.dbCreds(src, "DB_URL-dev",
+      Some("DB_USER"), Some("DB_PASSWORD-dev"))
+    // logging shape: password is masked, never printed
+    assert(creds.toString.contains("******") && !creds.toString.contains("s3cret"))
+    // the sourced creds drive the real sink end to end (embedded Derby
+    // accepts arbitrary user/password properties)
+    JdbcSink.appendEvolve(Seq((1L, "a")).toDF("k", "v"), creds, "via_creds")
+    assert(readTable(creds.url, "via_creds").count() == 1)
+    // every missing name reported at once (lambda_function.py:56-62)
+    val err = intercept[IllegalArgumentException] {
+      Credentials.dbCreds(new Credentials.MapSource(Map.empty), "DB_URL-dev",
+        Some("DB_USER"), Some("DB_PASSWORD-dev"))
+    }
+    assert(err.getMessage.contains("DB_URL-dev") && err.getMessage.contains("DB_USER")
+      && err.getMessage.contains("DB_PASSWORD-dev"))
+    // once-per-process caching: the store is asked once per present key
+    var asks = 0
+    val counting = new Credentials.SecretSource {
+      def get(k: String): Option[String] = { asks += 1; src.get(k) }
+    }
+    val cached = new Credentials.CachedSource(counting)
+    cached.get("DB_USER"); cached.get("DB_USER"); cached.get("DB_USER")
+    assert(asks == 1)
+    // absent keys are not negatively cached: found after late creation
+    cached.get("LATE"); assert(asks == 2)
+  }
+
   test("K4 faithful twin: the batch that introduces a column loses its values (sql.py:26-39)") {
     val url = freshUrl("faithful")
     val b1 = Seq((1L, "open"), (2L, "closed")).toDF("k", "status")
