@@ -404,7 +404,7 @@ object LlmOps {
     * scraper loop or template flood upstream. */
   val clusterSizes = Q("cluster_sizes", (s, d) => {
     import s.implicits._
-    s.read.parquet(s"${dedupLabels(s, d)}/labels")
+    s.table(dedupLabels(s, d))
       .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
   }, Some(s"""
@@ -422,12 +422,13 @@ object LlmOps {
     * the drop list is corpus-proportional, so NO static broadcast hint
     * (VERDICT r07 finding 2): the planner/AQE picks broadcast from the
     * artifact's measured size, and above the threshold the plan is a
-    * shuffled anti-join of bare ids vs the 3-column projection. Same
-    * oracle as `corpus_dedup`: the persisted labels must reproduce the
-    * inline clustering exactly. */
+    * sort-merge anti-join where the labels side — BUCKETED on doc_id at
+    * build time — never shuffles at all; only the corpus's 3-column
+    * projection pays the exchange. Same oracle as `corpus_dedup`: the
+    * persisted labels must reproduce the inline clustering exactly. */
   val corpusDedupProbe = Q("corpus_dedup_probe", (s, d) => {
     import s.implicits._
-    val labels = s.read.parquet(s"${dedupLabels(s, d)}/labels")
+    val labels = s.table(dedupLabels(s, d))
     val drop = labels.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
     Tables.documents(s, d).join(drop, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"source", $"n_chars")
@@ -1333,26 +1334,37 @@ object LlmOps {
 
   /** Persisted duplicate-cluster labeling — the production shape PERF.md
     * promises: run connected components over the LSH candidate pairs ONCE,
-    * land (doc_id, cluster_id) as parquet, and let every downstream
-    * consumer (canonical-keep filters, per-cluster stats, training-set
-    * exclusion lists) probe the artifact instead of re-deriving the
-    * clustering. Same build-once discipline as the IVF index. */
-  private def dedupLabels(s: org.apache.spark.sql.SparkSession, d: String): String =
-    graft.sources.BuildOnce.dir("graft_cc",
+    * land (doc_id, cluster_id) BUCKETED on doc_id, and let every
+    * downstream consumer (canonical-keep filters, per-cluster stats,
+    * training-set exclusion lists) probe the artifact instead of
+    * re-deriving the clustering. The labeling is corpus-proportional,
+    * so bucketing is what makes the probe's anti-join scale-safe: the
+    * labels side never shuffles — only the probing corpus projection
+    * pays an exchange into the bucket layout (same design as
+    * [[graft.sources.DedupIndex]]). Same build-once discipline as the
+    * IVF index; returns the registered session table name. */
+  private def dedupLabels(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val base = graft.sources.BuildOnce.dir("graft_cc",
       graft.sources.BuildOnce.stampOf(s"$d/documents.parquet", DedupAlgoToken),
-      base => new java.io.File(s"$base/labels/_SUCCESS").exists()) { tmp =>
+      b => new java.io.File(s"$b/labels/_SUCCESS").exists()) { tmp =>
       val pairs = TextOps.verifiedCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+      val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
       Components.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-        .write.mode("overwrite").parquet(s"$tmp/labels")
+        .write.bucketBy(graft.sources.DedupIndex.Buckets, "doc_id").sortBy("doc_id")
+        .option("path", s"$tmp/labels").saveAsTable(s"graft_build_cc_$tag")
+      s.sql(s"DROP TABLE graft_build_cc_$tag")
     }
+    graft.sources.DedupIndex.registerBucketed(s, s"$base/labels", "graft_cc_labels",
+      "doc_id BIGINT, cluster_id BIGINT", Seq("doc_id"))
+  }
 
   /** Algorithm fingerprint folded into the dedup-label artifact stamp
     * (ADVICE r06): any change to banding, signature count, or the
     * verification threshold routes probes to a FRESH artifact directory
     * instead of silently serving labels built by older code. */
   private def DedupAlgoToken: String =
-    s"cc-v2|bands=${TextOps.bands}x${TextOps.rowsPerBand}" +
+    s"cc-v3-bucketed|bands=${TextOps.bands}x${TextOps.rowsPerBand}" +
       s"|k=${TextOps.minhashA.size}|verify>=${TextOps.verifyMinEqual}" +
       s"|perm=${(TextOps.minhashA ++ TextOps.minhashB).hashCode}"
 

@@ -44,6 +44,30 @@ object DedupIndex {
   def corpusBands(s: SparkSession, d: String, boundary: Long): DataFrame =
     s.table(ensure(s, d, boundary)._2)
 
+  /** Re-declare bucket metadata over a bucketed-written parquet dir and
+    * return the session table name. Bucket metadata lives in the
+    * catalog, not in the files, so every JVM sharing an artifact
+    * re-registers it; the name is derived from the directory, so a
+    * fresh artifact (new stamp → new dir) gets a fresh table. The
+    * declared schema/bucketing MUST match what the writer produced —
+    * callers guarantee it by building and registering from the same
+    * code path. */
+  def registerBucketed(s: SparkSession, dir: String, prefix: String,
+      schemaDdl: String, bucketCols: Seq[String], buckets: Int = Buckets): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val name = s"${prefix}_$tag"
+    synchronized {
+      if (!s.catalog.tableExists(name)) {
+        val cols = bucketCols.mkString(", ")
+        s.sql(s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
+          CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS
+          LOCATION '$dir'""")
+      }
+    }
+    name
+  }
+
   /** Algorithm token folded into the stamp (ADVICE r06): banding or
     * threshold changes must route to a fresh artifact, not silently
     * serve an index built by older code. */
@@ -74,20 +98,9 @@ object DedupIndex {
         .option("path", s"$tmp/bands").saveAsTable(s"graft_build_b_$tag")
       s.sql(s"DROP TABLE graft_build_b_$tag")
     }
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val (hn, bn) = (s"graft_corpus_hashes_$tag", s"graft_corpus_bands_$tag")
-    synchronized {
-      if (!s.catalog.tableExists(hn))
-        s.sql(s"""CREATE TABLE $hn (h STRING) USING PARQUET
-          CLUSTERED BY (h) SORTED BY (h) INTO $Buckets BUCKETS
-          LOCATION '$base/hashes'""")
-      if (!s.catalog.tableExists(bn))
-        s.sql(s"""CREATE TABLE $bn (band INT, band_key BIGINT, sig ARRAY<BIGINT>)
-          USING PARQUET
-          CLUSTERED BY (band, band_key) SORTED BY (band, band_key) INTO $Buckets BUCKETS
-          LOCATION '$base/bands'""")
-    }
-    (hn, bn)
+    (registerBucketed(s, s"$base/hashes", "graft_corpus_hashes",
+        "h STRING", Seq("h")),
+      registerBucketed(s, s"$base/bands", "graft_corpus_bands",
+        "band INT, band_key BIGINT, sig ARRAY<BIGINT>", Seq("band", "band_key")))
   }
 }

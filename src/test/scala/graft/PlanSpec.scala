@@ -157,6 +157,16 @@ class PlanSpec extends SparkSpec {
     // at this SF the planner broadcasts the drop list from its MEASURED
     // size — allowed; what is pinned (below, threshold=-1) is that no
     // HINT forces it, because the drop list is corpus-proportional
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val sm = df("corpus_dedup_probe").queryExecution.executedPlan.toString
+      // past the broadcast threshold, the labels artifact — bucketed on
+      // doc_id at build time — joins WITHOUT its own exchange: the only
+      // shuffle is the corpus projection entering the bucket layout
+      assert(sm.contains("SelectedBucketsCount"), s"labels scan lost bucketing:\n$sm")
+      assert("Exchange hashpartitioning".r.findAllIn(sm).length == 1,
+        s"expected exactly the corpus-side exchange:\n$sm")
+    }
   }
 
   test("dedup drop-lists carry no corpus-proportional broadcast hint (VERDICT r07)") {
