@@ -465,20 +465,10 @@ object LlmOps {
   val incrementalDedup = Q("incremental_dedup", (s, d) => {
     import s.implicits._
     val batchDocs = Tables.documents(s, d).filter($"doc_id" >= CorpusBoundaryId)
-    val batch = batchDocs.select($"doc_id", $"source", sha2($"text", 256).as("h"))
-    val exactNew = batch.join(
-      graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
-      Seq("h"), "left_anti")
-    val batchBands = TextOps.bandTableFromSignatures(
-      TextOps.minhashSignatures(batchDocs, "doc_id", "text"), "doc_id", keepSig = true)
-    val corpusBuckets = graft.sources.DedupIndex
-      .corpusBands(s, d, CorpusBoundaryId)
-      .select($"band", $"band_key", $"sig".as("corpus_sig"))
-    val nearDup = batchBands
-      .join(corpusBuckets, Seq("band", "band_key"))
-      .filter(TextOps.sigAgreement($"sig", $"corpus_sig") >= MinEq)
-      .select($"doc_id").distinct()
-    exactNew.join(nearDup, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"text")
+    graft.sources.DedupIndex.dedupBatch(batchDocs,
+        graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
+        graft.sources.DedupIndex.corpusBands(s, d, CorpusBoundaryId))
       .select($"doc_id", $"source")
   }, Some(s"""
     WITH ${bandsSqlCtes("documents")},

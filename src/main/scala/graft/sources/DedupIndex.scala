@@ -30,7 +30,17 @@ import graft.operators.TextOps
   */
 object DedupIndex {
 
+  /** Default bucket count for the stamped test-SF artifacts. Production
+    * sizes buckets to corpus/target-file-size via
+    * `spark.graft.dedup.buckets` (read by [[bucketsFor]]) — at 100 TB a
+    * few thousand buckets keeps each bucket file in the hundreds of MB,
+    * and the bucket count is baked into the table metadata, so probes
+    * keep working across sessions as long as the table is re-registered
+    * with the count it was written with. */
   val Buckets = 8
+
+  def bucketsFor(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.buckets").map(_.toInt).getOrElse(Buckets)
 
   /** Distinct sha256 content hashes of corpus docs (`doc_id < boundary`),
     * bucketed+sorted on `h` — the build side of the exact-dedup anti-join. */
@@ -67,6 +77,97 @@ object DedupIndex {
     }
     name
   }
+
+  // ------------------------------------------------------------------
+  // User-owned index lifecycle — the daily production flow:
+  //   create(initial corpus) → per batch: dedupBatch → land kept docs
+  //   → absorb(kept docs) → next batch dedups against corpus+batch.
+  // Unlike the stamped artifacts above (derived caches, keyed by source
+  // fingerprint, never mutated), a user-owned index at an explicit
+  // location IS the evolving state, maintained by appends — bucketed
+  // inserts write straight into the bucket layout, so the no-shuffle
+  // probe property survives every absorb.
+  // ------------------------------------------------------------------
+
+  /** A registered index: the two bucketed session tables. */
+  final case class Index(dir: String, hashes: String, bands: String)
+
+  private def hashFrame(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("h")).distinct()
+
+  private def bandFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextOps.bandTableFromSignatures(
+        TextOps.minhashSignatures(docs, idCol, textCol), idCol, keepSig = true)
+      .select(col("band"), col("band_key"), col("sig"))
+
+  /** Build a user-owned index at `dir` from the initial corpus. */
+  def create(s: SparkSession, docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = -1): Index = {
+    val b = if (buckets > 0) buckets else bucketsFor(s)
+    val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    hashFrame(docs, textCol)
+      .write.bucketBy(b, "h").sortBy("h")
+      .option("path", s"$dir/hashes").saveAsTable(s"graft_mk_h_$tag")
+    s.sql(s"DROP TABLE graft_mk_h_$tag")
+    bandFrame(docs, idCol, textCol)
+      .write.bucketBy(b, "band", "band_key").sortBy("band", "band_key")
+      .option("path", s"$dir/bands").saveAsTable(s"graft_mk_b_$tag")
+    s.sql(s"DROP TABLE graft_mk_b_$tag")
+    open(s, dir, b)
+  }
+
+  /** Register an existing index's bucket metadata in this session
+    * (idempotent). `buckets` must be what the index was created with. */
+  def open(s: SparkSession, dir: String, buckets: Int = -1): Index = {
+    val b = if (buckets > 0) buckets else bucketsFor(s)
+    Index(dir,
+      registerBucketed(s, s"$dir/hashes", "graft_idx_hashes", "h STRING", Seq("h"), b),
+      registerBucketed(s, s"$dir/bands", "graft_idx_bands",
+        "band INT, band_key BIGINT, sig ARRAY<BIGINT>", Seq("band", "band_key"), b))
+  }
+
+  /** Absorb a landed batch into the index: append its content hashes and
+    * band rows THROUGH the bucketed tables, so the new files land in the
+    * right buckets and the next batch's probe stays exchange-free on the
+    * index side. Hashes already present are appended again (a left-anti
+    * probe is insensitive to duplicates in the build side; an occasional
+    * compaction can re-distinct) — the absorb itself is two narrow
+    * map-side jobs plus the bucket write, no join against the standing
+    * index. Call with the KEPT rows, after [[dedupBatch]]. */
+  def absorb(s: SparkSession, idx: Index, kept: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    hashFrame(kept, textCol).write.mode("append").insertInto(idx.hashes)
+    bandFrame(kept, idCol, textCol).write.mode("append").insertInto(idx.bands)
+  }
+
+  /** The daily dedup gates against any corpus hash/band frames: drop
+    * batch docs whose content hash is already present (exact) or that
+    * share a band bucket with a corpus signature agreeing on ≥ `minEq`
+    * of the k MinHash components (verified near-dup — a bare bucket
+    * collision never drops a document). Returns the kept batch rows,
+    * all batch columns preserved. The scale contract: the batch side
+    * shuffles into the corpus layout; the corpus side is bucketed and
+    * never moves. */
+  def dedupBatch(batch: DataFrame, corpusHashes: DataFrame, corpusBands: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minEq: Int = TextOps.verifyMinEqual): DataFrame = {
+    val hashed = batch.withColumn("_h", sha2(col(textCol), 256))
+    val exactNew = hashed
+      .join(corpusHashes.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
+    val nearDup = TextOps.bandTableFromSignatures(
+        TextOps.minhashSignatures(batch, idCol, textCol), idCol, keepSig = true)
+      .withColumnRenamed("sig", "_bsig")
+      .join(corpusBands.select(col("band"), col("band_key"), col("sig").as("_csig")),
+        Seq("band", "band_key"))
+      .filter(TextOps.sigAgreement(col("_bsig"), col("_csig")) >= minEq)
+      .select(col(idCol)).distinct()
+    exactNew.join(nearDup, Seq(idCol), "left_anti").drop("_h")
+  }
+
+  /** [[dedupBatch]] against a registered [[Index]]. */
+  def dedupBatch(s: SparkSession, idx: Index, batch: DataFrame): DataFrame =
+    dedupBatch(batch, s.table(idx.hashes), s.table(idx.bands))
 
   /** Algorithm token folded into the stamp (ADVICE r06): banding or
     * threshold changes must route to a fresh artifact, not silently

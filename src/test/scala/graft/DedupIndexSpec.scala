@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.DedupIndex
+
+/** The user-owned dedup-index lifecycle — the daily production flow:
+  * create from the initial corpus, gate each arriving batch, absorb the
+  * kept docs, and stay bucketed (exchange-free on the index side)
+  * through it all. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from the fence and the birds sing in the morning light of spring"
+
+  test("lifecycle: create → dedupBatch → absorb → redelivered batch fully drops") {
+    val dir = Files.createTempDirectory("graft_idx").toString + "/idx"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about bucketed join layouts in spark")
+    ).toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+
+    // 10 = exact dup of 1; 11 = near dup of 1 (one appended word:
+    // shingle Jaccard ≈ 0.96 → band collision + signature agreement);
+    // 12 = genuinely new
+    val batch = Seq(
+      (10L, base),
+      (11L, base + " indeed"),
+      (12L, "a wholly novel document sharing no phrasing with the corpus at all")
+    ).toDF("doc_id", "text")
+    val kept = DedupIndex.dedupBatch(spark, idx, batch)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(12L),
+      "exact dup and verified near dup must drop; the novel doc must survive")
+    // all batch columns ride through the gates
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+
+    // absorb the kept docs, then redeliver the same batch: 12 is now an
+    // exact dup of itself → everything drops (idempotent redelivery)
+    DedupIndex.absorb(spark, idx, kept)
+    assert(DedupIndex.dedupBatch(spark, idx, batch).isEmpty,
+      "redelivered batch must fully drop after absorb")
+
+    // the probe stays exchange-free on the index side AFTER absorb: the
+    // appended files landed inside the bucket layout
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = DedupIndex.dedupBatch(spark, idx, batch)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"))
+      assert("SelectedBucketsCount: 4 out of 4".r.findAllIn(p).length == 2,
+        s"both index scans must stay bucketed after absorb:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+
+    // a "new session" (tables dropped) reopens the same files by path
+    spark.sql(s"DROP TABLE ${idx.hashes}")
+    spark.sql(s"DROP TABLE ${idx.bands}")
+    val reopened = DedupIndex.open(spark, dir, buckets = 4)
+    assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
+  }
+}
