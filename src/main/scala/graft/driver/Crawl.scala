@@ -168,6 +168,114 @@ object Crawl {
       catch { case e: Exception => Resilience.TransportError(e) }
     }.isDefined
 
+  /** One processor run's outcome (`run_processor`'s end-of-job report,
+    * `EC2/processor.py:240-256`). */
+  final case class ProcessorReport(total: Int, noData: Int, matchBatches: Int,
+      timelineBatches: Int, leftoverKey: Option[String], playerMapKey: String)
+
+  /** The processor flow (`EC2/processor.py:28-256`): pull the fetcher's
+    * envelope (retried — the exit-7 manual-intervention path is `None`),
+    * re-land the rank map under `player-maps/`, then walk the matchlist
+    * under a DEADLINE (the API-key-expiration analog): per id, guarded
+    * match + timeline fetches (either failing ⇒ the id is counted
+    * `no_data` and skipped, `processor.py:134-139`), source-stamped
+    * documents accumulated and flushed through `land` in the reference's
+    * batch cadence — 200 matches, 50 timelines, remainders at the end.
+    * Hitting the deadline (or an unhandled error) persists every
+    * not-yet-processed id under `backfill/leftovers/` for the re-drive
+    * loop and stops. The matchlist envelope is deleted afterwards —
+    * fully processed or safely in leftovers either way
+    * (`processor.py:243`).
+    *
+    * DECLARED DIVERGENCE: on deadline/error at position i the reference
+    * saves ids from i+1 on, silently losing the CURRENT unprocessed id
+    * (`processor.py:112,183`); leftovers here start at i — the fixed
+    * semantics, with this note standing in for a faithful twin (the
+    * quirk is driver control flow, not data transformation, so there is
+    * no oracle row to twin).
+    *
+    * `land` receives (parsed batch, data_collection_type, batch index)
+    * — production lands hive-partitioned envelopes via [[Writers]]; the
+    * default dumps JSON under `outRoot/<type>/batch_<n>`. The fetch
+    * loop is driver-side and rate-limited like the reference's; each
+    * flushed batch is a distributed parse+write. */
+  def runProcessor(spark: SparkSession, outRoot: String, matchlistKey: String,
+      window: Windows.WindowState,
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limiter: Resilience.SlidingWindowRateLimiter,
+      breaker: Resilience.CircuitBreaker,
+      deadlineEpoch: Long = Long.MaxValue,
+      clock: Resilience.Clock = Resilience.Clock.system,
+      source: String = "crawl",
+      matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
+      land: (org.apache.spark.sql.DataFrame, String, Int) => Unit = null): Option[ProcessorReport] = {
+    import spark.implicits._
+    val landFn = Option(land).getOrElse {
+      (df: DataFrame, kind: String, n: Int) =>
+        Writers.jsonDump(df, s"$outRoot/$kind/batch_$n")
+    }
+    // envelope pull, retried like the upload (processor.py:37-61)
+    val env = Resilience.fetchWithBackoff(3, clock) { _ =>
+      try {
+        val e = spark.read.json(s"$outRoot/$matchlistKey")
+        require(e.columns.contains("matchlist") && e.columns.contains("ranked_map"),
+          s"malformed matchlist envelope at $matchlistKey")
+        Resilience.Ok(e)
+      } catch { case ex: Exception => Resilience.TransportError(ex) }
+    }.getOrElse(return None)
+    val pmKey = s"player-maps/player-map_${window.startEpoch}_${window.endEpoch}_.json"
+    Writers.jsonDump(env.select(col("ranked_map")), s"$outRoot/$pmKey")
+    val ids = env.select(explode(col("matchlist")).as("m")).as[String].collect()
+
+    var total = 0; var noData = 0
+    var matchBatch = List.empty[String]; var timelineBatch = List.empty[String]
+    var matchBatches = 0; var timelineBatches = 0
+    var leftoverKey: Option[String] = None
+    def parse(docs: List[String]): DataFrame =
+      spark.read.json(docs.reverse.toDS()).withColumn("source", lit(source))
+    var i = 0
+    while (i < ids.length && leftoverKey.isEmpty) {
+      if (clock.nowMs() / 1000 >= deadlineEpoch) {
+        val rest = ids.drop(i) // fixed semantics: the CURRENT id is kept
+        val key = s"backfill/leftovers/leftovers_${window.startEpoch}_" +
+          s"${window.endEpoch}_${rest.length}_matches"
+        Writers.saveLeftovers(rest.toSeq.toDF("key"), s"$outRoot/$key")
+        leftoverKey = Some(key)
+      } else {
+        val id = ids(i)
+        val m = Resilience.guardedFetch(limiter, breaker, 3, clock)(_ => fetchMatch(id))
+        val t = Resilience.guardedFetch(limiter, breaker, 3, clock)(_ => fetchTimeline(id))
+        (m, t) match {
+          case (Some(md), Some(td)) =>
+            matchBatch ::= md; timelineBatch ::= td; total += 1
+            if (timelineBatch.size >= timelineBatchSize) {
+              timelineBatches += 1
+              landFn(parse(timelineBatch), "match_timeline", timelineBatches)
+              timelineBatch = Nil
+            }
+            if (matchBatch.size >= matchBatchSize) {
+              matchBatches += 1
+              landFn(parse(matchBatch), "match", matchBatches)
+              matchBatch = Nil
+            }
+          case _ => noData += 1
+        }
+        i += 1
+      }
+    }
+    if (matchBatch.nonEmpty) {
+      matchBatches += 1; landFn(parse(matchBatch), "match", matchBatches)
+    }
+    if (timelineBatch.nonEmpty) {
+      timelineBatches += 1; landFn(parse(timelineBatch), "match_timeline", timelineBatches)
+    }
+    // fully processed or safely in leftovers: drop the matchlist either way
+    Writers.deletePath(spark, s"$outRoot/$matchlistKey")
+    Some(ProcessorReport(total, noData, matchBatches, timelineBatches,
+      leftoverKey, pmKey))
+  }
+
   /** The whole fetcher run for one window — `run_fetcher(config)` end to
     * end. Collects tiers under the cap, stamps + maps ranks, truncates,
     * fans out the guarded matchList fetches, and lands BOTH outputs:

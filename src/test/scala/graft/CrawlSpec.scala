@@ -73,6 +73,74 @@ class CrawlSpec extends SparkSpec {
     assert(!Crawl.writeEnvelopeWithRetry(env, s"$dir/blocked/x.json", clock = noWait))
   }
 
+  private def seedEnvelope(dir: String, w: Windows.WindowState, ids: Seq[String]): String = {
+    val env = Crawl.envelope(
+      players(("p1", "I", "challenger", 900))
+        .withColumn("_ord", org.apache.spark.sql.functions.lit(0))
+        .transform(Crawl.rankMap),
+      ids.toDF("matchId"))
+    val key = Crawl.envelopeKey(w)
+    assert(Crawl.writeEnvelopeWithRetry(env, s"$dir/$key", clock = noWait))
+    key
+  }
+
+  test("processor flow: batch cadence, no-data skips, player map, matchlist cleanup") {
+    val dir = Files.createTempDirectory("graft_proc").toString
+    val w = Windows.WindowState(0, 2 * 24 * 3600)
+    val key = seedEnvelope(dir, w, (1 to 7).map(i => s"m$i"))
+    val landed = scala.collection.mutable.ListBuffer[(String, Int, Long)]()
+    val land = (df: DataFrame, kind: String, n: Int) => {
+      landed += ((kind, n, df.count())); ()
+    }
+    def doc(id: String) = s"""{"matchId":"$id","k":1}"""
+    def fm(id: String): Resilience.Outcome[String] =
+      if (id == "m3") Resilience.Status(404) else Resilience.Ok(doc(id))
+    def ft(id: String): Resilience.Outcome[String] = Resilience.Ok(doc(id))
+    val rep = Crawl.runProcessor(spark, dir, key, w, fm, ft, limiter, breaker,
+      clock = noWait, matchBatchSize = 4, timelineBatchSize = 2, land = land).get
+    // m3 404s on the MATCH side → counted no_data, skipped on BOTH sides
+    assert(rep.total == 6 && rep.noData == 1)
+    // reference cadence at (4, 2): 6 docs → 2 match batches (4 + final 2),
+    // 3 timeline batches (2+2 + final 2)
+    assert(rep.matchBatches == 2 && rep.timelineBatches == 3)
+    assert(landed.collect { case ("match", _, n) => n }.toList == List(4, 2))
+    assert(landed.collect { case ("match_timeline", _, n) => n }.toList == List(2, 2, 2))
+    assert(rep.leftoverKey.isEmpty)
+    // rank map re-landed under player-maps/, matchlist envelope deleted
+    assert(spark.read.json(s"$dir/${rep.playerMapKey}").columns.contains("ranked_map"))
+    assert(!new java.io.File(s"$dir/$key").exists())
+  }
+
+  test("processor deadline: leftovers keep the CURRENT unprocessed id (fixed off-by-one)") {
+    val dir = Files.createTempDirectory("graft_proc_dl").toString
+    val w = Windows.WindowState(0, 2 * 24 * 3600)
+    val key = seedEnvelope(dir, w, (1 to 7).map(i => s"m$i"))
+    // clock starts at 0; after two successful matches the third fetch
+    // pushes time past the deadline, so the loop stops AT m3
+    var now = 0L
+    val ticking = Resilience.Clock(() => now, _ => (), () => 0.5)
+    var fetched = 0
+    def fm(id: String): Resilience.Outcome[String] = {
+      fetched += 1
+      if (fetched == 3) now = 100_000_000L // past deadline for next check
+      Resilience.Ok(s"""{"matchId":"$id"}""")
+    }
+    val rep = Crawl.runProcessor(spark, dir, key, w, fm,
+      id => Resilience.Ok(s"""{"matchId":"$id"}"""),
+      limiter, breaker, deadlineEpoch = 1000L, clock = ticking,
+      land = (_, _, _) => ()).get
+    // m1, m2, m3 processed (deadline observed before m4); leftovers start
+    // at m4 — the current unprocessed id is NOT lost (processor.py:112
+    // saves from i+1 and silently drops it; declared divergence)
+    assert(rep.total == 3)
+    assert(rep.leftoverKey.isDefined && rep.leftoverKey.get.contains("_4_matches"))
+    val rest = spark.read.parquet(s"$dir/${rep.leftoverKey.get}")
+      .collect().map(_.getString(0)).toSet
+    assert(rest == Set("m4", "m5", "m6", "m7"))
+    // matchlist deleted even on the leftover path (stored safely above)
+    assert(!new java.io.File(s"$dir/$key").exists())
+  }
+
   test("fetcher flow e2e through Windows.step: cap, pre-truncation rank map, retry, dedup, leftovers") {
     val dir = Files.createTempDirectory("graft_crawl").toString
     val statePath = s"$dir/state.json"
