@@ -30,6 +30,16 @@ import graft.sinks.Writers
   */
 object Crawl {
 
+  /** Injected externals for one crawl run — the REST surface the
+    * reference wraps in `Utils/api.py`, as functions so specs drive
+    * fixtures and production drives HTTP. */
+  final case class Sources(
+      fetchRank: String => Option[DataFrame],
+      fetchPage: (String, String, Int) => Option[DataFrame],
+      fetchMatchList: (String, Windows.WindowState) => Resilience.Outcome[Seq[String]],
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String])
+
   /** The reference's tier ladder (`fetcher.py:33-35`). */
   val HighRanks: Seq[String] = Seq("challenger", "grandmaster", "master")
   val LowTiers: Seq[String] = Seq("DIAMOND")
@@ -228,20 +238,50 @@ object Crawl {
     Writers.jsonDump(env.select(col("ranked_map")), s"$outRoot/$pmKey")
     val ids = env.select(explode(col("matchlist")).as("m")).as[String].collect()
 
+    val walk = walkMatches(spark, ids, fetchMatch, fetchTimeline, limiter,
+      breaker, deadlineEpoch, clock, source, matchBatchSize, timelineBatchSize,
+      landFn)
+    val leftoverKey = if (walk.unprocessed.nonEmpty) {
+      val key = s"backfill/leftovers/leftovers_${window.startEpoch}_" +
+        s"${window.endEpoch}_${walk.unprocessed.length}_matches"
+      Writers.saveLeftovers(walk.unprocessed.toDF("key"), s"$outRoot/$key")
+      Some(key)
+    } else None
+    // fully processed or safely in leftovers: drop the matchlist either way
+    Writers.deletePath(spark, s"$outRoot/$matchlistKey")
+    Some(ProcessorReport(walk.total, walk.noData, walk.matchBatches,
+      walk.timelineBatches, leftoverKey, pmKey))
+  }
+
+  /** Outcome of one matchlist walk. `unprocessed` is non-empty iff the
+    * deadline cut the walk short — it starts at the CURRENT id (see the
+    * declared divergence on [[runProcessor]]). */
+  private final case class Walk(total: Int, noData: Int, matchBatches: Int,
+      timelineBatches: Int, unprocessed: Seq[String])
+
+  /** The shared per-id walk of `run_processor` and `run_leftovers`
+    * (`processor.py:95-233`, `leftover.py:68-180`): deadline check →
+    * guarded match+timeline fetch → skip-on-no-data → source-stamped
+    * batch flushes in the reference cadence, remainders at the end. */
+  private def walkMatches(spark: SparkSession, ids: Seq[String],
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limiter: Resilience.SlidingWindowRateLimiter,
+      breaker: Resilience.CircuitBreaker,
+      deadlineEpoch: Long, clock: Resilience.Clock, source: String,
+      matchBatchSize: Int, timelineBatchSize: Int,
+      land: (DataFrame, String, Int) => Unit): Walk = {
+    import spark.implicits._
     var total = 0; var noData = 0
     var matchBatch = List.empty[String]; var timelineBatch = List.empty[String]
     var matchBatches = 0; var timelineBatches = 0
-    var leftoverKey: Option[String] = None
+    var unprocessed = Seq.empty[String]
     def parse(docs: List[String]): DataFrame =
       spark.read.json(docs.reverse.toDS()).withColumn("source", lit(source))
     var i = 0
-    while (i < ids.length && leftoverKey.isEmpty) {
+    while (i < ids.length && unprocessed.isEmpty) {
       if (clock.nowMs() / 1000 >= deadlineEpoch) {
-        val rest = ids.drop(i) // fixed semantics: the CURRENT id is kept
-        val key = s"backfill/leftovers/leftovers_${window.startEpoch}_" +
-          s"${window.endEpoch}_${rest.length}_matches"
-        Writers.saveLeftovers(rest.toSeq.toDF("key"), s"$outRoot/$key")
-        leftoverKey = Some(key)
+        unprocessed = ids.drop(i) // fixed semantics: the CURRENT id is kept
       } else {
         val id = ids(i)
         val m = Resilience.guardedFetch(limiter, breaker, 3, clock)(_ => fetchMatch(id))
@@ -251,12 +291,12 @@ object Crawl {
             matchBatch ::= md; timelineBatch ::= td; total += 1
             if (timelineBatch.size >= timelineBatchSize) {
               timelineBatches += 1
-              landFn(parse(timelineBatch), "match_timeline", timelineBatches)
+              land(parse(timelineBatch), "match_timeline", timelineBatches)
               timelineBatch = Nil
             }
             if (matchBatch.size >= matchBatchSize) {
               matchBatches += 1
-              landFn(parse(matchBatch), "match", matchBatches)
+              land(parse(matchBatch), "match", matchBatches)
               matchBatch = Nil
             }
           case _ => noData += 1
@@ -265,15 +305,72 @@ object Crawl {
       }
     }
     if (matchBatch.nonEmpty) {
-      matchBatches += 1; landFn(parse(matchBatch), "match", matchBatches)
+      matchBatches += 1; land(parse(matchBatch), "match", matchBatches)
     }
     if (timelineBatch.nonEmpty) {
-      timelineBatches += 1; landFn(parse(timelineBatch), "match_timeline", timelineBatches)
+      timelineBatches += 1; land(parse(timelineBatch), "match_timeline", timelineBatches)
     }
-    // fully processed or safely in leftovers: drop the matchlist either way
-    Writers.deletePath(spark, s"$outRoot/$matchlistKey")
-    Some(ProcessorReport(total, noData, matchBatches, timelineBatches,
-      leftoverKey, pmKey))
+    Walk(total, noData, matchBatches, timelineBatches, unprocessed)
+  }
+
+  /** One leftover file's re-drive outcome. */
+  final case class LeftoverReport(file: String, total: Int, noData: Int,
+      drained: Boolean)
+
+  /** The leftover re-drive loop (`EC2/leftover.py:24-233`, St4): walk
+    * every `leftovers_*_matches` dataset under `backfill/leftovers/`
+    * (fetcher-side PLAYER leftovers live under their own name and are
+    * not match ids — filtered out), re-run the shared match walk on
+    * each, and maintain the invariant the reference's re-drive loop
+    * lives by: a file is OVERWRITTEN in place with its unprocessed tail
+    * when the deadline cuts the walk (`leftover.py:93`), DELETED when
+    * drained (`leftover.py:213-221`), and once the deadline hits,
+    * remaining files are skipped untouched (`api_expired` flag). Test
+    * mode skips everything (`leftover.py:31-35` — re-driving thousands
+    * of leftovers during development), mirroring `RunConfig.isTest`. */
+  def runLeftovers(spark: SparkSession, outRoot: String,
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limiter: Resilience.SlidingWindowRateLimiter,
+      breaker: Resilience.CircuitBreaker,
+      deadlineEpoch: Long = Long.MaxValue,
+      clock: Resilience.Clock = Resilience.Clock.system,
+      source: String = "crawl",
+      matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
+      testMode: Boolean = false,
+      land: (DataFrame, String, Int) => Unit = null): Seq[LeftoverReport] = {
+    if (testMode) return Nil
+    val dir = new java.io.File(s"$outRoot/backfill/leftovers")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("leftovers_")
+        && f.getName.endsWith("_matches"))
+      .sortBy(_.getName)
+    var expired = false
+    files.toSeq.flatMap { f =>
+      if (expired) None // api_expired: leave remaining files untouched
+      else {
+        val path = f.getAbsolutePath
+        // parquet carries no row order and the reference's matchlist is a
+        // Python set (arbitrary order) — sorted ids are the deterministic
+        // walk order, so a cut-and-overwritten tail is reproducible
+        val ids = spark.read.parquet(path).collect().map(_.getString(0)).toSeq.sorted
+        val landFn = Option(land).getOrElse {
+          (df: DataFrame, kind: String, n: Int) =>
+            Writers.jsonDump(df, s"$outRoot/$kind/redrive_${f.getName}_$n")
+        }
+        val walk = walkMatches(spark, ids, fetchMatch, fetchTimeline, limiter,
+          breaker, deadlineEpoch, clock, source, matchBatchSize,
+          timelineBatchSize, landFn)
+        if (walk.unprocessed.nonEmpty) {
+          import spark.implicits._
+          // overwrite THIS file with its tail; stop touching the rest
+          Writers.saveLeftovers(walk.unprocessed.toDF("key"), path)
+          expired = true
+        } else Writers.deletePath(spark, path)
+        Some(LeftoverReport(f.getName, walk.total, walk.noData,
+          drained = walk.unprocessed.isEmpty))
+      }
+    }
   }
 
   /** The whole fetcher run for one window — `run_fetcher(config)` end to
@@ -310,5 +407,31 @@ object Crawl {
     val env = envelope(ranks, ids.toDF("matchId"))
     if (writeEnvelopeWithRetry(env, s"$outRoot/$key", clock = clock)) Some(key)
     else None
+  }
+
+  /** The whole container run — `main()` (`EC2/main.py:9-48`): fetcher →
+    * processor (only when a matchlist landed, `main.py:19-24`) →
+    * leftover re-drive (always attempted; its failures are non-critical
+    * and swallowed, `main.py:27-35` — the next run re-drives what this
+    * one couldn't). One shared limiter/breaker/deadline across all
+    * three phases, exactly the budget one container has. */
+  def run(spark: SparkSession, outRoot: String, window: Windows.WindowState,
+      maxPlayers: Int, nowEpoch: Long, src: Sources,
+      limiter: Resilience.SlidingWindowRateLimiter,
+      breaker: Resilience.CircuitBreaker,
+      deadlineEpoch: Long = Long.MaxValue,
+      clock: Resilience.Clock = Resilience.Clock.system,
+      source: String = "crawl", testMode: Boolean = false)
+      : (Option[String], Option[ProcessorReport], Seq[LeftoverReport]) = {
+    val key = runFetcher(spark, outRoot, window, maxPlayers, nowEpoch,
+      src.fetchRank, src.fetchPage, src.fetchMatchList, limiter, breaker, clock)
+    val report = key.flatMap(k => runProcessor(spark, outRoot, k, window,
+      src.fetchMatch, src.fetchTimeline, limiter, breaker, deadlineEpoch,
+      clock, source))
+    val redriven =
+      try runLeftovers(spark, outRoot, src.fetchMatch, src.fetchTimeline,
+        limiter, breaker, deadlineEpoch, clock, source, testMode = testMode)
+      catch { case _: Exception => Nil } // non-critical by contract
+    (key, report, redriven)
   }
 }

@@ -141,6 +141,87 @@ class CrawlSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/$key").exists())
   }
 
+  test("main run: fetcher → processor → leftovers; the NEXT run drains the deadline tail") {
+    val dir = Files.createTempDirectory("graft_main").toString
+    val day = 24 * 3600L
+    def doc(id: String) = s"""{"matchId":"$id"}"""
+    var now = 0L
+    val ticking = Resilience.Clock(() => now, _ => (), () => 0.5)
+    var fetched = 0
+    val src1 = Crawl.Sources(
+      fetchRank = r => if (r == "challenger")
+        Some(players(("p1", "I", "challenger", 900), ("p2", "I", "challenger", 880)))
+        else Some(players()),
+      fetchPage = (_, _, _) => Some(players()),
+      fetchMatchList = (p, _) =>
+        Resilience.Ok(if (p == "p1") Seq("m1", "m2", "m3", "m4") else Seq("m3", "m5", "m6")),
+      fetchMatch = id => {
+        fetched += 1
+        if (fetched == 4) now = 100_000_000L // deadline passes after m4
+        Resilience.Ok(doc(id))
+      },
+      fetchTimeline = id => Resilience.Ok(doc(id)))
+    val w1 = Windows.WindowState(2 * day, 4 * day)
+    val (key1, rep1, red1) = Crawl.run(spark, dir, w1, maxPlayers = 5,
+      nowEpoch = 4 * day, src1, limiter, breaker, deadlineEpoch = 1000L,
+      clock = ticking)
+    assert(key1.isDefined)
+    // processor walked m1..m4 of the deduped sorted list m1..m6, then hit
+    // the deadline: m5, m6 landed as leftovers
+    assert(rep1.get.total == 4 && rep1.get.leftoverKey.isDefined)
+    // the same run's leftover phase is already past the deadline: the
+    // fresh file is rewritten with its own (unshrunk) tail, not drained
+    assert(red1.map(_.drained) == Seq(false))
+    // run 2, next window, nothing new to crawl, fresh time budget: the
+    // leftover phase re-drives and drains run 1's tail
+    val src2 = src1.copy(
+      fetchMatchList = (_, _) => Resilience.Ok(Nil),
+      fetchMatch = id => Resilience.Ok(doc(id)))
+    val (key2, rep2, red2) = Crawl.run(spark, dir, Windows.WindowState(4 * day, 6 * day),
+      maxPlayers = 5, nowEpoch = 6 * day, src2, limiter, breaker, clock = noWait)
+    assert(key2.isDefined && rep2.get.total == 0)
+    assert(red2.map(r => (r.total, r.drained)) == Seq((2, true)))
+    val loDir = new java.io.File(s"$dir/backfill/leftovers")
+    assert(!Option(loDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith("_matches")), "drained leftover file must be deleted")
+  }
+
+  test("leftover re-drive: drain deletes, deadline overwrites in place, rest untouched") {
+    import graft.sinks.Writers
+    val dir = Files.createTempDirectory("graft_redrive").toString
+    val lo = s"$dir/backfill/leftovers"
+    Writers.saveLeftovers(Seq("a1", "a2").toDF("key"), s"$lo/leftovers_0_100_2_matches")
+    Writers.saveLeftovers(Seq("b1", "b2", "b3").toDF("key"), s"$lo/leftovers_100_200_3_matches")
+    Writers.saveLeftovers(Seq("c1").toDF("key"), s"$lo/leftovers_200_300_1_matches")
+    // fetcher-side PLAYER leftovers are not match ids: must be ignored
+    Writers.saveLeftovers(Seq("p9").toDF("key"), s"$lo/players")
+    def ok(id: String): Resilience.Outcome[String] = Resilience.Ok(s"""{"matchId":"$id"}""")
+    // test mode skips everything (leftover.py:31-35)
+    assert(Crawl.runLeftovers(spark, dir, ok, ok, limiter, breaker,
+      clock = noWait, testMode = true).isEmpty)
+    assert(spark.read.parquet(s"$lo/leftovers_0_100_2_matches").count() == 2)
+    // deadline hits after a1, a2, b1: file A drains, B is cut at b2
+    var now = 0L
+    val ticking = Resilience.Clock(() => now, _ => (), () => 0.5)
+    var fetched = 0
+    def fm(id: String): Resilience.Outcome[String] = {
+      fetched += 1
+      if (fetched == 3) now = 100_000_000L
+      ok(id)
+    }
+    val reps = Crawl.runLeftovers(spark, dir, fm, ok, limiter, breaker,
+      deadlineEpoch = 1000L, clock = ticking, land = (_, _, _) => ())
+    assert(reps.map(r => (r.file, r.total, r.drained)) == Seq(
+      ("leftovers_0_100_2_matches", 2, true),
+      ("leftovers_100_200_3_matches", 1, false)))
+    // A deleted; B overwritten in place with its tail; C and players untouched
+    assert(!new java.io.File(s"$lo/leftovers_0_100_2_matches").exists())
+    assert(spark.read.parquet(s"$lo/leftovers_100_200_3_matches")
+      .collect().map(_.getString(0)).toSet == Set("b2", "b3"))
+    assert(spark.read.parquet(s"$lo/leftovers_200_300_1_matches").count() == 1)
+    assert(spark.read.parquet(s"$lo/players").count() == 1)
+  }
+
   test("fetcher flow e2e through Windows.step: cap, pre-truncation rank map, retry, dedup, leftovers") {
     val dir = Files.createTempDirectory("graft_crawl").toString
     val statePath = s"$dir/state.json"
