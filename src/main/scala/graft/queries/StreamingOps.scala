@@ -63,8 +63,12 @@ object StreamingOps {
   val streamIncDedup = Q("stream_inc_dedup", (s, d) => {
     import s.implicits._
     val raw = s.read.parquet(s"$d/documents.parquet")
-    val corpusHashes = s.read.parquet(s"$d/documents.parquet")
-      .filter($"doc_id" < 400).select(sha2($"text", 256).as("h")).distinct()
+    // the static side is the BUCKETED build-once corpus index (same
+    // artifact the batch gate probes, VERDICT r07 finding 1): the
+    // stream-static anti-join re-reads the static side every micro-batch,
+    // so at scale it must be the pre-hashed index, never a per-trigger
+    // re-derivation of the corpus
+    val corpusHashes = graft.sources.DedupIndex.corpusHashes(s, d, 400L)
     val sink = s"stream_inc_dedup_sink_${sinkId.incrementAndGet()}"
     val stream = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -97,11 +101,10 @@ object StreamingOps {
     import graft.operators.TextOps
     val raw = s.read.parquet(s"$d/documents.parquet")
     val boundary = graft.queries.LlmOps.CorpusBoundaryId
-    val corpusBands = TextOps.bandTableFromSignatures(
-      TextOps.minhashSignatures(
-        graft.sources.Tables.documents(s, d).filter($"doc_id" < boundary),
-        "doc_id", "text"),
-      "doc_id", keepSig = true)
+    // bucketed build-once band index as the static side — re-read per
+    // micro-batch, so it must be the persisted index, not a per-trigger
+    // recompute of every corpus signature (VERDICT r07 finding 1)
+    val corpusBands = graft.sources.DedupIndex.corpusBands(s, d, boundary)
       .select($"band", $"band_key", $"sig".as("corpus_sig"))
     val out = java.nio.file.Files.createTempDirectory("graft_stream_near").toString
     val stream = s.readStream.schema(raw.schema)
