@@ -51,6 +51,23 @@ class CrawlSpec extends SparkSpec {
     assert(none.isEmpty && t2 == 3)
   }
 
+  test("stampedPlayers evolves drifted tier schemas and renames rank (P3/P8)") {
+    // the reference's highElo and LowElo entries carry different field
+    // sets (league-v4 entries vs challengerleagues entries); the union
+    // must null-pad either side, like every heterogeneous append
+    val high = Seq(("p1", "I", "challenger", 900)).toDF("puuid", "rank", "tier", "lp")
+      .withColumn("_ord", org.apache.spark.sql.functions.lit(0))
+    val low = Seq(("p5", "II", "DIAMOND", true)).toDF("puuid", "rank", "tier", "veteran")
+      .withColumn("_ord", org.apache.spark.sql.functions.lit(1))
+    val stamped = Crawl.stampedPlayers(List(high, low), timestamp = 777L)
+    assert(stamped.columns.contains("player_rank") && !stamped.columns.contains("rank"))
+    val byId = stamped.collect().map(r => r.getAs[String]("puuid") -> r).toMap
+    assert(byId("p1").getAs[Any]("veteran") == null) // high side null-padded
+    assert(byId("p5").getAs[Any]("lp") == null)      // low side null-padded
+    assert(byId("p5").getAs[Boolean]("veteran"))
+    assert(stamped.collect().forall(_.getAs[Long]("time_stamp") == 777L))
+  }
+
   test("rankMap keeps the LAST occurrence of a duplicated puuid (dict-comprehension twin)") {
     val a = players(("dup", "I", "challenger", 900)).withColumn("_ord",
       org.apache.spark.sql.functions.lit(0))

@@ -65,4 +65,47 @@ class DedupIndexSpec extends SparkSpec {
     val reopened = DedupIndex.open(spark, dir, buckets = 4)
     assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
   }
+
+  test("dedupBatch differential: equals the inline two-gate computation on a random corpus") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def text() = Seq.fill(15 + rnd.nextInt(15))(words(rnd.nextInt(words.size))).mkString(" ")
+    val corpusRows = (0 until 40).map(i => (i.toLong, text()))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    // batch: 10 exact copies, 10 near variants (one appended word),
+    // 10 fresh — planted against random base text, gate outcomes are
+    // whatever the real signatures say; the point is EQUALITY of paths
+    val batchRows =
+      (0 until 10).map(i => (100L + i, corpusRows(i)._2)) ++
+      (0 until 10).map(i => (200L + i, corpusRows(10 + i)._2 + " omega")) ++
+      (0 until 10).map(i => (300L + i, text()))
+    val batch = batchRows.toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_diff").toString + "/idx"
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+    val kept = DedupIndex.dedupBatch(spark, idx, batch)
+      .select("doc_id").as[Long].collect().toSet
+
+    val cH = corpus.select(sha2($"text", 256).as("_h")).distinct()
+    val exact = batch.withColumn("_h", sha2($"text", 256)).join(cH, Seq("_h"), "left_anti")
+    val cB = TextOps.bandTableFromSignatures(
+        TextOps.minhashSignatures(corpus, "doc_id", "text"), "doc_id", keepSig = true)
+      .select($"band", $"band_key", $"sig".as("_cs"))
+    val near = TextOps.bandTableFromSignatures(
+        TextOps.minhashSignatures(batch, "doc_id", "text"), "doc_id", keepSig = true)
+      .join(cB, Seq("band", "band_key"))
+      .filter(TextOps.sigAgreement($"sig", $"_cs") >= TextOps.verifyMinEqual)
+      .select("doc_id").distinct()
+    val naive = exact.join(near, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+
+    assert(kept == naive, s"index path diverged from inline path: " +
+      s"onlyIndex=${kept -- naive} onlyInline=${naive -- kept}")
+    // sanity on the planted structure: every exact copy dropped, every
+    // fresh doc's fate decided by real (not vacuous) gates
+    assert((100L until 110L).forall(!kept.contains(_)))
+  }
 }
