@@ -90,7 +90,8 @@ object DedupIndex {
   // ------------------------------------------------------------------
 
   /** A registered index: the two bucketed session tables. */
-  final case class Index(dir: String, hashes: String, bands: String)
+  final case class Index(dir: String, hashes: String, bands: String,
+      buckets: Int = Buckets)
 
   private def hashFrame(docs: DataFrame, textCol: String): DataFrame =
     docs.select(sha2(col(textCol), 256).as("h")).distinct()
@@ -124,7 +125,40 @@ object DedupIndex {
     Index(dir,
       registerBucketed(s, s"$dir/hashes", "graft_idx_hashes", "h STRING", Seq("h"), b),
       registerBucketed(s, s"$dir/bands", "graft_idx_bands",
-        "band INT, band_key BIGINT, sig ARRAY<BIGINT>", Seq("band", "band_key"), b))
+        "band INT, band_key BIGINT, sig ARRAY<BIGINT>", Seq("band", "band_key"), b),
+      b)
+  }
+
+  /** Compact the index after many absorbs: every absorb appends one
+    * file set per bucket, so a long-running index accumulates small
+    * files (and duplicate hash rows from exact re-deliveries). Rewrite
+    * both tables — distinct rows, one pass, same bucket layout — into a
+    * sibling directory and atomically swap it into place, then refresh
+    * the session tables. Single-writer discipline is the caller's (the
+    * same discipline every non-transactional table format demands of
+    * its compactor); probes in OTHER sessions re-list files on their
+    * next query and see either the old or the new complete layout. */
+  def compact(s: SparkSession, idx: Index): Unit = {
+    val tmp = s"${idx.dir}.compact_${System.nanoTime()}"
+    val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    s.table(idx.hashes).distinct()
+      .write.bucketBy(idx.buckets, "h").sortBy("h")
+      .option("path", s"$tmp/hashes").saveAsTable(s"graft_cp_h_$tag")
+    s.sql(s"DROP TABLE graft_cp_h_$tag")
+    s.table(idx.bands).distinct()
+      .write.bucketBy(idx.buckets, "band", "band_key").sortBy("band", "band_key")
+      .option("path", s"$tmp/bands").saveAsTable(s"graft_cp_b_$tag")
+    s.sql(s"DROP TABLE graft_cp_b_$tag")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val old = s"${idx.dir}.old_$tag"
+    Files.move(Paths.get(idx.dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(idx.dir), StandardCopyOption.ATOMIC_MOVE)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(old))
+    s.catalog.refreshTable(idx.hashes)
+    s.catalog.refreshTable(idx.bands)
   }
 
   /** Absorb a landed batch into the index: append its content hashes and
@@ -134,7 +168,14 @@ object DedupIndex {
     * probe is insensitive to duplicates in the build side; an occasional
     * compaction can re-distinct) — the absorb itself is two narrow
     * map-side jobs plus the bucket write, no join against the standing
-    * index. Call with the KEPT rows, after [[dedupBatch]]. */
+    * index. Call with the KEPT rows, after [[dedupBatch]] — and call it
+    * with the LANDED copy of those rows, not the live [[dedupBatch]]
+    * frame: DataFrames are lazy, so a `dedupBatch` result re-evaluated
+    * after this absorb sees the updated index (and gates itself out).
+    * The production flow lands kept docs first and absorbs from the
+    * landed data, which is also the crash-safe order (an absorb without
+    * a landing loses documents; a landing without an absorb merely
+    * lets one duplicate through until re-absorbed). */
   def absorb(s: SparkSession, idx: Index, kept: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     hashFrame(kept, textCol).write.mode("append").insertInto(idx.hashes)

@@ -64,6 +64,26 @@ class DedupIndexSpec extends SparkSpec {
     spark.sql(s"DROP TABLE ${idx.bands}")
     val reopened = DedupIndex.open(spark, dir, buckets = 4)
     assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
+
+    // compaction: a duplicate absorb appends duplicate hash rows; compact
+    // re-distincts in place, keeps the bucket layout, keeps semantics.
+    // (An explicit frame, not `kept` — the lazy dedupBatch result
+    // re-evaluates against the updated index; see the absorb scaladoc.)
+    DedupIndex.absorb(spark, reopened, batch.filter($"doc_id" === 12L))
+    val distinctN = spark.table(reopened.hashes).distinct().count()
+    assert(spark.table(reopened.hashes).count() > distinctN,
+      "fixture lost its point: re-absorb should duplicate hash rows")
+    DedupIndex.compact(spark, reopened)
+    assert(spark.table(reopened.hashes).count() == distinctN)
+    assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
+    val prevT2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = DedupIndex.dedupBatch(spark, reopened, batch)
+        .queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: 4 out of 4".r.findAllIn(p).length == 2,
+        s"compaction lost the bucket layout:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT2)
   }
 
   test("dedupBatch differential: equals the inline two-gate computation on a random corpus") {
