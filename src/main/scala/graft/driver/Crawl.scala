@@ -160,6 +160,11 @@ object Crawl {
       .agg(map_from_entries(collect_list(struct(col("puuid"), stats))).as("ranked_map"))
       .crossJoin(
         matchIds.distinct().agg(sort_array(collect_list(col("matchId"))).as("matchlist")))
+      // the reference's envelope metadata carries match_count
+      // (`Utils/S3.py:113-123`); it also makes the EMPTY envelope
+      // round-trippable — JSON schema inference drops fields that only
+      // ever hold {} or [], but a count always survives
+      .withColumn("match_count", size(col("matchlist")).cast("long"))
   }
 
   /** The envelope key (`fetcher.py:139`). */
@@ -229,14 +234,27 @@ object Crawl {
     val env = Resilience.fetchWithBackoff(3, clock) { _ =>
       try {
         val e = spark.read.json(s"$outRoot/$matchlistKey")
-        require(e.columns.contains("matchlist") && e.columns.contains("ranked_map"),
+        // match_count is the always-inferrable marker: an empty crawl's
+        // ranked_map/matchlist hold only {}/[] and JSON inference drops
+        // such fields, so their ABSENCE is legal when match_count says so
+        require(e.columns.contains("match_count"),
           s"malformed matchlist envelope at $matchlistKey")
+        val n = e.select(col("match_count")).head().getLong(0)
+        require(n == 0 ||
+          (e.columns.contains("matchlist") && e.columns.contains("ranked_map")),
+          s"envelope at $matchlistKey claims $n matches but lacks the fields")
         Resilience.Ok(e)
       } catch { case ex: Exception => Resilience.TransportError(ex) }
     }.getOrElse(return None)
     val pmKey = s"player-maps/player-map_${window.startEpoch}_${window.endEpoch}_.json"
-    Writers.jsonDump(env.select(col("ranked_map")), s"$outRoot/$pmKey")
-    val ids = env.select(explode(col("matchlist")).as("m")).as[String].collect()
+    Writers.jsonDump(
+      if (env.columns.contains("ranked_map")) env.select(col("ranked_map"))
+      else spark.sql("SELECT map() AS ranked_map"),
+      s"$outRoot/$pmKey")
+    val ids =
+      if (env.columns.contains("matchlist"))
+        env.select(explode(col("matchlist")).as("m")).as[String].collect()
+      else Array.empty[String]
 
     val walk = walkMatches(spark, ids, fetchMatch, fetchTimeline, limiter,
       breaker, deadlineEpoch, clock, source, matchBatchSize, timelineBatchSize,
@@ -391,6 +409,17 @@ object Crawl {
     val (high, nHigh) = highEloUnion(fetchRank, HighRanks, maxPlayers)
     val (low, _) = lowEloUnion(fetchPage, LowTiers, LowDivisions,
       maxPlayers, nHigh, startOrd = high.size)
+    if (high.isEmpty && low.isEmpty) {
+      // zero players found: the reference still uploads the (empty)
+      // envelope and lets the processor skip on the empty matchlist
+      // (`fetcher.py:136-146` with empty lists)
+      val key = envelopeKey(window)
+      val empty = spark.sql(
+        "SELECT map() AS ranked_map, CAST(array() AS ARRAY<STRING>) AS matchlist, " +
+          "CAST(0 AS BIGINT) AS match_count")
+      return if (writeEnvelopeWithRetry(empty, s"$outRoot/$key", clock = clock))
+        Some(key) else None
+    }
     val stamped = stampedPlayers(high ++ low, nowEpoch)
     val ranks = rankMap(stamped)
     val capped = truncatePlayers(stamped, maxPlayers)

@@ -158,6 +158,22 @@ class CrawlSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/$key").exists())
   }
 
+  test("zero players found: fetcher still lands an empty envelope; processor no-ops on it") {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    val w = Windows.WindowState(0, 2 * 24 * 3600)
+    val key = Crawl.runFetcher(spark, dir, w, maxPlayers = 10, nowEpoch = 1L,
+      fetchRank = _ => None, fetchPage = (_, _, _) => Some(players()),
+      fetchMatches = (_, _) => fail("no players, no matchList calls"),
+      limiter, breaker, clock = noWait)
+    assert(key.contains(Crawl.envelopeKey(w)))
+    val env = spark.read.json(s"$dir/${key.get}")
+    assert(env.count() == 1)
+    val rep = Crawl.runProcessor(spark, dir, key.get, w,
+      id => Resilience.Ok(s"""{"m":"$id"}"""), id => Resilience.Ok(s"""{"m":"$id"}"""),
+      limiter, breaker, clock = noWait, land = (_, _, _) => ()).get
+    assert(rep.total == 0 && rep.noData == 0 && rep.leftoverKey.isEmpty)
+  }
+
   test("main run: fetcher → processor → leftovers; the NEXT run drains the deadline tail") {
     val dir = Files.createTempDirectory("graft_main").toString
     val day = 24 * 3600L
