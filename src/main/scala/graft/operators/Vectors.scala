@@ -113,6 +113,23 @@ object Vectors {
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
 
+  /** Absorb new vectors into a persisted index WITHOUT retraining: assign
+    * them against the FROZEN centroids and append to the inverted lists —
+    * the standard IVF maintenance move (posting lists grow per batch;
+    * centroids retrain only on an explicit rebuild via [[writeIndex]]).
+    * An absorbed vector is immediately findable by its own embedding:
+    * query routing and list assignment run the same argmax over the same
+    * centroids, so the probed cell always contains the twin (VectorsSpec
+    * pins it). Recall drifts only as far as the data distribution drifts
+    * from the centroids' training set — `ivf_recall` is the audit for
+    * when a rebuild is due. */
+  def absorbIndex(indexPath: String, newV: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val cent = newV.sparkSession.read.parquet(s"$indexPath/centroids")
+    ivfAssign(newV, idCol, vecCol, cent)
+      .write.mode("append").parquet(s"$indexPath/assignments")
+  }
+
   /** Probe a persisted index: centroids + inverted-list assignment come
     * from [[writeIndex]] parquet; only the probe's own work (query→bucket
     * routing + in-bucket exact cosine) runs per call. */

@@ -127,6 +127,29 @@ class VectorsSpec extends SparkSpec {
     assert(keysOf(1) == keysOf(7))
   }
 
+  test("IVF absorb: new vectors join the frozen index and are immediately findable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_absorb").toString
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f)
+    val initial = (0L until 40L).map(i => (i, vec()))
+    val initDf = initial.toDF("vec_id", "embedding")
+    Vectors.writeIndex(initDf, "vec_id", "embedding", k = 4, dir)
+    // absorb 10 new vectors against the frozen centroids
+    val absorbed = (100L until 110L).map(i => (i, vec()))
+    val absDf = absorbed.toDF("vec_id", "embedding")
+    Vectors.absorbIndex(dir, absDf, "vec_id", "embedding")
+    // queries = the absorbed embeddings under fresh ids: routing and
+    // assignment share the argmax, so nprobe=1 must already find the twin
+    val corpus = initDf.unionByName(absDf)
+    val queries = absorbed.map { case (i, v) => (i + 1000L, v) }.toDF("qid", "qv")
+    val hits = Vectors.ivfSearchIndexed(dir, corpus, "vec_id", "embedding",
+        queries, "qid", "qv", nprobe = 1, k = 1)
+      .select($"qid", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(absorbed.forall { case (i, _) => hits(i + 1000L) == i },
+      s"absorbed vectors not top-1 for their own embeddings: $hits")
+  }
+
   test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
     // 2 obvious clusters on the axes; centroids from the true means.
     val vecs = Seq(
