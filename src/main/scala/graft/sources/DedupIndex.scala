@@ -194,8 +194,11 @@ object DedupIndex {
       idCol: String = "doc_id", textCol: String = "text",
       minEq: Int = TextOps.verifyMinEqual): DataFrame = {
     val hashed = batch.withColumn("_h", sha2(col(textCol), 256))
+    // explicit join condition, no rename of the index side: a projection
+    // alias over the bucket column can defeat alias-aware partitioning
+    // and silently reshuffle the index
     val exactNew = hashed
-      .join(corpusHashes.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
+      .join(corpusHashes, hashed("_h") === corpusHashes("h"), "left_anti")
     val nearDup = TextOps.bandTableFromSignatures(
         TextOps.minhashSignatures(batch, idCol, textCol), idCol, keepSig = true)
       .withColumnRenamed("sig", "_bsig")

@@ -49,11 +49,26 @@ class DedupIndexSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = DedupIndex.dedupBatch(spark, idx, batch)
-        .queryExecution.executedPlan.toString
+      val plan = DedupIndex.dedupBatch(spark, idx, batch)
+        .queryExecution.executedPlan
+      val p = plan.toString
       assert(!p.contains("BroadcastExchange"))
       assert("SelectedBucketsCount: 4 out of 4".r.findAllIn(p).length == 2,
         s"both index scans must stay bucketed after absorb:\n$p")
+      // and neither index scan sits under an exchange of its own (only
+      // the batch side shuffles into the bucket layout)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def scansIndexDirectly(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        n match {
+          case sc: FileSourceScanExec =>
+            sc.relation.location.rootPaths.exists(_.toString.contains("graft_idx"))
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(scansIndexDirectly)
+        }
+      assert(!plan.collect { case e: ShuffleExchangeExec => e }
+        .exists(e => scansIndexDirectly(e.child)),
+        s"index side is reshuffled before its join:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
