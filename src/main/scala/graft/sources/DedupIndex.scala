@@ -168,18 +168,24 @@ object DedupIndex {
     * probe is insensitive to duplicates in the build side; an occasional
     * compaction can re-distinct) — the absorb itself is two narrow
     * map-side jobs plus the bucket write, no join against the standing
-    * index. Call with the KEPT rows, after [[dedupBatch]] — and call it
-    * with the LANDED copy of those rows, not the live [[dedupBatch]]
-    * frame: DataFrames are lazy, so a `dedupBatch` result re-evaluated
-    * after this absorb sees the updated index (and gates itself out).
-    * The production flow lands kept docs first and absorbs from the
-    * landed data, which is also the crash-safe order (an absorb without
-    * a landing loses documents; a landing without an absorb merely
-    * lets one duplicate through until re-absorbed). */
+    * index. Call with the KEPT rows, after [[dedupBatch]].
+    *
+    * The input is PINNED (localCheckpoint) before the first insert:
+    * appending to the hash table refreshes it, which invalidates any
+    * cached plan reading it — a live [[dedupBatch]] frame (whose exact
+    * gate scans that very table) would re-evaluate against the
+    * half-updated index and write an EMPTY band set. Even a
+    * `persist()` does not survive that refresh (the cache manager
+    * recaches plans referencing the written table); the lineage cut
+    * does. Found by the streaming index-dedup spec; within one absorb
+    * call this is now airtight — but do not REUSE one gated frame
+    * across two absorbs: the second call pins whatever the gate says
+    * THEN, which is empty once the first absorb landed. */
   def absorb(s: SparkSession, idx: Index, kept: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    hashFrame(kept, textCol).write.mode("append").insertInto(idx.hashes)
-    bandFrame(kept, idCol, textCol).write.mode("append").insertInto(idx.bands)
+    val pinned = kept.select(col(idCol), col(textCol)).localCheckpoint(true)
+    hashFrame(pinned, textCol).write.mode("append").insertInto(idx.hashes)
+    bandFrame(pinned, idCol, textCol).write.mode("append").insertInto(idx.bands)
   }
 
   /** The daily dedup gates against any corpus hash/band frames: drop

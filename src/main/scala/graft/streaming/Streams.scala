@@ -101,6 +101,43 @@ object Streams {
     batch.join(org.apache.spark.sql.functions.broadcast(near), Seq(idCol), "left_anti")
   }
 
+  /** Self-maintaining streaming dedup — the index-absorb loop: each
+    * micro-batch is gated against the bucketed corpus index
+    * ([[graft.sources.DedupIndex.dedupBatch]], exact + verified
+    * near-dup), survivors are LANDED via `land`, then ABSORBED into the
+    * index before the trigger completes — so a duplicate arriving any
+    * number of batches later is dropped. The index IS the cross-batch
+    * state: bucketed parquet on disk, unbounded by watermarks, shared
+    * with every batch consumer — where `dropDuplicatesWithinWatermark`
+    * (St7) bounds its state store by the watermark and forgets, and
+    * [[dedupAgainstCorpus]]'s static side is frozen at query start,
+    * this loop remembers everything it has ever admitted.
+    *
+    * Crash ordering (at-least-once by construction): land runs BEFORE
+    * absorb, so a failure between them redelivers a batch the index
+    * does not know yet — it lands again (duplicate in the landing zone,
+    * dedupable downstream by content hash), never silently disappears.
+    * The reverse order would lose documents: absorbed-but-unlanded rows
+    * gate their own redelivery out. The kept frame is pinned
+    * (persist+count) before landing — a lazy frame re-evaluated after
+    * the absorb would gate itself out (same trap the
+    * [[graft.sources.DedupIndex.absorb]] scaladoc documents). */
+  def indexDedupStream(stream: DataFrame, idx: graft.sources.DedupIndex.Index,
+      idCol: String, textCol: String)(land: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val kept = graft.sources.DedupIndex.dedupBatch(s, idx, batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.count() // pin the gate's verdict before the index changes
+          land(kept)
+          graft.sources.DedupIndex.absorb(s, idx, kept, idCol, textCol)
+        } finally kept.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Open-session state for [[sessionizeStream]], keyed by user. Times
     * are event-time MICROSECONDS (the events fixture has sub-ms
     * precision; `Timestamp.getTime` would truncate it). */

@@ -338,6 +338,51 @@ class StreamingSpec extends SparkSpec {
       s"unexpected flags: $rows")
   }
 
+  test("index-absorb streaming dedup: duplicates dropped across batches AND across runs") {
+    import graft.sources.DedupIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    val drop = s"$root/drop"; new java.io.File(drop).mkdirs()
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the fence and the birds sing in the morning light"
+    val corpus = Seq((1L, base), (2L, "some totally separate corpus content here"))
+      .toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, s"$root/idx", buckets = 4)
+    val landed = scala.collection.mutable.ListBuffer[Long]()
+    def drive(): Unit = {
+      val q = graft.streaming.Streams.indexDedupStream(
+        graft.streaming.Streams.jsonFileSource(spark, drop,
+          "doc_id BIGINT, text STRING"),
+        idx, "doc_id", "text") { kept =>
+        landed ++= kept.select("doc_id").collect().map(_.getLong(0)); ()
+      }
+      q.awaitTermination()
+    }
+    def file(n: String, rows: (Long, String)*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/$n"),
+        rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n"))
+    // run 1: d10 fresh, d11 = exact copy of corpus doc 1 → only d10 lands
+    val fresh = "a wholly fresh document first of its name telling a long " +
+      "story about streams indexes and the ships that pass between them " +
+      "in the night without ever meeting"
+    file("f1.json", (10L, fresh), (11L, base))
+    drive()
+    assert(landed.toSet == Set(10L))
+    // run 1's absorb must have landed BOTH sides of the index — the hash
+    // AND the band rows (the cache-invalidation bug wrote hashes only)
+    assert(spark.table(idx.hashes).count() == 3)
+    assert(spark.table(idx.bands).count() == 12)
+    // run 2, NEW query over the same index: d12 = exact copy of d10 (a
+    // doc admitted in the PREVIOUS run — frozen-static or watermarked
+    // dedup both miss this), d13 = near-dup of d10, d14 fresh
+    file("f2.json",
+      (12L, fresh),
+      (13L, fresh + " indeed"),
+      (14L, "and now for something completely different again"))
+    drive()
+    assert(landed.toSet == Set(10L, 14L),
+      s"cross-run duplicates must be gated by the absorbed index: $landed")
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
