@@ -128,6 +128,20 @@ class CrawlSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/$key").exists())
   }
 
+  test("processor exit-7 analog: a missing or garbage envelope yields None after retries") {
+    val dir = Files.createTempDirectory("graft_proc_err").toString
+    val w = Windows.WindowState(0, 100)
+    def ok(id: String): Resilience.Outcome[String] = Resilience.Ok("{}")
+    // missing key: every pull attempt fails → None (manual intervention)
+    assert(Crawl.runProcessor(spark, dir, "backfill/matchlists/nope.json", w,
+      ok, ok, limiter, breaker, clock = noWait).isEmpty)
+    // garbage envelope (json, but not an envelope): rejected, None
+    graft.sinks.Writers.jsonDump(Seq((1, "x")).toDF("a", "b"),
+      s"$dir/backfill/matchlists/garbage.json")
+    assert(Crawl.runProcessor(spark, dir, "backfill/matchlists/garbage.json", w,
+      ok, ok, limiter, breaker, clock = noWait).isEmpty)
+  }
+
   test("processor deadline: leftovers keep the CURRENT unprocessed id (fixed off-by-one)") {
     val dir = Files.createTempDirectory("graft_proc_dl").toString
     val w = Windows.WindowState(0, 2 * 24 * 3600)
