@@ -123,8 +123,9 @@ object Streams {
     * the absorb would gate itself out (same trap the
     * [[graft.sources.DedupIndex.absorb]] scaladoc documents). */
   def indexDedupStream(stream: DataFrame, idx: graft.sources.DedupIndex.Index,
-      idCol: String, textCol: String)(land: DataFrame => Unit): StreamingQuery =
-    stream.writeStream
+      idCol: String, textCol: String, checkpointDir: Option[String] = None)(
+      land: DataFrame => Unit): StreamingQuery = {
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val kept = graft.sources.DedupIndex.dedupBatch(s, idx, batch)
@@ -136,7 +137,9 @@ object Streams {
         } finally kept.unpersist()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpointDir.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Open-session state for [[sessionizeStream]], keyed by user. Times
     * are event-time MICROSECONDS (the events fixture has sub-ms

@@ -383,6 +383,50 @@ class StreamingSpec extends SparkSpec {
       s"cross-run duplicates must be gated by the absorbed index: $landed")
   }
 
+  test("index-absorb dedup: a crashed trigger re-drives its batch; committed batches don't replay") {
+    import graft.sources.DedupIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
+    val drop = s"$root/drop"; new java.io.File(drop).mkdirs()
+    val ck = s"$root/ck"
+    val corpus = Seq((1L, "entirely unrelated corpus content sits here quietly"))
+      .toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, s"$root/idx", buckets = 4)
+    val landed = scala.collection.mutable.ListBuffer[Long]()
+    @volatile var failNext = false
+    def drive(expectFailure: Boolean): Unit = {
+      val q = graft.streaming.Streams.indexDedupStream(
+        graft.streaming.Streams.jsonFileSource(spark, drop,
+          "doc_id BIGINT, text STRING"),
+        idx, "doc_id", "text", checkpointDir = Some(ck)) { kept =>
+        val ids = kept.select("doc_id").collect().map(_.getLong(0))
+        if (failNext && ids.nonEmpty) { failNext = false; sys.error("land crash") }
+        landed ++= ids; ()
+      }
+      if (expectFailure)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+      else q.awaitTermination()
+    }
+    def file(n: String, rows: (Long, String)*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/$n"),
+        rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n"))
+    // f1 commits normally
+    file("f1.json", (10L, "first arrival of a perfectly ordinary document"))
+    drive(expectFailure = false)
+    assert(landed.toList == List(10L))
+    // f2's land crashes BEFORE the absorb: the trigger never commits, the
+    // index is untouched, and the restarted query re-drives ONLY f2
+    // (f1 is checkpoint-committed and must not replay)
+    file("f2.json", (20L, "second arrival of a rather different document entirely"))
+    failNext = true
+    drive(expectFailure = true)
+    assert(landed.toList == List(10L), "crashed trigger must not have landed")
+    drive(expectFailure = false)
+    assert(landed.toList == List(10L, 20L),
+      s"restart must re-drive exactly the failed batch: $landed")
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
