@@ -113,6 +113,11 @@ object Crawl {
   def rankMap(stamped: DataFrame): DataFrame = {
     val latest = stamped.groupBy(col("puuid")).agg(max(col("_ord")).as("_ord"))
     stamped.join(latest, Seq("puuid", "_ord"), "left_semi").drop("_ord")
+      // a puuid duplicated WITHIN one page survives the max-_ord filter
+      // and would blow up the envelope's map (duplicate map keys raise
+      // under Spark's default dedup policy); within a page the reference
+      // has no defined order either, so any single row is the twin
+      .dropDuplicates("puuid")
   }
 
   /** L1 truncation to the configured cap (`fetcher.py:106`): the
