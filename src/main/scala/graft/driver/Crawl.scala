@@ -160,7 +160,7 @@ object Crawl {
     * crawl output, the thing the reference holds in driver memory too. */
   def envelope(rankMapDf: DataFrame, matchIds: DataFrame): DataFrame = {
     val statCols = rankMapDf.columns.filterNot(_ == "puuid")
-    val stats = struct(statCols.map(col): _*)
+    val stats = struct(statCols.toSeq.map(col): _*)
     rankMapDf
       .agg(map_from_entries(collect_list(struct(col("puuid"), stats))).as("ranked_map"))
       .crossJoin(
@@ -261,7 +261,7 @@ object Crawl {
         env.select(explode(col("matchlist")).as("m")).as[String].collect()
       else Array.empty[String]
 
-    val walk = walkMatches(spark, ids, fetchMatch, fetchTimeline, limiter,
+    val walk = walkMatches(spark, ids.toSeq, fetchMatch, fetchTimeline, limiter,
       breaker, deadlineEpoch, clock, source, matchBatchSize, timelineBatchSize,
       landFn)
     val leftoverKey = if (walk.unprocessed.nonEmpty) {
@@ -381,7 +381,7 @@ object Crawl {
           (df: DataFrame, kind: String, n: Int) =>
             Writers.jsonDump(df, s"$outRoot/$kind/redrive_${f.getName}_$n")
         }
-        val walk = walkMatches(spark, ids, fetchMatch, fetchTimeline, limiter,
+        val walk = walkMatches(spark, ids.toSeq, fetchMatch, fetchTimeline, limiter,
           breaker, deadlineEpoch, clock, source, matchBatchSize,
           timelineBatchSize, landFn)
         if (walk.unprocessed.nonEmpty) {
