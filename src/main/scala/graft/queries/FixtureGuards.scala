@@ -23,8 +23,26 @@ object FixtureGuards {
     *    [[LlmOps.CorpusBoundaryId]] on both sides, or the row passes
     *    vacuously with an empty batch or empty corpus.
     */
-  def check(s: SparkSession, d: String): Unit =
+  def check(s: SparkSession, d: String): Unit = {
     checkDocs(Tables.documents(s, d))
+    checkEmbeddings(Tables.embeddings(s, d))
+  }
+
+  /** The ANN family's fixture assumptions, one bounded aggregation:
+    * query vectors are `vec_id < 10`, IVF centroid seeds `vec_id < 8`,
+    * the semantic-decontam benchmark is `vec_id % 50 = 0` — all of
+    * which silently produce empty query/benchmark sets (vacuously green
+    * recall and decontam rows) if a regenerated fixture started ids at
+    * 1000 or shrank below ~100 vectors. */
+  def checkEmbeddings(embs: org.apache.spark.sql.DataFrame): Unit = {
+    val r = embs.agg(
+      min(col("vec_id")).cast("long"), max(col("vec_id")).cast("long"),
+      count(lit(1))).head()
+    require(!r.isNullAt(0) && r.getLong(0) == 0L && r.getLong(2) >= 100L,
+      s"embeddings fixture drifted: ANN queries assume vec_id 0..9 exist " +
+        s"(got min=${r.get(0)}) and ≥100 vectors for the benchmark/recall " +
+        s"sets (got ${r.get(2)})")
+  }
 
   /** Frame-level form (spec-injectable with synthetic drifted corpora). */
   def checkDocs(docs: org.apache.spark.sql.DataFrame): Unit = {

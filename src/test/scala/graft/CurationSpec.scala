@@ -189,5 +189,15 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FixtureGuards.checkDocs(docs((boundary, "src0"), (boundary + 1, "src1")))
     }
+    // drift 4 (embeddings): ids not starting at 0, or too few vectors,
+    // would make the ANN query/benchmark sets silently empty
+    def embs(ids: Long*) = ids.map(i => (i, Array(0.1f))).toDF("vec_id", "embedding")
+    FixtureGuards.checkEmbeddings(embs(0L until 100L: _*))
+    intercept[IllegalArgumentException] {
+      FixtureGuards.checkEmbeddings(embs(1000L until 1100L: _*))
+    }
+    intercept[IllegalArgumentException] {
+      FixtureGuards.checkEmbeddings(embs(0L until 50L: _*))
+    }
   }
 }
