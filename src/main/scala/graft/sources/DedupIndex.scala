@@ -101,12 +101,31 @@ object DedupIndex {
         TextOps.minhashSignatures(docs, idCol, textCol), idCol, keepSig = true)
       .select(col("band"), col("band_key"), col("sig"))
 
+  /** The index's own metadata document: the bucket count is a property
+    * of the FILES, so it lives next to them — an `open` with the wrong
+    * count would declare wrong bucket metadata and make bucket-pruned
+    * joins silently MISS rows (the worst failure mode: wrong results,
+    * no error). */
+  private def writeMeta(dir: String, buckets: Int): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/_graft_index_meta.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s"""{"buckets": $buckets}""")
+  }
+
+  private def readMeta(dir: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(s"$dir/_graft_index_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1).toInt)
+  }
+
   /** Build a user-owned index at `dir` from the initial corpus. */
   def create(s: SparkSession, docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = -1): Index = {
     val b = if (buckets > 0) buckets else bucketsFor(s)
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    writeMeta(dir, b)
     hashFrame(docs, textCol)
       .write.bucketBy(b, "h").sortBy("h")
       .option("path", s"$dir/hashes").saveAsTable(s"graft_mk_h_$tag")
@@ -119,9 +138,14 @@ object DedupIndex {
   }
 
   /** Register an existing index's bucket metadata in this session
-    * (idempotent). `buckets` must be what the index was created with. */
+    * (idempotent). The count comes from the index's OWN metadata file;
+    * a caller-supplied `buckets` is validated against it (and only
+    * trusted alone for pre-metadata indexes). */
   def open(s: SparkSession, dir: String, buckets: Int = -1): Index = {
-    val b = if (buckets > 0) buckets else bucketsFor(s)
+    val meta = readMeta(dir)
+    meta.foreach(m => require(buckets <= 0 || buckets == m,
+      s"index at $dir was created with $m buckets, not $buckets"))
+    val b = meta.getOrElse(if (buckets > 0) buckets else bucketsFor(s))
     Index(dir,
       registerBucketed(s, s"$dir/hashes", "graft_idx_hashes", "h STRING", Seq("h"), b),
       registerBucketed(s, s"$dir/bands", "graft_idx_bands",
@@ -141,6 +165,7 @@ object DedupIndex {
   def compact(s: SparkSession, idx: Index): Unit = {
     val tmp = s"${idx.dir}.compact_${System.nanoTime()}"
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    writeMeta(tmp, idx.buckets) // the swapped-in dir carries its own meta
     s.table(idx.hashes).distinct()
       .write.bucketBy(idx.buckets, "h").sortBy("h")
       .option("path", s"$tmp/hashes").saveAsTable(s"graft_cp_h_$tag")

@@ -74,10 +74,15 @@ class DedupIndexSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
 
-    // a "new session" (tables dropped) reopens the same files by path
+    // a "new session" (tables dropped) reopens the same files by path —
+    // the bucket count comes from the index's own metadata, and a WRONG
+    // caller-supplied count is refused (it would silently mis-bucket
+    // the join and drop matches)
     spark.sql(s"DROP TABLE ${idx.hashes}")
     spark.sql(s"DROP TABLE ${idx.bands}")
-    val reopened = DedupIndex.open(spark, dir, buckets = 4)
+    intercept[IllegalArgumentException] { DedupIndex.open(spark, dir, buckets = 16) }
+    val reopened = DedupIndex.open(spark, dir) // count from metadata
+    assert(reopened.buckets == 4)
     assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
 
     // compaction: a duplicate absorb appends duplicate hash rows; compact
