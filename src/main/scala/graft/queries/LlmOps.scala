@@ -1094,10 +1094,17 @@ object LlmOps {
     * corpus key table is untouched. */
   private val RpLshProbeMasks: Seq[Long] = 0L +: (0 until 4).map(j => 1L << j)
 
-  private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    rplshKnnFrom(s, d,
+      Vectors.rpLshBands(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 16, bands = 4))
+
+  /** The rplsh probe pipeline over ANY key table (freshly derived for
+    * `rplsh_knn`, the persisted artifact for `rplsh_probe`). */
+  private def rplshKnnFrom(s: org.apache.spark.sql.SparkSession, d: String,
+      keys: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val v = Tables.embeddings(s, d)
-    val keys = Vectors.rpLshBands(v, "vec_id", "embedding", planes = 16, bands = 4)
     val qKeys = keys.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"band",
         explode(array(RpLshProbeMasks.map(lit(_)): _*)).as("mask"), $"band_key")
@@ -1118,6 +1125,31 @@ object LlmOps {
   }
 
   val rplshKnn = Q("rplsh_knn", (s, d) => rplshKnnDf(s, d), Some(s"""
+    WITH $rplshSqlCtes
+    SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
+    ORDER BY qid, rank"""),
+    sortCols = Seq("qid", "rank"))
+
+  /** Persisted RP-LSH key table — built at most once per embeddings
+    * fingerprint, like the IVF index and the dedup labeling. */
+  private def rplshIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.BuildOnce.dir("graft_rplsh",
+      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet",
+        "rplsh-v1|planes=16|bands=4"),
+      base => new java.io.File(s"$base/keys/_SUCCESS").exists()) { tmp =>
+      Vectors.rpLshBands(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 16, bands = 4)
+        .write.mode("overwrite").parquet(s"$tmp/keys")
+    }
+
+  /** [[rplshKnn]] from the PERSISTED key table (the `ivf_probe` analog,
+    * completing the build/probe split for BOTH ANN families): the
+    * per-query cost is bucket probes + in-candidate exact cosines — the
+    * plane signatures are never recomputed (PlanSpec pins the absence
+    * of the signature build). Same oracle as `rplsh_knn`: the artifact
+    * must reproduce the inline derivation exactly. */
+  val rplshProbe = Q("rplsh_probe", (s, d) =>
+    rplshKnnFrom(s, d, s.read.parquet(s"${rplshIndex(s, d)}/keys")), Some(s"""
     WITH $rplshSqlCtes
     SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
     ORDER BY qid, rank"""),
@@ -1433,6 +1465,6 @@ object LlmOps {
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
-    embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshRecall, ivfRecall,
-    ivfRecallN4, semanticDecontam)
+    embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
+    ivfRecall, ivfRecallN4, semanticDecontam)
 }

@@ -256,6 +256,16 @@ class PlanSpec extends SparkSpec {
       s"global row_number window found: ${rowNumberWindows.mkString("; ")}")
   }
 
+  test("rplsh_probe reads the persisted key table; only rplsh_knn pays the signature build") {
+    val probe = plan("rplsh_probe")
+    assert(probe.contains("graft_rplsh_"), "probe is not reading the persisted key table")
+    // the signature build explodes vector positions — absent from the probe
+    assert(!probe.contains("posexplode"),
+      "probe plan recomputes the plane signatures")
+    assert(plan("rplsh_knn").contains("posexplode"),
+      "rplsh_knn lost its signature build (fixture drift?)")
+  }
+
   test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
     // probe plan: scans the index parquet (centroids + assignments) and
     // never recomputes the corpus assignment (no posexplode/Lloyd stage)
