@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(graft.functions.ScaledDot.descriptor)
+    extensions.injectFunction(graft.functions.IntDot.descriptor)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

@@ -210,6 +210,44 @@ object Vectors {
         .otherwise(0L)).as("band_key"))
   }
 
+  // ------------------------------------------------------------------
+  // int8 scalar quantization — the 100 TB byte-budget lever: a float32
+  // embedding column quantized per-vector to array<tinyint> is 4× fewer
+  // bytes on disk, in the scan, and across every shuffle/broadcast that
+  // carries candidate vectors. Quantized similarity is approximate; the
+  // production shape is quantized first pass → exact re-rank of the
+  // shortlist (`quant_rerank`), with `quant_recall` auditing both.
+  // ------------------------------------------------------------------
+
+  /** Exact integer dot product (long) — the native codegen'd
+    * [[graft.functions.IntDot]] (`int_dot`, registered by
+    * [[graft.GraftExtensions]]). No rounding anywhere: products and sum
+    * are exact 64-bit integers, trivially bit-identical to DuckDB's
+    * `list_sum` twin. */
+  def intDot(a: Column, b: Column): Column =
+    call_function("int_dot", a, b)
+
+  /** HOF twin of [[intDot]] (differential-test reference; interpreted
+    * CodegenFallback, same semantics). */
+  def intDotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Per-vector symmetric int8 quantization: `q_i = round(x_i · 127 /
+    * max_j |x_j|)` as `array<tinyint>` (an all-zero vector quantizes to
+    * zeros). Deterministic cross-engine: the max, the scale division and
+    * the half-away-from-zero round are the same IEEE double ops in Spark
+    * and DuckDB, so the quantized codes — and therefore every downstream
+    * integer dot — are bit-identical to the oracle. Build-time only
+    * (HOF lambdas are interpreted); probes read the persisted tinyint
+    * codes and never re-quantize. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(mx.isNull || mx === 0d, transform(vec, _ => lit(0).cast("byte")))
+      .otherwise(transform(vec,
+        x => round(x.cast("double") * 127 / mx).cast("byte")))
+  }
+
   /** Exact top-k rows per key, scale-safely: a partial top-k inside each
     * shuffle partition first (heap-sized window over (key, partition)),
     * THEN the global per-key window over the ≤ numPartitions·k survivors —

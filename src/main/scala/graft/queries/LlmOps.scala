@@ -1290,6 +1290,151 @@ object LlmOps {
     ${recallSqlTail("ann_t")}"""),
     sortCols = Seq("qid"))
 
+  // ------------------------------------------------------------------
+  // int8-quantized similarity — the byte-budget member of the ANN
+  // family. IVF and RP-LSH cut WHICH vectors a query touches; scalar
+  // quantization cuts the BYTES of every vector touched: float32
+  // embeddings quantized per-vector to array<tinyint> are 4× smaller on
+  // disk, in the scan, and across every shuffle that carries candidate
+  // vectors — at 100 TB of embeddings that is the difference between a
+  // 100 TB and a 25 TB first pass. Quantized cosine is approximate;
+  // the production shape is quantized shortlist → exact re-rank
+  // (`quant_rerank`), with `quant_recall` auditing the raw
+  // quantized ranking. All three rows are oracle-gated: the
+  // quantization (IEEE double scale + half-away round) and the integer
+  // dots are bit-identical in DuckDB.
+  // ------------------------------------------------------------------
+
+  /** Persisted int8 codes — built at most once per embeddings
+    * fingerprint ([[graft.sources.BuildOnce]]), like the IVF index and
+    * the RP-LSH key table: `(vec_id, label, q: array<tinyint>, qn2)`.
+    * Probes read the codes; quantization never re-runs per query
+    * (its HOF lambdas are interpreted — build-time-only by design). */
+  private def quantIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.BuildOnce.dir("graft_quant",
+      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet", "quant-v1|sym127"),
+      base => new java.io.File(s"$base/codes/_SUCCESS").exists()) { tmp =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          Vectors.quantizeInt8(col("embedding")).as("q"))
+        .withColumn("qn2", Vectors.intDot(col("q"), col("q")))
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+
+  /** Quantized top-`r` per query over the persisted codes: broadcast the
+    * 10 query code rows, exact integer dots ([[Vectors.intDot]], native
+    * codegen over the tinyint arrays — no cast back to float anywhere),
+    * two-phase top-k. The scan reads only `(vec_id, q, qn2)` — a quarter
+    * of the float bytes. */
+  private def quantShortlist(s: org.apache.spark.sql.SparkSession, d: String,
+      r: Int) = {
+    val c = s.read.parquet(s"${quantIndex(s, d)}/codes")
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qqn2"))
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        Vectors.cosine(Vectors.intDot(col("qq"), col("q")),
+          col("qqn2"), col("qn2")).as("cos_q"))
+    Vectors.topKPerKey(sims, col("qid"), col("cos_q"), col("cand_id"), r)
+  }
+
+  /** Shared oracle CTE chain: per-vector symmetric int8 quantization
+    * (`q_i = round(x_i·127/max|x|)`), integer norms, integer-dot cosine,
+    * rank — ends in `qz_r` (ranked quantized candidates). */
+  private lazy val quantSqlCtes: String = """qz_m AS (
+      SELECT vec_id, embedding,
+        list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+          'max') AS mx
+      FROM embeddings),
+    qz_c AS (SELECT vec_id,
+        CASE WHEN mx IS NULL OR mx = 0
+          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) END AS q
+      FROM qz_m),
+    qz_n AS (SELECT vec_id, q,
+        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
+      FROM qz_c),
+    qz_q AS (SELECT vec_id AS qid, q AS qq, qn2 AS qqn2
+      FROM qz_n WHERE vec_id < 10),
+    qz_s AS (SELECT q.qid, v.vec_id AS cand_id,
+        CAST(list_sum(list_transform(list_zip(q.qq, v.q), p -> p[1] * p[2]))
+          AS BIGINT) / sqrt(q.qqn2 * v.qn2) AS cos_q
+      FROM qz_q q JOIN qz_n v ON v.vec_id <> q.qid),
+    qz_r AS (SELECT qid, cand_id, cos_q,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, cand_id)
+          AS INTEGER) AS rank
+      FROM qz_s)"""
+
+  /** Brute-force top-10 by QUANTIZED cosine — the raw approximate
+    * ranking a 4×-cheaper first pass produces (audited by
+    * [[quantRecall]]; production re-ranks it, [[quantRerank]]). */
+  val quantKnn = Q("quant_knn", (s, d) => {
+    import s.implicits._
+    quantShortlist(s, d, 10).select($"qid", $"cand_id", $"rank", $"cos_q")
+  }, Some(s"""
+    WITH $quantSqlCtes
+    SELECT qid, cand_id, rank, cos_q FROM qz_r WHERE rank <= 10
+    ORDER BY qid, rank"""),
+    sortCols = Seq("qid", "rank"))
+
+  /** Quantized shortlist (top-40) → EXACT re-rank → top-10: the
+    * standard two-stage ANN economics — the full-precision kernel runs
+    * on 40 candidates per query instead of the corpus, and the cheap
+    * pass that picked them read a quarter of the bytes. On the fixture
+    * the re-ranked recall@10 vs exact brute force is 1.0 (VectorsSpec
+    * pins ≥ [[quantRecall]]'s raw value). */
+  val quantRerank = Q("quant_rerank", (s, d) => {
+    import s.implicits._
+    val short = quantShortlist(s, d, 40).select($"qid", $"cand_id")
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val qEmb = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"n2".as("qn2"))
+    val sims = short.join(emb, $"cand_id" === emb("vec_id"))
+      .join(broadcast(qEmb), Seq("qid"))
+      .select($"qid", $"cand_id",
+        Vectors.cosine(Vectors.dotScaled($"qe", $"embedding"),
+          $"qn2", $"n2").as("cos_sim"))
+    Vectors.topKPerKey(sims, $"qid", $"cos_sim", $"cand_id", 10)
+      .select($"qid", $"cand_id", $"rank", $"cos_sim")
+  }, Some(s"""
+    WITH $quantSqlCtes,
+    sl AS (SELECT qid, cand_id FROM qz_r WHERE rank <= 40),
+    rr_v AS (SELECT vec_id, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings),
+    rr_q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2
+      FROM rr_v WHERE vec_id < 10),
+    rr_s AS (SELECT s.qid, s.cand_id,
+        list_sum(list_transform(list_zip(q.qe, v.embedding),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(q.qn2 * v.n2) AS cos_sim
+      FROM sl s JOIN rr_v v ON v.vec_id = s.cand_id
+      JOIN rr_q q ON q.qid = s.qid),
+    rr_r AS (SELECT qid, cand_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id)
+          AS INTEGER) AS rank
+      FROM rr_s)
+    SELECT qid, cand_id, rank, cos_sim FROM rr_r WHERE rank <= 10
+    ORDER BY qid, rank"""),
+    sortCols = Seq("qid", "rank"))
+
+  /** Recall@10 of the RAW quantized ranking vs exact brute force — what
+    * int8 costs in ranking quality before the re-rank stage buys it
+    * back. Oracle-gated like the IVF/RP-LSH recall rows. */
+  val quantRecall = Q("quant_recall", (s, d) => {
+    import s.implicits._
+    recallDf(knnDf(s, d, bucketed = false).select($"qid", $"cid"),
+      quantShortlist(s, d, 10).select($"qid", $"cand_id".as("cid")))
+  }, Some(s"""
+    WITH $bfTruthSqlCtes,
+    $quantSqlCtes,
+    ann_t AS (SELECT qid, cand_id AS cid FROM qz_r WHERE rank <= 10),
+    ${recallSqlTail("ann_t")}"""),
+    sortCols = Seq("qid"))
+
   /** Semantic decontamination audit — the embedding-space complement of
     * the n-gram `decontaminate` row (paraphrased benchmark leakage has
     * no 5-gram overlap but lives next to the benchmark in embedding
@@ -1466,5 +1611,6 @@ object LlmOps {
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
-    ivfRecall, ivfRecallN4, semanticDecontam)
+    ivfRecall, ivfRecallN4, quantKnn, quantRerank, quantRecall,
+    semanticDecontam)
 }

@@ -276,4 +276,16 @@ class PlanSpec extends SparkSpec {
     val build = plan("ivf_knn")
     assert(build.contains("posexplode"), "ivf_knn lost its build stage (fixture drift?)")
   }
+
+  test("quant_knn probes persisted int8 codes: no re-quantization, native int_dot") {
+    val probe = plan("quant_knn")
+    assert(probe.contains("graft_quant_"), "not reading the persisted codes")
+    // quantization = array_max(transform(...)) over the float embeddings —
+    // build-time only; the probe must consume the tinyint codes as-is
+    assert(!probe.contains("array_max"), "probe plan re-quantizes the corpus")
+    assert(probe.contains("int_dot"), "quantized kernel not the native expression")
+    // the probe never opens the float embeddings table at all
+    assert(!probe.contains("embeddings.parquet"),
+      "probe plan scans the float embeddings instead of the codes")
+  }
 }
