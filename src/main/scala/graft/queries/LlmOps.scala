@@ -462,15 +462,7 @@ object LlmOps {
     * for the landed corpus and the rest for the arriving batch; the
     * boundary-spanning fixture guard runs once per session in
     * [[FixtureGuards]], not here (VERDICT r07 finding 4). */
-  val incrementalDedup = Q("incremental_dedup", (s, d) => {
-    import s.implicits._
-    val batchDocs = Tables.documents(s, d).filter($"doc_id" >= CorpusBoundaryId)
-      .select($"doc_id", $"source", $"text")
-    graft.sources.DedupIndex.dedupBatch(batchDocs,
-        graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
-        graft.sources.DedupIndex.corpusBands(s, d, CorpusBoundaryId))
-      .select($"doc_id", $"source")
-  }, Some(s"""
+  private lazy val incrementalDedupSql: String = s"""
     WITH ${bandsSqlCtes("documents")},
     corpus_h AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < $CorpusBoundaryId),
     batch AS (SELECT doc_id, source, sha256(text) AS h FROM documents WHERE doc_id >= $CorpusBoundaryId),
@@ -484,7 +476,41 @@ object LlmOps {
                    AND ${sigEqSql("ga", "gc")} >= $MinEq)
     SELECT doc_id, source FROM exact_new
     WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
-    ORDER BY doc_id"""),
+    ORDER BY doc_id"""
+
+  val incrementalDedup = Q("incremental_dedup", (s, d) => {
+    import s.implicits._
+    val batchDocs = Tables.documents(s, d).filter($"doc_id" >= CorpusBoundaryId)
+      .select($"doc_id", $"source", $"text")
+    graft.sources.DedupIndex.dedupBatch(batchDocs,
+        graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
+        graft.sources.DedupIndex.corpusBands(s, d, CorpusBoundaryId))
+      .select($"doc_id", $"source")
+  }, Some(incrementalDedupSql),
+    sortCols = Seq("doc_id"))
+
+  /** [[incrementalDedup]] with the Bloom pre-gate
+    * ([[graft.sources.DedupIndex.dedupBatchBloom]]): a 10-bits/doc
+    * sharded Bloom sidecar probes each batch row first; rows it rejects
+    * are provably new (Bloom filters have no false negatives) and skip
+    * the exact anti-join entirely, so only true duplicates + ~1% false
+    * positives shuffle into the bucketed corpus probe. SAME oracle SQL
+    * as `incremental_dedup` — the filter routes rows, it never decides
+    * them, so the output is bit-identical by construction and the
+    * oracle proves it. The sidecar is corpus-proportional but ~25×
+    * smaller than the hash table; it is a plain bucket-keyed table (no
+    * broadcast hint — AQE broadcasts it while small, shuffle-joins the
+    * shards once it is not). */
+  val incrementalDedupBloom = Q("incremental_dedup_bloom", (s, d) => {
+    import s.implicits._
+    val batchDocs = Tables.documents(s, d).filter($"doc_id" >= CorpusBoundaryId)
+      .select($"doc_id", $"source", $"text")
+    graft.sources.DedupIndex.dedupBatchBloom(batchDocs,
+        graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
+        graft.sources.DedupIndex.corpusBands(s, d, CorpusBoundaryId),
+        graft.sources.DedupIndex.corpusBloom(s, d, CorpusBoundaryId))
+      .select($"doc_id", $"source")
+  }, Some(incrementalDedupSql),
     sortCols = Seq("doc_id"))
 
   /** Per-source document-length profile (corpus QA): exact quantiles +
@@ -1606,6 +1632,7 @@ object LlmOps {
     docDedup, minhashBands, minhashPairs, minhashPairsVerified, pairJaccard,
     dupClusters, corpusDedup,
     trainSplit, perSourceCap, tokenBudget, lenQuantiles, incrementalDedup,
+    incrementalDedupBloom,
     corpusDedupProbe, clusterSizes, chunkDocs, packSequences, hybridSearch,
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,

@@ -230,14 +230,67 @@ object DedupIndex {
     // and silently reshuffle the index
     val exactNew = hashed
       .join(corpusHashes, hashed("_h") === corpusHashes("h"), "left_anti")
-    val nearDup = TextOps.bandTableFromSignatures(
+    exactNew.join(nearDupIds(batch, corpusBands, idCol, textCol, minEq),
+      Seq(idCol), "left_anti").drop("_h")
+  }
+
+  /** The verified near-dup gate shared by [[dedupBatch]] and
+    * [[dedupBatchBloom]]: batch doc ids that share a band bucket with a
+    * corpus signature agreeing on ≥ `minEq` MinHash components. */
+  private def nearDupIds(batch: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, minEq: Int): DataFrame =
+    TextOps.bandTableFromSignatures(
         TextOps.minhashSignatures(batch, idCol, textCol), idCol, keepSig = true)
       .withColumnRenamed("sig", "_bsig")
       .join(corpusBands.select(col("band"), col("band_key"), col("sig").as("_csig")),
         Seq("band", "band_key"))
       .filter(TextOps.sigAgreement(col("_bsig"), col("_csig")) >= minEq)
       .select(col(idCol)).distinct()
-    exactNew.join(nearDup, Seq(idCol), "left_anti").drop("_h")
+
+  /** Bucket count of the stamped Bloom sidecar. Build and probe both
+    * run from this constant, and the artifact stamp embeds it, so a
+    * changed value routes to a fresh artifact instead of probing a
+    * filter built with different sharding (which would manufacture
+    * false negatives — the one failure mode a Bloom gate must never
+    * have). Production sizes this with the corpus (thousands of
+    * buckets at 100 TB keeps each shard in the tens of MB). */
+  val BloomBuckets = 16
+
+  /** Bloom sidecar of the corpus hash set ([[HashBloom]]) — built once
+    * per corpus fingerprint, 10 bits/doc vs the hash table's 32 B/doc. */
+  def corpusBloom(s: SparkSession, d: String, boundary: Long): DataFrame = {
+    val stamp = BuildOnce.stampOf(s"$d/documents.parquet",
+      s"${algoToken(boundary)}|bloom-v1|k=${HashBloom.Probes}" +
+        s"|bpe=${HashBloom.BitsPerElem}|b=$BloomBuckets")
+    val base = BuildOnce.dir("graft_bloom", stamp,
+      b => new java.io.File(s"$b/bloom/_SUCCESS").exists()) { tmp =>
+      HashBloom.build(corpusHashes(s, d, boundary), "h", BloomBuckets)
+        .write.mode("overwrite").parquet(s"$tmp/bloom")
+    }
+    s.read.parquet(s"$base/bloom")
+  }
+
+  /** [[dedupBatch]] with a Bloom pre-gate on the exact check: rows the
+    * filter rejects are PROVABLY absent from the corpus hash set (no
+    * false negatives) and skip the anti-join entirely; only the
+    * colliding sliver — true duplicates plus ~1% false positives —
+    * shuffles into the bucketed sort-merge probe, which then removes
+    * the false positives. Output is identical to [[dedupBatch]]
+    * (`incremental_dedup_bloom` shares `incremental_dedup`'s oracle SQL
+    * verbatim); what changes is the probe economics: at a 1%-duplicate
+    * daily batch, ~98% of rows never touch the corpus index. */
+  def dedupBatchBloom(batch: DataFrame, corpusHashes: DataFrame,
+      corpusBands: DataFrame, bloom: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minEq: Int = TextOps.verifyMinEqual): DataFrame = {
+    val hashed = HashBloom.withMaybe(
+      batch.withColumn("_h", sha2(col(textCol), 256)), bloom, "_h", BloomBuckets)
+    val definiteNew = hashed.filter(!col("_maybe"))
+    val checkedNew = hashed.filter(col("_maybe"))
+      .join(corpusHashes, hashed("_h") === corpusHashes("h"), "left_anti")
+    val exactNew = definiteNew.unionByName(checkedNew)
+    exactNew.join(nearDupIds(batch, corpusBands, idCol, textCol, minEq),
+      Seq(idCol), "left_anti").drop("_h", "_maybe")
   }
 
   /** [[dedupBatch]] against a registered [[Index]]. */

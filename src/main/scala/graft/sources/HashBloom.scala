@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partitioned Bloom filter over a content-hash set — the cheap first
+  * gate in front of the exact incremental-dedup anti-join.
+  *
+  * Why: the bucketed corpus hash index ([[DedupIndex]]) already makes the
+  * exact gate scale-safe (sort-merge, corpus never moves), but every
+  * batch row still pays the probe shuffle. A Bloom sidecar is ~25×
+  * smaller than the hash set itself (10 bits vs 32 bytes per document)
+  * and has NO false negatives, so rows the filter rejects are *provably
+  * new* and skip the anti-join entirely; only the colliding fraction
+  * (true duplicates + ~1% false positives) reaches the exact join, which
+  * then removes the false positives. Output is therefore IDENTICAL to
+  * the exact path — `incremental_dedup_bloom` shares `incremental_dedup`'s
+  * oracle SQL verbatim — while the expensive probe processes a sliver of
+  * the batch.
+  *
+  * Why PARTITIONED (one bitset per bucket, not one global filter): Bloom
+  * bits are corpus-proportional (sublinear constant, but linear growth) —
+  * 10 bits × 10^10 docs ≈ 12.5 GB, far past any broadcast/driver budget,
+  * which is how `DataFrameStatFunctions.bloomFilter` (driver-collected)
+  * dies at scale. Sharding the bitset across `buckets` rows keyed by a
+  * hash of the element lets the probe be a plain equi-join on `bucket`:
+  * AQE broadcasts the table while it is small and shuffle-joins it once
+  * it is not, each task receiving only its buckets' slices. No static
+  * broadcast hint anywhere (the VERDICT r07 rule: never hint a side that
+  * grows with the corpus).
+  *
+  * Determinism: membership bits use `xxhash64` double hashing
+  * (idx_i = h1 + i·h2 mod m). Engine-internal hashing is fine here — the
+  * filter only routes rows between the skip path and the exact join; the
+  * RESULT is hash-independent, so the DuckDB oracle never needs to
+  * reproduce the Bloom.
+  */
+object HashBloom {
+
+  /** Probes per element. With ~10 bits/element, k=5 gives fpp ≈ 1%. */
+  val Probes = 5
+
+  /** Bits budgeted per expected element (m = n·bitsPerElem / buckets). */
+  val BitsPerElem = 10
+
+  private def h1(h: Column): Column = xxhash64(h)
+  private def h2(h: Column): Column = xxhash64(lit("graft-bloom-2"), h)
+  private def bucketOf(h: Column, buckets: Int): Column =
+    pmod(xxhash64(lit("graft-bloom-b"), h), lit(buckets.toLong)).cast("int")
+
+  /** i-th double-hashed bit index, ANSI-safe: both hashes are reduced
+    * mod `m` BEFORE the i-multiply/add (full-range 64-bit hashes would
+    * overflow long under ANSI arithmetic; i·(m−1)+(m−1) never does for
+    * any real filter width). Build and probe both derive indices from
+    * this one function — the formula IS the filter format. */
+  private def bitIdx(h: Column, i: Int, m: Column): Column =
+    pmod(pmod(h1(h), m) + lit(i.toLong) * pmod(h2(h), m), m)
+
+  /** Build the sharded filter from a hash-set frame: one row per bucket,
+    * `(bucket: int, bits: array<long>)`. All buckets share one width `m`
+    * (derived from the element count — the build's single bounded driver
+    * action, like every other artifact build); probes recover `m` from
+    * `size(bits)` per row, so the table is self-describing. The build is
+    * two narrow-ish aggregations (hash → k bit positions → per-word OR →
+    * per-bucket assembly); it runs once per corpus fingerprint. */
+  def build(hashes: DataFrame, hashCol: String, buckets: Int,
+      bitsPerElem: Int = BitsPerElem, k: Int = Probes): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets")
+    val n = hashes.count()
+    val perBucketBits = math.max(1024L, n * bitsPerElem / buckets)
+    val words = ((perBucketBits + 63) / 64).toInt
+    val m = words * 64L
+    val h = col(hashCol)
+    val idx = explode(array((0 until k).map(i =>
+      bitIdx(h, i, lit(m))): _*)).as("idx")
+    hashes
+      .select(bucketOf(h, buckets).as("bucket"), idx)
+      .select(col("bucket"), (col("idx") / 64).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), pmod(col("idx"), lit(64L)).cast("int")).as("bit"))
+      .groupBy(col("bucket"), col("word"))
+      .agg(bit_or(col("bit")).as("w"))
+      .groupBy(col("bucket"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("w")))).as("wm"))
+      .select(col("bucket"),
+        transform(sequence(lit(0), lit(words - 1)),
+          wi => coalesce(element_at(col("wm"), wi), lit(0L))).as("bits"))
+  }
+
+  /** Annotate `df` with a `_maybe` column: true iff the filter MIGHT
+    * contain the row's hash (false ⇒ provably absent from the built set).
+    * Pure column algebra after one equi-join on `bucket` — the k bit
+    * tests are unrolled into a codegen'd conjunction; `m` comes from
+    * `size(bits)` so no driver action, no config coupling. A bucket with
+    * no filter row (possible only for an empty build) probes false. */
+  def withMaybe(df: DataFrame, bloom: DataFrame, hashCol: String,
+      buckets: Int, k: Int = Probes): DataFrame = {
+    val h = col(hashCol)
+    val m = size(col("bits")).cast("long") * 64L
+    val tests = (0 until k).map { i =>
+      val idx = bitIdx(h, i, m)
+      (call_function("shiftright",
+        element_at(col("bits"), (idx / 64).cast("int") + 1),
+        pmod(idx, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === 1L)
+    }
+    df.withColumn("bucket", bucketOf(h, buckets))
+      .join(bloom, Seq("bucket"), "left")
+      .withColumn("_maybe", col("bits").isNotNull && tests.reduce(_ && _))
+      .drop("bucket", "bits")
+  }
+}

@@ -148,4 +148,52 @@ class DedupIndexSpec extends SparkSpec {
     // fresh doc's fate decided by real (not vacuous) gates
     assert((100L until 110L).forall(!kept.contains(_)))
   }
+
+  test("HashBloom: no false negatives, bounded false-positive rate, bloom gate == exact gate") {
+    import graft.sources.HashBloom
+    import org.apache.spark.sql.functions._
+    val members = (0 until 2000).map(i => s"member-doc-$i").toDF("h")
+    val bloom = HashBloom.build(members, "h", buckets = 8)
+    assert(bloom.count() <= 8)
+
+    // EVERY member must probe maybe=true — a single false negative means
+    // silently landing a duplicate, the failure mode the gate must never have
+    val fn = HashBloom.withMaybe(members, bloom, "h", 8)
+      .filter(!col("_maybe")).count()
+    assert(fn == 0L, s"$fn false negatives")
+
+    // fresh keys: the ~1% design fpp, asserted with slack
+    val fresh = (0 until 2000).map(i => s"fresh-doc-$i").toDF("h")
+    val fp = HashBloom.withMaybe(fresh, bloom, "h", 8)
+      .filter(col("_maybe")).count()
+    assert(fp.toDouble / 2000 < 0.05, s"fpp ${fp / 2000.0} above bound")
+    assert(fp.toDouble / 2000 > 0.0005 || fp == 0L, "vacuously empty filter?")
+
+    // end to end: the bloom-gated dedup returns exactly the exact-path
+    // rows on a corpus/batch with planted duplicates
+    val corpus = (0 until 40).map(i => (i.toLong,
+      s"corpus document number $i with enough words to shingle " +
+        "reliably across the minhash window")).toDF("doc_id", "text")
+    val batch = ((0 until 10).map(i => (100L + i,
+      s"corpus document number $i with enough words to shingle " +
+        "reliably across the minhash window")) ++
+      (0 until 10).map(i => (300L + i,
+        s"wholly fresh batch document $i sharing no phrasing at all " +
+          "with anything the corpus has ever landed"))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_idx_bloom").toString + "/idx"
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+    val cH = spark.table(idx.hashes)
+    val cB = spark.table(idx.bands)
+    val cBloom = HashBloom.build(cH, "h", DedupIndex.BloomBuckets)
+    val viaBloom = DedupIndex.dedupBatchBloom(batch, cH, cB, cBloom)
+      .select("doc_id").as[Long].collect().toSet
+    val viaExact = DedupIndex.dedupBatch(batch, cH, cB)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == viaExact,
+      s"onlyBloom=${viaBloom -- viaExact} onlyExact=${viaExact -- viaBloom}")
+    assert((100L until 110L).forall(!viaBloom.contains(_)),
+      "planted exact duplicates must drop through the bloom path")
+    assert((300L until 310L).forall(viaBloom.contains),
+      "fresh docs must survive the bloom path")
+  }
 }

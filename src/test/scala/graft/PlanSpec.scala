@@ -217,6 +217,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental_dedup_bloom: bloom pre-gate keeps the corpus index bucketed and hint-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val plan = df("incremental_dedup_bloom").queryExecution.executedPlan
+      val p = plan.toString
+      // the gate is worthless if the probe stops reading the sidecar
+      assert(p.contains("graft_bloom_"), "bloom sidecar not in the plan")
+      // with broadcasts disabled nothing may force one: the bloom table is
+      // corpus-proportional (sublinear bytes, linear growth) — its join
+      // must degrade to a shuffle, never a mandatory BroadcastExchange
+      assert(!p.contains("BroadcastExchange"),
+        "a static broadcast hint survives in the bloom path")
+      // corpus hash/band index scans stay bucketed behind the pre-gate
+      val indexScans = plan.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_incr_")) => s
+      }
+      assert(indexScans.nonEmpty && indexScans.forall(_.bucketedScan),
+        "corpus index scans lost their bucket layout behind the bloom gate")
+    }
+  }
+
   test("semantic_decontam: ONE corpus×benchmark pass (single nested-loop subtree)") {
     val p = plan("semantic_decontam")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
