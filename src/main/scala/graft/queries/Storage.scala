@@ -37,6 +37,37 @@ object Storage {
     GROUP BY 1 ORDER BY month"""),
     sortCols = Seq("month"))
 
+  /** Fixed opt-out list for [[targetedDelete]] — ids present at every
+    * test SF (documents has ≥500 rows at sf0.001). */
+  private val TargetedDropIds: Seq[Long] = Seq(7L, 42L, 99L, 256L, 400L)
+
+  /** Targeted delete as a query row (K5's corpus-scale form,
+    * [[Writers.deleteWhere]]): land `documents` range-clustered on
+    * doc_id, delete a bounded opt-out id list — rewriting only the
+    * files whose min/max footers admit a dropped id — and aggregate the
+    * surviving corpus. The row intentionally pays the full
+    * cluster-write + delete + read-back (the `partition_prune`
+    * convention: sink rows measure the sink); WritersSpec asserts the
+    * file-level claims (untouched files byte-identical, rewrite bounded
+    * to the hit files). The oracle computes the post-delete aggregate
+    * straight off the source table — if the swap lost or duplicated ONE
+    * row anywhere, the hash mismatches. */
+  val targetedDelete = Q("targeted_delete", (s, d) => {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_del_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    Writers.clusteredByRange(Tables.documents(s, d), "doc_id", path, 16)
+    Writers.deleteWhere(s, path, "doc_id", TargetedDropIds)
+    s.read.parquet(path)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }, Some(s"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id NOT IN (${TargetedDropIds.mkString(", ")})
+    GROUP BY source ORDER BY source"""),
+    sortCols = Seq("source"))
+
   /** K4 as a query: two differently-shaped batches (narrow INT-keyed vs
     * wide BIGINT-keyed) unioned through [[Evolve.unionEvolve]] — key
     * widens INT→BIGINT, the new column null-pads the old batch. */
@@ -99,5 +130,6 @@ object Storage {
     FROM orders WHERE o_orderkey % 10 < 2 ORDER BY o_orderkey"""),
     sortCols = Seq("o_orderkey"), headline = false)
 
-  val all: Seq[Q] = Seq(partitionPrune, evolveUnion, batchSlice, jdbcRoundtrip)
+  val all: Seq[Q] = Seq(partitionPrune, evolveUnion, batchSlice, jdbcRoundtrip,
+    targetedDelete)
 }

@@ -114,6 +114,69 @@ object Writers {
     }
   }
 
+  /** Outcome of a [[deleteWhere]]: how much of the dataset the delete
+    * actually touched (the scale claim, asserted by WritersSpec). */
+  final case class DeleteStats(filesTotal: Int, filesRewritten: Int,
+      rowsDeleted: Long)
+
+  /** Targeted delete (right-to-be-forgotten / opt-out removal) over a
+    * landed flat parquet dataset: rewrite ONLY the files that contain a
+    * dropped key; every other file stays byte-identical on disk. This is
+    * the K5 overwrite/delete semantics at corpus scale — deleting a few
+    * thousand documents from 100 TB must not rewrite 100 TB.
+    *
+    * How the touched set stays small: discovery filters the dataset with
+    * `keyCol IN (dropKeys)`, which pushes into the parquet scan — on a
+    * [[clusteredByRange]]/[[clusteredByZOrder]] layout the per-file
+    * min/max footers exclude almost every file without reading data
+    * pages, and the survivors are pinned by `input_file_name()`. The
+    * rewrite then reads just those files, filters the dropped keys out,
+    * and swaps replacement files in (originals removed, replacements
+    * moved in under fresh names). Untouched files keep their paths,
+    * bytes and mtimes — WritersSpec asserts all three.
+    *
+    * Contract: `dropKeys` is a bounded explicit list (deletion requests
+    * arrive in thousands, not billions — a corpus-proportional drop is a
+    * dedup rewrite, [[graft.queries.LlmOps]] `corpus_dedup`, not a
+    * delete). Non-transactional like [[graft.sources.DedupIndex.compact]]:
+    * single-writer discipline is the caller's; a concurrent reader may
+    * see a partially-swapped directory (the same caveat every
+    * non-transactional table format carries). */
+  def deleteWhere(spark: SparkSession, path: String, keyCol: String,
+      dropKeys: Seq[Long]): DeleteStats = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val data = spark.read.parquet(path)
+    val allFiles = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val hit = dropKeys.map(lit(_))
+    val affected = data
+      .filter(col(keyCol).isin(hit: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return DeleteStats(allFiles.length, 0, 0L)
+    val affectedLocal = affected.map(u => Paths.get(java.net.URI.create(u).getPath))
+    val affectedDf = spark.read.parquet(affected.toIndexedSeq: _*)
+    val kept = affectedDf.filter(!col(keyCol).isin(hit: _*))
+    val deleted = affectedDf.count() - kept.count()
+    val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tmp = s"$path.delete_$tag"
+    kept.write.parquet(tmp)
+    affectedLocal.foreach(Files.deleteIfExists)
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath,
+          Paths.get(s"$path/part-rw$i-$tag.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(tmp))
+    DeleteStats(allFiles.length, affected.length, deleted)
+  }
+
   /** K7: local debug dump (`save_json`, `S3.py:345-349`). */
   def jsonDump(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)

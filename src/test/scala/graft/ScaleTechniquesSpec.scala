@@ -303,6 +303,50 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(some < all)
   }
 
+  test("targeted delete: only hit files rewritten, untouched files byte-identical") {
+    import java.security.MessageDigest
+    val out = Files.createTempDirectory("graft_del").toString + "/docs"
+    val data = spark.range(1000).select(
+      col("id").as("doc_id"),
+      concat(lit("payload for document "), col("id")).as("text"))
+    graft.sinks.Writers.clusteredByRange(data, "doc_id", out, numFiles = 10)
+    def snapshot(): Map[String, String] =
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          f.getName -> MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val before = snapshot()
+    assert(before.size == 10)
+
+    // two dropped ids at opposite ends of the key space: the clustered
+    // layout pins them to (at most) two files
+    val stats = graft.sinks.Writers.deleteWhere(spark, out, "doc_id", Seq(5L, 995L))
+    assert(stats.filesTotal == 10)
+    assert(stats.rowsDeleted == 2L)
+    assert(stats.filesRewritten >= 1 && stats.filesRewritten <= 2,
+      s"min/max skipping failed: ${stats.filesRewritten} of 10 files rewritten")
+
+    // every surviving original file is byte-identical; originals of the
+    // rewritten files are gone
+    val after = snapshot()
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size == 10 - stats.filesRewritten)
+    untouched.foreach(f => assert(before(f) == after(f), s"$f changed bytes"))
+
+    // the dataset is exactly original-minus-dropped, all columns intact
+    val got = spark.read.parquet(out)
+    assert(got.count() == 998)
+    assert(got.filter($"doc_id".isin(5L, 995L)).isEmpty)
+    assert(got.filter($"doc_id" === 6L).head().getString(1) == "payload for document 6")
+
+    // deleting already-absent keys is a no-op touching nothing
+    val again = graft.sinks.Writers.deleteWhere(spark, out, "doc_id", Seq(5L, 995L))
+    assert(again.filesRewritten == 0 && again.rowsDeleted == 0L)
+    assert(snapshot() == after)
+  }
+
   test("two-phase token budget: equals the single-window form; granule-invariant") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
