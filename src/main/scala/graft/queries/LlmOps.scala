@@ -1447,6 +1447,68 @@ object LlmOps {
     ORDER BY qid, rank"""),
     sortCols = Seq("qid", "rank"))
 
+  /** IVF × int8 — the two ANN levers composed (the IVF-PQ shape every
+    * production vector store runs): the query routes to its `nprobe`
+    * centroid buckets through the PERSISTED IVF index, and the
+    * candidates inside those buckets are scored with the PERSISTED int8
+    * codes — so a probe touches nprobe/k of the corpus AND reads a
+    * quarter of the bytes per touched vector (nprobe=2 of k=8 → ~1/16
+    * of the brute-force float cost). Routing is full-precision (the
+    * centroid table is tiny and routing errors are the expensive kind);
+    * scoring is the native `int_dot`. Both index artifacts are reused
+    * from their own rows, and the oracle re-derives the whole
+    * composition — centroid build, assignment, routing, quantization,
+    * integer cosine — in SQL, so the two artifacts are cross-checked
+    * against first principles in one hash. Production would inline the
+    * codes into the posting lists (one co-partitioned artifact, saving
+    * this row's vec_id join); the two-artifact form keeps each index
+    * independently consumable. */
+  val ivfQuant = Q("ivf_quant", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val centroids = s.read.parquet(s"${ivfIndex(s, d)}/centroids")
+    val assignments = s.read.parquet(s"${ivfIndex(s, d)}/assignments")
+    val codes = s.read.parquet(s"${quantIndex(s, d)}/codes")
+      .select($"vec_id", $"q", $"qn2")
+    val q = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        Vectors.normScaled($"embedding").as("qn_f"))
+    val qBuckets = Vectors.topKPerKey(
+        q.crossJoin(broadcast(centroids))
+          .select($"qid", $"centroid_id",
+            Vectors.cosine(Vectors.dotScaled($"qe", $"centroid"),
+              $"qn_f", Vectors.normScaled($"centroid")).as("_cos")),
+        $"qid", $"_cos", $"centroid_id", 2)
+      .select($"qid", $"centroid_id")
+    val qCodes = codes.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"qn2".as("qqn2"))
+    val sims = assignments.join(broadcast(qBuckets), Seq("centroid_id"))
+      .join(codes, Seq("vec_id"))
+      .filter($"vec_id" =!= $"qid")
+      .join(broadcast(qCodes), Seq("qid"))
+      .select($"qid", $"vec_id".as("cand_id"),
+        Vectors.cosine(Vectors.intDot($"qq", $"q"), $"qqn2", $"qn2").as("cos_q"))
+    Vectors.topKPerKey(sims, $"qid", $"cos_q", $"cand_id", 10)
+      .select($"qid", $"cand_id", $"rank", $"cos_q")
+  }, Some(s"""
+    WITH ${ivfSqlCtes(2)},
+    $quantSqlCtes,
+    iq_s AS (SELECT p.qid, z.vec_id AS cand_id,
+        CAST(list_sum(list_transform(list_zip(zq.qq, z.q), pp -> pp[1] * pp[2]))
+          AS BIGINT) / sqrt(zq.qqn2 * z.qn2) AS cos_q
+      FROM qprobe p
+      JOIN assign1 a ON a.centroid_id = p.centroid_id
+      JOIN qz_n z ON z.vec_id = a.vec_id
+      JOIN qz_q zq ON zq.qid = p.qid
+      WHERE z.vec_id <> p.qid),
+    iq_r AS (SELECT qid, cand_id, cos_q,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, cand_id)
+          AS INTEGER) AS rank
+      FROM iq_s)
+    SELECT qid, cand_id, rank, cos_q FROM iq_r WHERE rank <= 10
+    ORDER BY qid, rank"""),
+    sortCols = Seq("qid", "rank"))
+
   /** Recall@10 of the RAW quantized ranking vs exact brute force — what
     * int8 costs in ranking quality before the re-rank stage buys it
     * back. Oracle-gated like the IVF/RP-LSH recall rows. */
@@ -1638,6 +1700,6 @@ object LlmOps {
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
-    ivfRecall, ivfRecallN4, quantKnn, quantRerank, quantRecall,
+    ivfRecall, ivfRecallN4, quantKnn, quantRerank, quantRecall, ivfQuant,
     semanticDecontam)
 }
