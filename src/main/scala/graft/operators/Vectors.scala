@@ -146,19 +146,31 @@ object Vectors {
   /** Shared probe stage: route each query to its `nprobe` nearest
     * centroids (broadcast, tiny), then exact cosine top-k inside the
     * probed buckets only. */
+  /** Query→nprobe-centroid routing, shared by [[searchAssigned]] and the
+    * `ivf_quant` composition (one definition so the two oracle-gated
+    * consumers cannot drift): exact scaled-int cosine against the
+    * broadcast centroid table, ties broken by centroid_id — bit-identical
+    * to the oracle's `qprobe` CTE. Input must carry `qIdCol` plus `_q`
+    * (vector) and `_qn` (scaled norm); output keeps the input columns and
+    * adds `centroid_id` (one row per probed bucket). */
+  def routeQueries(q: DataFrame, qIdCol: String, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val keep = q.columns.map(col).toSeq
+    val scored = q.crossJoin(broadcast(centroids))
+      .select(keep :+ col("centroid_id") :+
+        cosine(dotScaled(col("_q"), col("centroid")),
+          col("_qn"), normScaled(col("centroid"))).as("_cos"): _*)
+    topKPerKey(scored, col(qIdCol), col("_cos"), col("centroid_id"), nprobe)
+      .select(keep :+ col("centroid_id"): _*)
+  }
+
   private def searchAssigned(vAssigned: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    val qBuckets = {
-      val scored = queries
-        .select(col(qIdCol), col(qVecCol).as("_q"), normScaled(col(qVecCol)).as("_qn"))
-        .crossJoin(broadcast(centroids))
-        .select(col(qIdCol), col("_q"), col("_qn"), col("centroid_id"),
-          cosine(dotScaled(col("_q"), col("centroid")),
-            col("_qn"), normScaled(col("centroid"))).as("_cos"))
-      topKPerKey(scored, col(qIdCol), col("_cos"), col("centroid_id"), nprobe)
-        .select(col(qIdCol), col("_q"), col("_qn"), col("centroid_id"))
-    }
+    val qBuckets = routeQueries(
+      queries.select(col(qIdCol), col(qVecCol).as("_q"),
+        normScaled(col(qVecCol)).as("_qn")),
+      qIdCol, centroids, nprobe)
     val sims = vAssigned.join(broadcast(qBuckets), Seq("centroid_id"))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).as("cand_id"),
@@ -240,10 +252,19 @@ object Vectors {
     * and DuckDB, so the quantized codes — and therefore every downstream
     * integer dot — are bit-identical to the oracle. Build-time only
     * (HOF lambdas are interpreted); probes read the persisted tinyint
-    * codes and never re-quantize. */
+    * codes and never re-quantize.
+    *
+    * Degenerate vectors (null, all-zero, or any non-finite component —
+    * NaN/±Inf make the max non-finite) quantize to zeros instead of
+    * crashing the codes build under ANSI's checked `cast(byte)`. The
+    * oracle twin assumes finite embeddings (fixture-guarded); the
+    * zeros fallback is Spark-side robustness for real corpora, where a
+    * poisoned vector must not kill a 100 TB build. */
   def quantizeInt8(vec: Column): Column = {
     val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    when(mx.isNull || mx === 0d, transform(vec, _ => lit(0).cast("byte")))
+    val degenerate = mx.isNull || mx === 0d || isnan(mx) ||
+      mx === Double.PositiveInfinity
+    when(degenerate, transform(vec, _ => lit(0).cast("byte")))
       .otherwise(transform(vec,
         x => round(x.cast("double") * 127 / mx).cast("byte")))
   }

@@ -1471,14 +1471,9 @@ object LlmOps {
     val codes = s.read.parquet(s"${quantIndex(s, d)}/codes")
       .select($"vec_id", $"q", $"qn2")
     val q = v.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"),
-        Vectors.normScaled($"embedding").as("qn_f"))
-    val qBuckets = Vectors.topKPerKey(
-        q.crossJoin(broadcast(centroids))
-          .select($"qid", $"centroid_id",
-            Vectors.cosine(Vectors.dotScaled($"qe", $"centroid"),
-              $"qn_f", Vectors.normScaled($"centroid")).as("_cos")),
-        $"qid", $"_cos", $"centroid_id", 2)
+      .select($"vec_id".as("qid"), $"embedding".as("_q"),
+        Vectors.normScaled($"embedding").as("_qn"))
+    val qBuckets = Vectors.routeQueries(q, "qid", centroids, nprobe = 2)
       .select($"qid", $"centroid_id")
     val qCodes = codes.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qq"), $"qn2".as("qqn2"))

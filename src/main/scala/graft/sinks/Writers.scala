@@ -158,11 +158,17 @@ object Writers {
     val affectedLocal = affected.map(u => Paths.get(java.net.URI.create(u).getPath))
     val affectedDf = spark.read.parquet(affected.toIndexedSeq: _*)
     val kept = affectedDf.filter(!col(keyCol).isin(hit: _*))
-    val deleted = affectedDf.count() - kept.count()
+    // one pass over the hit files, not a count-both-sides pair of scans
+    val deleted = affectedDf.filter(col(keyCol).isin(hit: _*)).count()
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
     val tmp = s"$path.delete_$tag"
     kept.write.parquet(tmp)
-    affectedLocal.foreach(Files.deleteIfExists)
+    affectedLocal.foreach { p =>
+      Files.deleteIfExists(p)
+      // Hadoop's local FS writes a hidden .<name>.crc sidecar per part
+      // file — reclaim it with its parquet, or every delete strands one
+      Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+    }
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .zipWithIndex.foreach { case (f, i) =>

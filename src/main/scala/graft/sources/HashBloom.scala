@@ -88,23 +88,28 @@ object HashBloom {
 
   /** Annotate `df` with a `_maybe` column: true iff the filter MIGHT
     * contain the row's hash (false ⇒ provably absent from the built set).
-    * Pure column algebra after one equi-join on `bucket` — the k bit
-    * tests are unrolled into a codegen'd conjunction; `m` comes from
+    * Pure column algebra after one equi-join on the bucket key — the k
+    * bit tests are unrolled into a codegen'd conjunction; `m` comes from
     * `size(bits)` so no driver action, no config coupling. A bucket with
-    * no filter row (possible only for an empty build) probes false. */
+    * no filter row (possible only for an empty build) probes false.
+    * Internals ride on `_bloom_`-prefixed columns so a caller frame that
+    * legitimately carries `bucket`/`bits` columns passes through
+    * untouched (same convention as `_h`/`_maybe`). */
   def withMaybe(df: DataFrame, bloom: DataFrame, hashCol: String,
       buckets: Int, k: Int = Probes): DataFrame = {
     val h = col(hashCol)
-    val m = size(col("bits")).cast("long") * 64L
+    val bloomSide = bloom.select(col("bucket").as("_bloom_bucket"),
+      col("bits").as("_bloom_bits"))
+    val m = size(col("_bloom_bits")).cast("long") * 64L
     val tests = (0 until k).map { i =>
       val idx = bitIdx(h, i, m)
       (call_function("shiftright",
-        element_at(col("bits"), (idx / 64).cast("int") + 1),
+        element_at(col("_bloom_bits"), (idx / 64).cast("int") + 1),
         pmod(idx, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === 1L)
     }
-    df.withColumn("bucket", bucketOf(h, buckets))
-      .join(bloom, Seq("bucket"), "left")
-      .withColumn("_maybe", col("bits").isNotNull && tests.reduce(_ && _))
-      .drop("bucket", "bits")
+    df.withColumn("_bloom_bucket", bucketOf(h, buckets))
+      .join(bloomSide, Seq("_bloom_bucket"), "left")
+      .withColumn("_maybe", col("_bloom_bits").isNotNull && tests.reduce(_ && _))
+      .drop("_bloom_bucket", "_bloom_bits")
   }
 }

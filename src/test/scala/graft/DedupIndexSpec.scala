@@ -167,7 +167,10 @@ class DedupIndexSpec extends SparkSpec {
     val fp = HashBloom.withMaybe(fresh, bloom, "h", 8)
       .filter(col("_maybe")).count()
     assert(fp.toDouble / 2000 < 0.05, s"fpp ${fp / 2000.0} above bound")
-    assert(fp.toDouble / 2000 > 0.0005 || fp == 0L, "vacuously empty filter?")
+    // a healthy ~1% filter MUST collide on some of 2000 fresh keys —
+    // fp == 0 means the probe path is broken (e.g. tests reduced to
+    // constant false), which is exactly what this guard exists to catch
+    assert(fp > 0L, "zero false positives across 2000 fresh keys — vacuous probe?")
 
     // end to end: the bloom-gated dedup returns exactly the exact-path
     // rows on a corpus/batch with planted duplicates

@@ -80,7 +80,11 @@ class IntDotSpec extends SparkSpec {
     val df = Seq(
       (1L, Array(0.5f, -2.0f, 1.0f)),
       (2L, Array(0.0f, 0.0f, 0.0f)),
-      (3L, Array(1e-8f, -1e-8f, 0.0f))).toDF("id", "v")
+      (3L, Array(1e-8f, -1e-8f, 0.0f)),
+      // poisoned vectors must quantize to zeros, not kill the build
+      // under ANSI's checked cast (non-finite max ⇒ degenerate)
+      (4L, Array(Float.NaN, 1.0f, 2.0f)),
+      (5L, Array(Float.PositiveInfinity, 1.0f, 2.0f))).toDF("id", "v")
       .select($"id", Vectors.quantizeInt8($"v").as("q"))
     assert(df.schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == org.apache.spark.sql.types.ByteType)
@@ -88,6 +92,8 @@ class IntDotSpec extends SparkSpec {
     // max-|x| component always hits ±127; everything is in range
     assert(rows(1L).toSeq == Seq[Byte](32, -127, 64))
     assert(rows(2L).toSeq == Seq[Byte](0, 0, 0))
+    assert(rows(4L).toSeq == Seq[Byte](0, 0, 0))
+    assert(rows(5L).toSeq == Seq[Byte](0, 0, 0))
     assert(rows.values.forall(_.forall(b => b >= -127 && b <= 127)))
   }
 
