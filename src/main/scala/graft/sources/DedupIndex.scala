@@ -291,7 +291,22 @@ object DedupIndex {
     * useless) or require materializing the gated frame mid-query. At
     * test SF the extra stage makes this row slightly SLOWER than the
     * plain gate (PERF.md) — the crossover is where the corpus index
-    * dwarfs the batch, exactly the 100 TB operating point. */
+    * dwarfs the batch, exactly the 100 TB operating point.
+    *
+    * STALENESS: the sidecar must describe the SAME hash set as
+    * `corpusHashes` — a bloom older than the hash table says "provably
+    * new" for recently absorbed documents and their redelivery bypasses
+    * the exact gate (no-false-negatives holds only against the set the
+    * filter was built from). The stamped [[corpusBloom]] is safe by
+    * construction (frozen per corpus fingerprint, like the index
+    * tables); an EVOLVING user-owned index must [[HashBloom.add]] every
+    * absorbed batch's hashes in the same maintenance window.
+    * DedupIndexSpec demonstrates the stale-filter false negative and
+    * the lockstep fix at the HashBloom level; in THIS composition the
+    * fresh band table happens to re-catch identical-text redeliveries
+    * (the whole-text shingle fallback makes exact dupes a subset of
+    * near dupes), but the exact gate's soundness must not lean on an
+    * independent mechanism. */
   def dedupBatchBloom(batch: DataFrame, corpusHashes: DataFrame,
       corpusBands: DataFrame, bloom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",

@@ -69,7 +69,48 @@ object HashBloom {
     val n = hashes.count()
     val perBucketBits = math.max(1024L, n * bitsPerElem / buckets)
     val words = ((perBucketBits + 63) / 64).toInt
-    val m = words * 64L
+    buildAt(hashes, hashCol, buckets, words * 64L, k)
+  }
+
+  /** Width (bits per bucket) of an existing filter — from one row, the
+    * table being self-describing (bounded driver action). */
+  def widthOf(bloom: DataFrame): Long =
+    bloom.select(size(col("bits"))).head().getInt(0) * 64L
+
+  /** Absorb new hashes into an existing filter: build a delta at the
+    * SAME geometry (the existing width — indices are width-dependent,
+    * so any other m would scatter bits that [[withMaybe]] then cannot
+    * find) and OR it in per bucket.
+    *
+    * This is the lockstep-maintenance half of the no-false-negative
+    * invariant: a Bloom filter can never un-say "absent", so a sidecar
+    * left STALE while its hash set absorbs batches tells the gate that
+    * freshly absorbed documents are provably new — their redelivery
+    * then BYPASSES the exact anti-join and lands duplicates (the spec
+    * demonstrates exactly this). Whoever appends to the hash table
+    * must `add` the same hashes here in the same maintenance window —
+    * the [[graft.sources.DedupIndex]] stamped artifacts sidestep it by
+    * being frozen per corpus fingerprint; a user-owned evolving index
+    * must not. Widths never change under `add`; when the element count
+    * outgrows the built width (fpp climbs toward 1 and the gate decays
+    * to "everything maybe" — safe, just useless), rebuild at the new
+    * count like any Bloom deployment. */
+  def add(bloom: DataFrame, newHashes: DataFrame, hashCol: String,
+      buckets: Int, k: Int = Probes): DataFrame = {
+    val delta = buildAt(newHashes, hashCol, buckets, widthOf(bloom), k)
+    bloom.select(col("bucket"), col("bits").as("_ob"))
+      .join(delta.select(col("bucket"), col("bits").as("_db")),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        when(col("_ob").isNull, col("_db"))
+          .when(col("_db").isNull, col("_ob"))
+          .otherwise(zip_with(col("_ob"), col("_db"),
+            (a, b) => a.bitwiseOR(b))).as("bits"))
+  }
+
+  private def buildAt(hashes: DataFrame, hashCol: String, buckets: Int,
+      m: Long, k: Int): DataFrame = {
+    val words = (m / 64).toInt
     val h = col(hashCol)
     val idx = explode(array((0 until k).map(i =>
       bitIdx(h, i, lit(m))): _*)).as("idx")

@@ -198,5 +198,28 @@ class DedupIndexSpec extends SparkSpec {
       "planted exact duplicates must drop through the bloom path")
     assert((300L until 310L).forall(viaBloom.contains),
       "fresh docs must survive the bloom path")
+
+    // --- the staleness trap, demonstrated and fixed ------------------
+    // a filter built before the set grew says "provably absent" for the
+    // new members (a Bloom cannot un-say absent) — against an evolving
+    // hash set, a stale sidecar manufactures exactly the false
+    // negatives the gate must never have. (In the COMPOSED dedupBatch
+    // the fresh band table happens to re-catch identical-text
+    // redeliveries — the whole-text shingle fallback makes exact dupes
+    // a subset of near dupes — but the exact gate must stay sound on
+    // its own, not lean on an independent mechanism.)
+    val absorbed = Seq("absorbed-hash-1", "absorbed-hash-2").toDF("h")
+    val staleMiss = HashBloom.withMaybe(absorbed, bloom, "h", 8)
+      .filter(!col("_maybe")).count()
+    assert(staleMiss > 0,
+      "fixture lost its point: the stale sidecar should miss new members")
+    // lockstep maintenance: OR the new hashes in, same geometry → the
+    // grown set probes clean again, old members included
+    val grown = HashBloom.add(bloom, absorbed, "h", 8)
+    assert(HashBloom.widthOf(grown) == HashBloom.widthOf(bloom),
+      "add must preserve the filter geometry")
+    assert(HashBloom.withMaybe(members.unionByName(absorbed), grown, "h", 8)
+      .filter(!col("_maybe")).isEmpty,
+      "lockstep-maintained filter must have no false negatives")
   }
 }
