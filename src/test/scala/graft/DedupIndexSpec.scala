@@ -199,6 +199,20 @@ class DedupIndexSpec extends SparkSpec {
     assert((300L until 310L).forall(viaBloom.contains),
       "fresh docs must survive the bloom path")
 
+    // the gate's VALUE claim, measured on the real fixture: most of a
+    // mostly-fresh batch must skip the exact probe (_maybe = false)
+    val fixtureBatch = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" >= 400L).withColumn("_h", sha2($"text", 256))
+    val fixtureBloom = HashBloom.build(
+      graft.sources.DedupIndex.corpusHashes(spark, "/root/testdata/sf0.001", 400L),
+      "h", DedupIndex.BloomBuckets)
+    val probed = HashBloom.withMaybe(fixtureBatch, fixtureBloom, "_h",
+      DedupIndex.BloomBuckets)
+    val nBatch = probed.count()
+    val nSkip = probed.filter(!col("_maybe")).count()
+    assert(nSkip.toDouble / nBatch > 0.5,
+      s"only $nSkip of $nBatch batch rows skip the probe — gate adds cost, not value")
+
     // --- the staleness trap, demonstrated and fixed ------------------
     // a filter built before the set grew says "provably absent" for the
     // new members (a Bloom cannot un-say absent) — against an evolving

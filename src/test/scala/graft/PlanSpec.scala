@@ -310,5 +310,10 @@ class PlanSpec extends SparkSpec {
     // the probe never opens the float embeddings table at all
     assert(!probe.contains("embeddings.parquet"),
       "probe plan scans the float embeddings instead of the codes")
+    // column pruning reaches the codes scan: the artifact carries a
+    // label column the query never references — reading it would give
+    // back part of the 4x byte win
+    assert(!probe.contains("label"),
+      "codes scan reads the unused label column (pruning lost)")
   }
 }
