@@ -37,11 +37,20 @@ object FixtureGuards {
   def checkEmbeddings(embs: org.apache.spark.sql.DataFrame): Unit = {
     val r = embs.agg(
       min(col("vec_id")).cast("long"), max(col("vec_id")).cast("long"),
-      count(lit(1))).head()
+      count(lit(1)),
+      count(when(exists(col("embedding"),
+        x => isnan(x) || abs(x) > Float.MaxValue), 1))).head()
     require(!r.isNullAt(0) && r.getLong(0) == 0L && r.getLong(2) >= 100L,
       s"embeddings fixture drifted: ANN queries assume vec_id 0..9 exist " +
         s"(got min=${r.get(0)}) and ≥100 vectors for the benchmark/recall " +
         s"sets (got ${r.get(2)})")
+    // the int8-quantization oracle contract assumes FINITE components:
+    // Spark-side quantizeInt8 zeros a poisoned vector (robustness), the
+    // SQL twin propagates NaN — a non-finite fixture would hash-mismatch
+    // the quant rows confusingly instead of failing here with a name
+    require(r.getLong(3) == 0L,
+      s"embeddings fixture drifted: ${r.getLong(3)} vectors carry " +
+        "NaN/Inf components — the quant_* oracle twins assume finite input")
   }
 
   /** Frame-level form (spec-injectable with synthetic drifted corpora). */

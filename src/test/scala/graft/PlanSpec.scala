@@ -316,4 +316,14 @@ class PlanSpec extends SparkSpec {
     assert(!probe.contains("label"),
       "codes scan reads the unused label column (pruning lost)")
   }
+
+  test("catalog names are unique and every oracle key has a query") {
+    // queries/oracleSql are Maps keyed by name: a duplicated catalog name
+    // would silently SHADOW one implementation — the driver would verify
+    // and bench the survivor while the shadowed row reports green forever
+    val names = SparkEntry.catalog.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
 }
