@@ -269,6 +269,29 @@ object Vectors {
         x => round(x.cast("double") * 127 / mx).cast("byte")))
   }
 
+  /** Write a user-owned int8 codes table at `path`:
+    * `(vec_id, q: array<tinyint>, qn2)` — the [[quantizeInt8]] form of
+    * the corpus, searchable by [[intDot]] cosine. Sibling of
+    * [[writeIndex]] for the quantized family. */
+  def writeCodes(v: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit =
+    v.select(col(idCol).as("vec_id"), quantizeInt8(col(vecCol)).as("q"))
+      .withColumn("qn2", intDot(col("q"), col("q")))
+      .write.mode("overwrite").parquet(path)
+
+  /** Absorb new vectors into a user-owned codes table — the int8 analog
+    * of [[absorbIndex]], and the simplest lifecycle of the three index
+    * families: per-vector quantization has NO trained state (no
+    * centroids or planes to go stale), so append IS the whole
+    * maintenance story — an absorbed vector is immediately searchable
+    * at exactly the fidelity a full rebuild would give it, and recall
+    * never drifts with distribution. */
+  def absorbCodes(codesPath: String, newV: DataFrame, idCol: String,
+      vecCol: String): Unit =
+    newV.select(col(idCol).as("vec_id"), quantizeInt8(col(vecCol)).as("q"))
+      .withColumn("qn2", intDot(col("q"), col("q")))
+      .write.mode("append").parquet(codesPath)
+
   /** Exact top-k rows per key, scale-safely: a partial top-k inside each
     * shuffle partition first (heap-sized window over (key, partition)),
     * THEN the global per-key window over the ≤ numPartitions·k survivors —

@@ -97,6 +97,28 @@ class IntDotSpec extends SparkSpec {
     assert(rows.values.forall(_.forall(b => b >= -127 && b <= 127)))
   }
 
+  test("codes lifecycle: an absorbed vector is immediately searchable at full fidelity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_codes").toString + "/codes"
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 50L).map(i => (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f)))
+    Vectors.writeCodes(base.toDF("id", "v"), "id", "v", dir)
+    // absorb a twin of vector 3 under a new id: no retraining exists to
+    // go stale, so its nearest neighbor must be the original, cos 1.0
+    Vectors.absorbCodes(dir, Seq((100L, base(3)._2)).toDF("id", "v"), "id", "v")
+    val c = spark.read.parquet(dir)
+    assert(c.count() == 51)
+    val q = c.filter($"vec_id" === 100L)
+      .select($"q".as("qq"), $"qn2".as("qqn2"))
+    val top = Vectors.topKPerKey(
+        c.filter($"vec_id" =!= 100L).crossJoin(q)
+          .select($"vec_id",
+            Vectors.cosine(Vectors.intDot($"qq", $"q"), $"qqn2", $"qn2").as("cos_q")),
+        lit(1), $"cos_q", $"vec_id", 1)
+      .select($"vec_id", $"cos_q").head()
+    assert(top.getLong(0) == 3L && top.getDouble(1) == 1.0,
+      s"absorbed twin's nearest is ${top.get(0)} at ${top.get(1)}")
+  }
+
   test("quantized cosine ranking: re-ranked recall ≥ raw quantized recall on the fixture") {
     val d = "/root/testdata/sf0.001"
     val truth = SparkEntry.queries("knn_cosine")(spark, d)
