@@ -54,11 +54,14 @@ object Bench {
   /** Best-effort read of prior rounds' per-query seconds from `dir`.
     *
     * Walks `BENCH_r*.json` files newest-first and returns the FIRST one
-    * that yields a parseable `{"metric":...}` line (the driver file wraps
-    * our stdout line inside a 2000-char `tail` string, which can truncate
-    * the line's head — such files are skipped, not treated as "no prior
-    * data"). Queries recorded as errored (negative seconds) are dropped so
-    * the regression gate never compares against a -1 sentinel. */
+    * that yields a parseable `{"metric":...}` line WITH a per-query map
+    * (the driver file wraps our stdout inside a 2000-char `tail` string,
+    * which can truncate the line's head — such files are skipped, not
+    * treated as "no prior data"). Lines are scanned newest-last-first
+    * within a file because the final line is now the short total-only
+    * record, which carries no `queries` map — the per-query line sits
+    * just above it. Queries recorded as errored (negative seconds) are
+    * dropped so the regression gate never compares against a -1 sentinel. */
   def previousBench(dir: String): Option[(Int, Map[String, Double])] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -77,19 +80,21 @@ object Bench {
           case JString(s) => s
           case _          => raw // tolerate a bare stdout line saved as the file
         }
-        val line = tail.linesIterator.map(_.trim.stripPrefix("[info] ").trim)
+        val lines = tail.linesIterator.map(_.trim.stripPrefix("[info] ").trim)
           .filter(l => l.startsWith("{") && l.contains("\"metric\""))
-          .toSeq.lastOption
-        line.flatMap { l =>
-          JsonMethods.parse(l) \ "queries" match {
-            case JObject(fields) =>
-              val qs = fields.collect { case (k, JDouble(v)) => k -> v }
-                .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble })
-                .filter(_._2 >= 0).toMap
-              if (qs.isEmpty) None else Some((n, qs))
-            case _ => None
-          }
-        }
+          .toSeq.reverse // last line first: skip the short total-only record
+        lines.iterator.flatMap { l =>
+          try {
+            JsonMethods.parse(l) \ "queries" match {
+              case JObject(fields) =>
+                val qs = fields.collect { case (k, JDouble(v)) => k -> v }
+                  .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble })
+                  .filter(_._2 >= 0).toMap
+                if (qs.isEmpty) None else Some((n, qs))
+              case _ => None
+            }
+          } catch { case _: Throwable => None }
+        }.nextOption()
       } catch { case _: Throwable => None }
     }.nextOption()
   }
@@ -115,14 +120,54 @@ object Bench {
 
     // best-of-N per query: box noise is additive, so the minimum is the
     // least-contaminated estimate of the plan's real cost; all reps are
-    // kept for the spread
+    // kept for the spread. Reps are INTERLEAVED round-robin across
+    // queries (rep 1 of every query, then rep 2, ...): a box-contention
+    // window then contaminates one rep of MANY queries — survivable by
+    // best-of-N — instead of every rep of a few, which is unrecoverable.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = qs.map { q =>
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val err = exec(q, sfDir)
-        ((System.nanoTime() - t0) / 1e9, err)
+    val timed = collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
+    def runOnce(q: queries.Q): Unit = {
+      val t0 = System.nanoTime()
+      val err = exec(q, sfDir)
+      val t = (System.nanoTime() - t0) / 1e9
+      timed(q.name) = timed.getOrElse(q.name, Vector.empty) :+ ((t, err))
+    }
+    for (_ <- 1 to reps; q <- qs) runOnce(q)
+
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+    val history = previousBench(benchDir)
+
+    // contamination gate (VERDICT r08/r09): a query whose best rep is
+    // >10× its parseable-history time while that history is sub-second
+    // has no code-level mechanism for the regression (those plans are
+    // single-stage scans/joins) — re-run it ONCE after the main pass
+    // (the contention window that produced the outlier has usually
+    // passed); if the extra rep is still >10× history, the record
+    // carries the query in an explicit `contaminated` list instead of
+    // standing as a silent "regression" (the round-8 failure: 271 s
+    // recorded for code that really ran in 34 s).
+    // NOTE the max(·, 1 s) floor: parseable history may come from an
+    // integer-precision stdout line, where every sub-second query rounds
+    // to 0 — a bare `> h*10` would then flag the entire catalog (and
+    // re-run it all). A contaminated sub-second row must itself clear
+    // the box's 1 s noise floor to count as an anomaly.
+    val contaminated = collection.mutable.Buffer.empty[String]
+    history.foreach { case (_, prev) =>
+      qs.foreach { q =>
+        val ok = timed(q.name).filter(_._2.isEmpty).map(_._1)
+        prev.get(q.name).foreach { h =>
+          val bar = math.max(h * 10, 1.0)
+          if (h < 1.0 && ok.nonEmpty && ok.min > bar) {
+            runOnce(q)
+            val ok2 = timed(q.name).filter(_._2.isEmpty).map(_._1)
+            if (ok2.nonEmpty && ok2.min > bar) contaminated += q.name
+          }
+        }
       }
+    }
+
+    val results = qs.map { q =>
+      val runs = timed(q.name)
       val ok = runs.filter(_._2.isEmpty).map(_._1)
       if (ok.nonEmpty) (q.name, ok.min, ok, None)
       else (q.name, -1.0, Nil, runs.head._2)
@@ -158,9 +203,8 @@ object Bench {
     // Sub-second rows are catalog-order/JIT noise on this box; real
     // regressions of consequence clear 1 s. The current spread rides
     // along so a flagged move can be judged against it.
-    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
     val noiseFloorSec = 1.0
-    val deltaJson = previousBench(benchDir) match {
+    val deltaJson = history match {
       case Some((prevRound, prev)) =>
         val flagged = results.flatMap { case (k, cur, rs, _) =>
           prev.get(k).collect {
@@ -197,9 +241,12 @@ object Bench {
       // the capture window
       else stdoutLine(v => math.rint(v).toLong.toString)
     }
+    val contamJson =
+      if (contaminated.isEmpty) ""
+      else s""","contaminated":${contaminated.map(jstr).mkString("[", ",", "]")}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${qJsonAt(
-          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson,"sf":"$sfDir"}"""
+          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchDir, "bench_full.json"),
       fullJson.getBytes("UTF-8"))
@@ -208,10 +255,15 @@ object Bench {
         System.err.println(s"[bench] could not write bench_full.json: $e")
     }
     spark.stop()
-    // the contract line is the VERY LAST output (ADVICE r06): nothing —
-    // side-file errors, Spark shutdown chatter — may push its head out of
-    // the driver's tail capture
+    // the per-query contract line goes out after Spark shutdown (so no
+    // chatter lands between the two records), and then the VERY LAST
+    // line is the SHORT total-only record (VERDICT r08/r09 finding 1):
+    // the per-query line grows with the catalog and will eventually
+    // overflow ANY tail capture, so the headline total must not ride on
+    // it — this ~100-char closing line stays parseable at every catalog
+    // size, with bench_full.json as the pointer to per-query detail.
     println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","detail":"bench_full.json","sf":"$sfDir"}""")
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }

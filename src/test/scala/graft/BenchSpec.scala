@@ -29,6 +29,22 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(qs == Map("ok" -> 0.4))
   }
 
+  test("short total-only closing line is skipped; per-query line above it wins") {
+    val dir = Files.createTempDirectory("graft_bench_hist").toString
+    write(dir, 6,
+      """{"metric":"total","value":2,"unit":"sec","queries":{"a":1.5,"b":0.2},"sf":"x"}""" + "\n" +
+      """{"metric":"total","value":2,"unit":"sec","detail":"bench_full.json","sf":"x"}""" + "\n[success]")
+    val Some((round, qs)) = Bench.previousBench(dir)
+    assert(round == 6 && qs == Map("a" -> 1.5, "b" -> 0.2))
+    // a file where ONLY the short line survived (per-query head truncated)
+    // yields no queries map and falls back to an older parseable round
+    write(dir, 7,
+      """b":0.3},"sf":"x"}""" + "\n" +
+      """{"metric":"total","value":9,"unit":"sec","detail":"bench_full.json","sf":"x"}""")
+    val Some((r2, qs2)) = Bench.previousBench(dir)
+    assert(r2 == 6 && qs2 == Map("a" -> 1.5, "b" -> 0.2))
+  }
+
   test("sbt [info] prefixes and bare-line files are tolerated; empty dir is None") {
     val dir = Files.createTempDirectory("graft_bench_hist").toString
     write(dir, 2, """[info] {"metric":"total","value":1,"unit":"sec","queries":{"q":2.0}}""")
