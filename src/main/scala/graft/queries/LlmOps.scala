@@ -1162,7 +1162,7 @@ object LlmOps {
     graft.sources.BuildOnce.dir("graft_rplsh",
       graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet",
         "rplsh-v1|planes=16|bands=4"),
-      base => new java.io.File(s"$base/keys/_SUCCESS").exists()) { tmp =>
+      base => graft.sources.ArtifactStore.exists(s"$base/keys/_SUCCESS")) { tmp =>
       Vectors.rpLshBands(Tables.embeddings(s, d), "vec_id", "embedding",
         planes = 16, bands = 4)
         .write.mode("overwrite").parquet(s"$tmp/keys")
@@ -1339,7 +1339,7 @@ object LlmOps {
   private def quantIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.BuildOnce.dir("graft_quant",
       graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet", "quant-v1|sym127"),
-      base => new java.io.File(s"$base/codes/_SUCCESS").exists()) { tmp =>
+      base => graft.sources.ArtifactStore.exists(s"$base/codes/_SUCCESS")) { tmp =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           Vectors.quantizeInt8(col("embedding")).as("q"))
@@ -1577,8 +1577,8 @@ object LlmOps {
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.BuildOnce.dir("graft_ivf",
       graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet", "ivf-v1|k=8|lloyd=1"),
-      base => new java.io.File(s"$base/centroids/_SUCCESS").exists() &&
-        new java.io.File(s"$base/assignments/_SUCCESS").exists()) { tmp =>
+      base => graft.sources.ArtifactStore.exists(s"$base/centroids/_SUCCESS") &&
+        graft.sources.ArtifactStore.exists(s"$base/assignments/_SUCCESS")) { tmp =>
       Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, tmp)
     }
 
@@ -1596,7 +1596,7 @@ object LlmOps {
   private def dedupLabels(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val base = graft.sources.BuildOnce.dir("graft_cc",
       graft.sources.BuildOnce.stampOf(s"$d/documents.parquet", DedupAlgoToken),
-      b => new java.io.File(s"$b/labels/_SUCCESS").exists()) { tmp =>
+      b => graft.sources.ArtifactStore.exists(s"$b/labels/_SUCCESS")) { tmp =>
       val pairs = TextOps.verifiedCandidatePairs(Tables.documents(s, d), "doc_id", "text")
       val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
       Components.connectedComponents(pairs, "doc_a", "doc_b")

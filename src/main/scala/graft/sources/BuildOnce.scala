@@ -8,87 +8,72 @@ package graft.sources
   *
   *  - Staleness: the caller passes a `stamp` fingerprinting the SOURCE
   *    (path + size + mtime). The stamp IS the cache key and names the
-  *    artifact directory, so regenerated source routes to a fresh build.
-  *  - Atomicity: the artifact is built into a process-private sibling dir
-  *    and atomically renamed into place (`ATOMIC_MOVE` = rename(2) inside
-  *    one filesystem). Concurrent builders each produce a complete copy;
-  *    one rename wins, losers delete theirs and use the winner's.
-  *  - Recovery: an existing-but-incomplete directory (crash of an older
-  *    build-in-place version) fails the caller's `complete` check and is
-  *    cleared before the rename.
+  *    artifact root, so regenerated source routes to a fresh build.
+  *  - Atomicity: publication goes through [[ArtifactStore]]'s
+  *    versioned-dir + commit-marker protocol — the artifact is built
+  *    into a private version directory and published by a single
+  *    marker-file PUT, never by a directory rename (which object
+  *    stores cannot do atomically). Concurrent builders each publish a
+  *    complete copy; readers resolve one deterministic winner.
+  *  - Recovery: a crash mid-build leaves an UNCOMMITTED version dir,
+  *    which is invisible to every reader and reclaimed by
+  *    [[ArtifactStore.vacuum]]; a committed-but-corrupt version (the
+  *    caller's `complete` check fails) is superseded by a fresh build,
+  *    not repaired in place.
   */
 object BuildOnce {
 
   private val cache = new scala.collection.concurrent.TrieMap[String, String]()
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-  }
-
-  /** Clearing an incomplete leftover is only safe when it cannot be a
-    * build a sibling JVM is completing RIGHT NOW: a racer's rename lands
-    * a fresh directory, a crash leftover is old. Anything younger than
-    * this is left alone (the caller falls back to its private build). */
-  private val staleAfterMs = 10 * 60 * 1000L
+  /** Root directory family for stamped artifacts: the active session's
+    * `spark.graft.artifacts.dir` (an object-store URI in production),
+    * else the local tmpdir (test JVMs on one box sharing builds). */
+  private def artifactsRoot(): String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.artifacts.dir"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
 
   /** Directory containing the artifact for `stamp`; built via `build` at
-    * most once per stamp across JVMs. ALWAYS returns a directory holding
-    * a complete artifact — normally the shared `base`; in the rare
-    * race/corruption corner where `base` cannot be trusted, this JVM's
-    * private build directory is returned instead (correctness over
-    * sharing).
+    * most once per stamp per JVM, shared across JVMs through the store.
+    * ALWAYS returns a directory holding a complete artifact — the
+    * current committed version if it passes `complete`, else a freshly
+    * built and committed one.
     *
-    * @param prefix   artifact family name (directory name prefix in tmp)
+    * @param prefix   artifact family name (root directory name prefix)
     * @param stamp    source fingerprint — recompute on every call, never
     *                 memoize it per path (a memoized stamp is exactly the
     *                 stale-cache bug this exists to prevent)
-    * @param complete given the final directory, is the artifact usable?
+    * @param complete given a version directory, is the artifact usable?
+    *                 (corruption guard on top of the commit marker)
     * @param build    materialize the artifact into the given fresh dir
     */
   def dir(prefix: String, stamp: String, complete: String => Boolean)(
       build: String => Unit): String =
     cache.getOrElseUpdate(s"$prefix|$stamp", {
-      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      val root = s"${artifactsRoot()}/${prefix}_" +
         java.security.MessageDigest.getInstance("MD5").digest(stamp.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-      if (complete(base)) base
-      else {
-        // clear an incomplete leftover ONLY if it is old — a young one may
-        // be a sibling's build about to be renamed in (deleting a possibly
-        // fresh complete artifact under a reader would break its lazy scan)
-        val f = new java.io.File(base)
-        if (f.exists() && System.currentTimeMillis() - f.lastModified() > staleAfterMs)
-          rm(f)
-        val tmp = s"$base.build_${ProcessHandle.current().pid()}_${System.nanoTime()}"
-        build(tmp)
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          base
-        } catch {
-          // only an existing-target failure means "the slot is occupied"
-          // (Linux surfaces it as a generic FileSystemException("Directory
-          // not empty"), so the occupancy check is on the target itself);
-          // anything else — permissions, I/O — must surface, not silently
-          // discard the finished build
-          case e: java.nio.file.FileSystemException
-              if e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-                e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
-                new java.io.File(base).exists() =>
-            if (complete(base)) { rm(new java.io.File(tmp)); base }
-            else tmp // base is occupied but unusable: serve our private build
-        }
+      val f = ArtifactStore.fs(root)
+      ArtifactStore.currentDir(f, root) match {
+        case Some(v) if complete(v.toString) => v.toString
+        case _ => ArtifactStore.commit(f, root)(build).toString
       }
     })
 
   /** Source fingerprint for a driver-table file: path + size + mtime,
-    * plus an ALGORITHM token (ADVICE r06): artifacts in the shared tmpdir
+    * plus an ALGORITHM token (ADVICE r06): artifacts in the shared root
     * outlive code changes, so a change to e.g. MinHash banding or the
     * verification threshold must route to a fresh artifact directory —
-    * the stamp carries the parameters, not just the source identity. */
+    * the stamp carries the parameters, not just the source identity.
+    * Resolved through Hadoop [[org.apache.hadoop.fs.FileSystem]] so an
+    * object-store source URI fingerprints the same way a local file
+    * does. */
   def stampOf(path: String, algoToken: String = ""): String = {
-    val f = new java.io.File(path)
-    s"$path|${f.length()}|${f.lastModified()}|$algoToken"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st =
+      try Some(ArtifactStore.fs(path).getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    s"$path|${st.map(_.getLen).getOrElse(0L)}|" +
+      s"${st.map(_.getModificationTime).getOrElse(0L)}|$algoToken"
   }
 }

@@ -89,9 +89,13 @@ object DedupIndex {
   // probe property survives every absorb.
   // ------------------------------------------------------------------
 
-  /** A registered index: the two bucketed session tables. */
-  final case class Index(dir: String, hashes: String, bands: String,
-      buckets: Int = Buckets)
+  /** A registered index: the two bucketed session tables. `dir` is the
+    * user-facing BASE directory; the tables live in `versionDir`, the
+    * committed [[ArtifactStore]] version current when this handle was
+    * opened (absorbs append there; a [[compact]] publishes a successor
+    * and returns a fresh handle). */
+  final case class Index(dir: String, versionDir: String, hashes: String,
+      bands: String, buckets: Int = Buckets)
 
   private def hashFrame(docs: DataFrame, textCol: String): DataFrame =
     docs.select(sha2(col(textCol), 256).as("h")).distinct()
@@ -107,48 +111,61 @@ object DedupIndex {
     * joins silently MISS rows (the worst failure mode: wrong results,
     * no error). */
   private def writeMeta(dir: String, buckets: Int): Unit = {
-    val p = java.nio.file.Paths.get(s"$dir/_graft_index_meta.json")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, s"""{"buckets": $buckets}""")
+    val f = ArtifactStore.fs(dir)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json"), true)
+    out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
+    out.close()
   }
 
   private def readMeta(dir: String): Option[Int] = {
-    val p = java.nio.file.Paths.get(s"$dir/_graft_index_meta.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else """"buckets"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1).toInt)
+    val f = ArtifactStore.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
   }
 
-  /** Build a user-owned index at `dir` from the initial corpus. */
+  /** Build a user-owned index at `dir` from the initial corpus. The
+    * index state is an [[ArtifactStore]] versioned directory under
+    * `dir`: absorbs append into the current version; [[compact]]
+    * publishes a successor version. */
   def create(s: SparkSession, docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = -1): Index = {
     val b = if (buckets > 0) buckets else bucketsFor(s)
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    writeMeta(dir, b)
-    hashFrame(docs, textCol)
-      .write.bucketBy(b, "h").sortBy("h")
-      .option("path", s"$dir/hashes").saveAsTable(s"graft_mk_h_$tag")
-    s.sql(s"DROP TABLE graft_mk_h_$tag")
-    bandFrame(docs, idCol, textCol)
-      .write.bucketBy(b, "band", "band_key").sortBy("band", "band_key")
-      .option("path", s"$dir/bands").saveAsTable(s"graft_mk_b_$tag")
-    s.sql(s"DROP TABLE graft_mk_b_$tag")
+    ArtifactStore.commit(ArtifactStore.fs(dir), dir) { v =>
+      writeMeta(v, b)
+      hashFrame(docs, textCol)
+        .write.bucketBy(b, "h").sortBy("h")
+        .option("path", s"$v/hashes").saveAsTable(s"graft_mk_h_$tag")
+      s.sql(s"DROP TABLE graft_mk_h_$tag")
+      bandFrame(docs, idCol, textCol)
+        .write.bucketBy(b, "band", "band_key").sortBy("band", "band_key")
+        .option("path", s"$v/bands").saveAsTable(s"graft_mk_b_$tag")
+      s.sql(s"DROP TABLE graft_mk_b_$tag")
+    }
     open(s, dir, b)
   }
 
-  /** Register an existing index's bucket metadata in this session
-    * (idempotent). The count comes from the index's OWN metadata file;
-    * a caller-supplied `buckets` is validated against it (and only
+  /** Register the CURRENT committed version's bucket metadata in this
+    * session (idempotent). The count comes from the index's OWN metadata
+    * file; a caller-supplied `buckets` is validated against it (and only
     * trusted alone for pre-metadata indexes). */
   def open(s: SparkSession, dir: String, buckets: Int = -1): Index = {
-    val meta = readMeta(dir)
+    val v = ArtifactStore.currentDir(ArtifactStore.fs(dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed index at $dir")).toString
+    val meta = readMeta(v)
     meta.foreach(m => require(buckets <= 0 || buckets == m,
       s"index at $dir was created with $m buckets, not $buckets"))
     val b = meta.getOrElse(if (buckets > 0) buckets else bucketsFor(s))
-    Index(dir,
-      registerBucketed(s, s"$dir/hashes", "graft_idx_hashes", "h STRING", Seq("h"), b),
-      registerBucketed(s, s"$dir/bands", "graft_idx_bands",
+    Index(dir, v,
+      registerBucketed(s, s"$v/hashes", "graft_idx_hashes", "h STRING", Seq("h"), b),
+      registerBucketed(s, s"$v/bands", "graft_idx_bands",
         "band INT, band_key BIGINT, sig ARRAY<BIGINT>", Seq("band", "band_key"), b),
       b)
   }
@@ -157,33 +174,28 @@ object DedupIndex {
     * file set per bucket, so a long-running index accumulates small
     * files (and duplicate hash rows from exact re-deliveries). Rewrite
     * both tables — distinct rows, one pass, same bucket layout — into a
-    * sibling directory and atomically swap it into place, then refresh
-    * the session tables. Single-writer discipline is the caller's (the
-    * same discipline every non-transactional table format demands of
-    * its compactor); probes in OTHER sessions re-list files on their
-    * next query and see either the old or the new complete layout. */
-  def compact(s: SparkSession, idx: Index): Unit = {
-    val tmp = s"${idx.dir}.compact_${System.nanoTime()}"
+    * NEW [[ArtifactStore]] version and publish it with the marker PUT;
+    * no directory is renamed or deleted, so a probe mid-scan of the
+    * previous version (this session or any other) keeps its complete
+    * snapshot, and object stores need no atomic rename they don't have.
+    * Returns the handle on the new version — the caller continues with
+    * it (single-writer discipline, as every table-format compactor
+    * demands); superseded versions are reclaimed by
+    * [[ArtifactStore.vacuum]] after a quiescent period. */
+  def compact(s: SparkSession, idx: Index): Index = {
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    writeMeta(tmp, idx.buckets) // the swapped-in dir carries its own meta
-    s.table(idx.hashes).distinct()
-      .write.bucketBy(idx.buckets, "h").sortBy("h")
-      .option("path", s"$tmp/hashes").saveAsTable(s"graft_cp_h_$tag")
-    s.sql(s"DROP TABLE graft_cp_h_$tag")
-    s.table(idx.bands).distinct()
-      .write.bucketBy(idx.buckets, "band", "band_key").sortBy("band", "band_key")
-      .option("path", s"$tmp/bands").saveAsTable(s"graft_cp_b_$tag")
-    s.sql(s"DROP TABLE graft_cp_b_$tag")
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val old = s"${idx.dir}.old_$tag"
-    Files.move(Paths.get(idx.dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(idx.dir), StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    ArtifactStore.commit(ArtifactStore.fs(idx.dir), idx.dir) { v =>
+      writeMeta(v, idx.buckets)
+      s.table(idx.hashes).distinct()
+        .write.bucketBy(idx.buckets, "h").sortBy("h")
+        .option("path", s"$v/hashes").saveAsTable(s"graft_cp_h_$tag")
+      s.sql(s"DROP TABLE graft_cp_h_$tag")
+      s.table(idx.bands).distinct()
+        .write.bucketBy(idx.buckets, "band", "band_key").sortBy("band", "band_key")
+        .option("path", s"$v/bands").saveAsTable(s"graft_cp_b_$tag")
+      s.sql(s"DROP TABLE graft_cp_b_$tag")
     }
-    rm(new java.io.File(old))
-    s.catalog.refreshTable(idx.hashes)
-    s.catalog.refreshTable(idx.bands)
+    open(s, idx.dir)
   }
 
   /** Absorb a landed batch into the index: append its content hashes and
@@ -263,7 +275,7 @@ object DedupIndex {
       s"${algoToken(boundary)}|bloom-v1|k=${HashBloom.Probes}" +
         s"|bpe=${HashBloom.BitsPerElem}|b=$BloomBuckets")
     val base = BuildOnce.dir("graft_bloom", stamp,
-      b => new java.io.File(s"$b/bloom/_SUCCESS").exists()) { tmp =>
+      b => ArtifactStore.exists(s"$b/bloom/_SUCCESS")) { tmp =>
       HashBloom.build(corpusHashes(s, d, boundary), "h", BloomBuckets)
         .write.mode("overwrite").parquet(s"$tmp/bloom")
     }
@@ -337,8 +349,8 @@ object DedupIndex {
   private def ensure(s: SparkSession, d: String, boundary: Long): (String, String) = {
     val stamp = BuildOnce.stampOf(s"$d/documents.parquet", algoToken(boundary))
     val base = BuildOnce.dir("graft_incr", stamp,
-      b => new java.io.File(s"$b/hashes/_SUCCESS").exists() &&
-        new java.io.File(s"$b/bands/_SUCCESS").exists()) { tmp =>
+      b => ArtifactStore.exists(s"$b/hashes/_SUCCESS") &&
+        ArtifactStore.exists(s"$b/bands/_SUCCESS")) { tmp =>
       val corpus = Tables.documents(s, d).filter(col("doc_id") < boundary)
       val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
       // bucketed layout needs the table writer; the throwaway catalog

@@ -86,24 +86,40 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
 
     // compaction: a duplicate absorb appends duplicate hash rows; compact
-    // re-distincts in place, keeps the bucket layout, keeps semantics.
+    // publishes a re-distincted NEW version (same bucket layout, same
+    // semantics) and returns the handle on it. The superseded version
+    // stays on disk untouched — a reader mid-scan keeps its snapshot —
+    // until vacuum reclaims it.
     // (An explicit frame, not `kept` — the lazy dedupBatch result
     // re-evaluates against the updated index; see the absorb scaladoc.)
     DedupIndex.absorb(spark, reopened, batch.filter($"doc_id" === 12L))
+    val dupN = spark.table(reopened.hashes).count()
     val distinctN = spark.table(reopened.hashes).distinct().count()
-    assert(spark.table(reopened.hashes).count() > distinctN,
+    assert(dupN > distinctN,
       "fixture lost its point: re-absorb should duplicate hash rows")
-    DedupIndex.compact(spark, reopened)
-    assert(spark.table(reopened.hashes).count() == distinctN)
-    assert(DedupIndex.dedupBatch(spark, reopened, batch).isEmpty)
+    val compacted = DedupIndex.compact(spark, reopened)
+    assert(compacted.versionDir != reopened.versionDir,
+      "compact must publish a new version, not mutate the old in place")
+    assert(spark.table(compacted.hashes).count() == distinctN)
+    // the OLD handle still reads its complete (duplicated) snapshot:
+    // nothing was renamed or deleted under it
+    assert(spark.table(reopened.hashes).count() == dupN,
+      "superseded version was disturbed — mid-scan readers would break")
+    assert(DedupIndex.dedupBatch(spark, compacted, batch).isEmpty)
     val prevT2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = DedupIndex.dedupBatch(spark, reopened, batch)
+      val p = DedupIndex.dedupBatch(spark, compacted, batch)
         .queryExecution.executedPlan.toString
       assert("SelectedBucketsCount: 4 out of 4".r.findAllIn(p).length == 2,
         s"compaction lost the bucket layout:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT2)
+    // vacuum (after the quiescent period) keeps only the newest version
+    val fs = graft.sources.ArtifactStore.fs(dir)
+    assert(graft.sources.ArtifactStore.versions(fs, dir).length == 2)
+    graft.sources.ArtifactStore.vacuum(fs, dir, keep = 1, staleMs = 0L)
+    val left = graft.sources.ArtifactStore.versions(fs, dir)
+    assert(left.length == 1 && left.head._3.toString == compacted.versionDir)
   }
 
   test("dedupBatch differential: equals the inline two-gate computation on a random corpus") {
