@@ -54,8 +54,10 @@ object Storage {
     * row anywhere, the hash mismatches. */
   val targetedDelete = Q("targeted_delete", (s, d) => {
     import s.implicits._
+    // pid-scoped path: a concurrent verifier JVM must not race this
+    // JVM's cluster-write/delete/read-back cycle on a shared directory
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_del_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      s"${ProcessHandle.current().pid()}_" + d.replaceAll("[^A-Za-z0-9]", "_")
     Writers.clusteredByRange(Tables.documents(s, d), "doc_id", path, 16)
     Writers.deleteWhere(s, path, "doc_id", TargetedDropIds)
     s.read.parquet(path)

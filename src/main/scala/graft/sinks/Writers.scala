@@ -119,68 +119,151 @@ object Writers {
   final case class DeleteStats(filesTotal: Int, filesRewritten: Int,
       rowsDeleted: Long)
 
+  /** Above this many distinct keys, [[deleteWhereKeys]] stops building a
+    * literal IN predicate (megabyte expression trees, driver-held lists)
+    * and discovers hit files with a semi-join instead. Below it, the
+    * IN-list is the better plan: literals push into the parquet scan,
+    * so min/max footers skip files without reading data pages. */
+  val DeleteInListLimit = 10000
+
   /** Targeted delete (right-to-be-forgotten / opt-out removal) over a
     * landed flat parquet dataset: rewrite ONLY the files that contain a
     * dropped key; every other file stays byte-identical on disk. This is
     * the K5 overwrite/delete semantics at corpus scale — deleting a few
     * thousand documents from 100 TB must not rewrite 100 TB.
-    *
-    * How the touched set stays small: discovery filters the dataset with
-    * `keyCol IN (dropKeys)`, which pushes into the parquet scan — on a
-    * [[clusteredByRange]]/[[clusteredByZOrder]] layout the per-file
-    * min/max footers exclude almost every file without reading data
-    * pages, and the survivors are pinned by `input_file_name()`. The
-    * rewrite then reads just those files, filters the dropped keys out,
-    * and swaps replacement files in (originals removed, replacements
-    * moved in under fresh names). Untouched files keep their paths,
-    * bytes and mtimes — WritersSpec asserts all three.
-    *
-    * Contract: `dropKeys` is a bounded explicit list (deletion requests
-    * arrive in thousands, not billions — a corpus-proportional drop is a
-    * dedup rewrite, [[graft.queries.LlmOps]] `corpus_dedup`, not a
-    * delete). Non-transactional like [[graft.sources.DedupIndex.compact]]:
-    * single-writer discipline is the caller's; a concurrent reader may
-    * see a partially-swapped directory (the same caveat every
-    * non-transactional table format carries). */
+    * Bounded-list convenience form of [[deleteWhereKeys]]. */
   def deleteWhere(spark: SparkSession, path: String, keyCol: String,
       dropKeys: Seq[Long]): DeleteStats = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val data = spark.read.parquet(path)
-    val allFiles = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val hit = dropKeys.map(lit(_))
-    val affected = data
-      .filter(col(keyCol).isin(hit: _*))
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).sorted
+    import spark.implicits._
+    deleteWhereKeys(spark, path, keyCol, dropKeys.toDF(keyCol))
+  }
+
+  /** Set-valued targeted delete: the dropped keys arrive as a DataFrame
+    * (single key column), so a 10^6-key right-to-be-forgotten sweep
+    * never materializes on the driver or in an expression tree.
+    *
+    * How the touched set stays small: discovery runs `keyCol IN (...)`
+    * when the key set is bounded (≤ `inListLimit` — literals push into
+    * the parquet scan, and on a [[clusteredByRange]]/[[clusteredByZOrder]]
+    * layout the per-file min/max footers exclude almost every file
+    * without reading data pages), else a LEFT SEMI join against the
+    * distinct key frame (shuffle-hash/broadcast as Catalyst sizes it;
+    * on the clustered layout dynamic pruning still bounds the scan).
+    * Survivor files are pinned by `input_file_name()` — the driver
+    * collects hit file PATHS, never rows.
+    *
+    * The rewrite reads just the hit files, drops the keyed rows (the
+    * deleted count folds into the SAME pass via `observe` — no second
+    * scan), writes replacements to a staging dir, MOVES THE REPLACEMENTS
+    * IN FIRST under fresh collision-free names, and only then deletes
+    * the originals. A crash inside the swap window therefore DUPLICATES
+    * retained rows (both copies present) but never loses one — the same
+    * at-least-once choice [[graft.streaming.Streams]]' index-absorb loop
+    * documents; exact dedup downstream reclaims duplicates, nothing can
+    * reclaim a lost row. An interrupted swap is detectable by the
+    * leftover `.delete_*` staging dir beside the dataset.
+    *
+    * All file I/O goes through Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * — no `java.io.File`, so an object-store dataset URI works; the only
+    * rename is PER-FILE into the dataset directory (on S3-class stores a
+    * copy+delete whose copy is atomic per object — it is DIRECTORY
+    * swaps, not single-object moves, that object stores cannot do; cf.
+    * [[graft.sources.ArtifactStore]] for the directory-level protocol).
+    *
+    * Non-transactional like [[graft.sources.DedupIndex.compact]]:
+    * single-writer discipline is the caller's; a concurrent reader may
+    * see a partially-swapped directory (the same caveat every
+    * non-transactional table format carries).
+    *
+    * @param onBeforeDeleteOriginals test seam: runs between the move-in
+    *        and the delete phases (crash-injection specs prove the
+    *        no-loss ordering) */
+  def deleteWhereKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, inListLimit: Int = DeleteInListLimit,
+      onBeforeDeleteOriginals: () => Unit = () => ()): DeleteStats = {
+    val fs = graft.sources.ArtifactStore.fs(path)
+    val dataDir = new org.apache.hadoop.fs.Path(path)
+    val allFiles = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val kc = keys.columns match {
+      case Array(one) => one
+      case cols => throw new IllegalArgumentException(
+        s"keys frame must have exactly the key column, got ${cols.mkString(",")}")
+    }
+    val distinctKeys = keys.select(col(kc)).distinct()
+    val (affected, inList) = hitFiles(spark, path, keyCol, distinctKeys, inListLimit)
     if (affected.isEmpty) return DeleteStats(allFiles.length, 0, 0L)
-    val affectedLocal = affected.map(u => Paths.get(java.net.URI.create(u).getPath))
-    val affectedDf = spark.read.parquet(affected.toIndexedSeq: _*)
-    val kept = affectedDf.filter(!col(keyCol).isin(hit: _*))
-    // one pass over the hit files, not a count-both-sides pair of scans
-    val deleted = affectedDf.filter(col(keyCol).isin(hit: _*)).count()
+
+    val affectedDf = spark.read.parquet(affected: _*)
+    // mark-and-filter in ONE pass: the deleted count rides on the kept
+    // write via the Observation API instead of a second scan of the hit
+    // files. IN-list marking when bounded (stays codegen'd); left-outer
+    // mark join otherwise.
+    val marked = inList match {
+      case Some(lits) => affectedDf.withColumn("_hit", col(keyCol).isin(lits: _*))
+      case None =>
+        affectedDf.join(
+          distinctKeys.withColumnRenamed(kc, "_delete_key").withColumn("_hit", lit(true)),
+          col(keyCol) === col("_delete_key"), "left_outer").drop("_delete_key")
+    }
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    val tmp = s"$path.delete_$tag"
-    kept.write.parquet(tmp)
-    affectedLocal.foreach { p =>
-      Files.deleteIfExists(p)
-      // Hadoop's local FS writes a hidden .<name>.crc sidecar per part
-      // file — reclaim it with its parquet, or every delete strands one
-      Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+    val obs = org.apache.spark.sql.Observation(s"graft_delete_$tag")
+    val kept = marked
+      .observe(obs, sum(when(col("_hit"), 1L).otherwise(0L)).as("deleted"))
+      .filter(!coalesce(col("_hit"), lit(false))).drop("_hit")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.delete_$tag")
+    kept.write.parquet(tmp.toString)
+    val deleted = obs.get("deleted") match {
+      case null => 0L
+      case n: Number => n.longValue()
     }
-    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.move(f.toPath,
-          Paths.get(s"$path/part-rw$i-$tag.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+    // ---- swap: replacements IN first, originals out second ----------
+    fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.foreach { case (st, i) =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dataDir, s"part-rw$i-$tag.parquet"))
       }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    rm(new java.io.File(tmp))
+    onBeforeDeleteOriginals()
+    affected.foreach(u => fs.delete(new org.apache.hadoop.fs.Path(u), false))
+    fs.delete(tmp, true)
     DeleteStats(allFiles.length, affected.length, deleted)
+  }
+
+  /** Hit-file discovery for [[deleteWhereKeys]]: the file URIs holding at
+    * least one dropped key, plus the literal list when the IN-list fast
+    * path applied (`None` = semi-join path; the spec pins that a 10^5-key
+    * delete never builds a 10^5-wide IN). */
+  private[graft] def hitFiles(spark: SparkSession, path: String, keyCol: String,
+      distinctKeys: DataFrame, inListLimit: Int): (Seq[String], Option[Seq[Column]]) = {
+    val data = spark.read.parquet(path)
+    val kc = distinctKeys.columns.head
+    // bounded peek: collects at most limit+1 keys to pick the plan shape
+    val sample = distinctKeys.limit(inListLimit + 1).collect()
+    val (fileFrame, lits) =
+      if (sample.length <= inListLimit) {
+        // literal path: filter FIRST (pushes into the scan — min/max
+        // footers skip files), project the file name after
+        val ls = sample.toIndexedSeq.map(r => lit(r.get(0)))
+        (data.filter(col(keyCol).isin(ls: _*))
+          .select(input_file_name().as("f")), Some(ls))
+      } else {
+        // join path: capture the file name BEFORE the join —
+        // `input_file_name()` is only valid on the scan side of a
+        // shuffle; projected after a sort-merge join it returns ""
+        // (precisely the >broadcast-threshold key sets this path is
+        // for). The scan reads one column; no footer skipping without
+        // literals, which is the honest cost of an unbounded key set.
+        val scanned = data.select(col(keyCol).as("_delete_probe"),
+          input_file_name().as("f"))
+        (scanned.join(distinctKeys,
+          scanned("_delete_probe") === distinctKeys(kc), "left_semi")
+          .select(col("f")), None)
+      }
+    val files = fileFrame.distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    (files, lits)
   }
 
   /** K7: local debug dump (`save_json`, `S3.py:345-349`). */

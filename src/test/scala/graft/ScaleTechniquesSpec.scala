@@ -347,6 +347,73 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(snapshot() == after)
   }
 
+  test("targeted delete: a crash between move-in and delete-originals loses no retained row") {
+    val out = Files.createTempDirectory("graft_del_crash").toString + "/docs"
+    val data = spark.range(100).select(
+      col("id").as("doc_id"),
+      concat(lit("payload "), col("id")).as("text"))
+    graft.sinks.Writers.clusteredByRange(data, "doc_id", out, numFiles = 4)
+
+    // inject a crash AFTER replacements moved in, BEFORE originals delete
+    val boom = intercept[RuntimeException] {
+      graft.sinks.Writers.deleteWhereKeys(spark, out, "doc_id",
+        Seq(10L, 90L).toDF("doc_id"),
+        onBeforeDeleteOriginals = () => throw new RuntimeException("crash in swap window"))
+    }
+    assert(boom.getMessage == "crash in swap window")
+
+    // the at-least-once guarantee: every retained row is still present
+    // (some now twice — originals plus replacements); NOTHING was lost.
+    // The opposite ordering would have deleted the originals first and a
+    // crash here would silently lose every retained row of the hit files.
+    val surviving = spark.read.parquet(out)
+    val retainedCounts = surviving.filter(!$"doc_id".isin(10L, 90L))
+      .groupBy($"doc_id").count()
+    assert(retainedCounts.count() == 98, "a retained key vanished in the crash window")
+    assert(retainedCounts.filter($"count" > 2).isEmpty)
+    // the interrupted swap is detectable: staging dir still beside the data
+    val parent = new java.io.File(out).getParentFile
+    assert(parent.listFiles().exists(_.getName.startsWith("docs.delete_")),
+      "crash left no staging-dir evidence for recovery tooling")
+    // re-running the delete completes it: dropped keys gone, retained
+    // keys all present (dupes from the crash window remain — exact
+    // dedup downstream reclaims them; nothing can reclaim a lost row)
+    graft.sinks.Writers.deleteWhereKeys(spark, out, "doc_id", Seq(10L, 90L).toDF("doc_id"))
+    val healed = spark.read.parquet(out)
+    assert(healed.filter($"doc_id".isin(10L, 90L)).isEmpty)
+    assert(healed.select("doc_id").distinct().count() == 98)
+  }
+
+  test("set-valued targeted delete: 1e5 keys take the semi-join path, no wide IN") {
+    val out = Files.createTempDirectory("graft_del_set").toString + "/docs"
+    val data = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat(lit("payload "), col("id")).as("text"))
+    graft.sinks.Writers.clusteredByRange(data, "doc_id", out, numFiles = 8)
+
+    // 10^5-key sweep (most keys absent — the realistic opt-out shape:
+    // requests accumulated across a fleet, this dataset holds a slice)
+    val keys = spark.range(100000).select((col("id") * 7).as("doc_id"))
+    // discovery refuses to build a 10^5-wide IN: above the limit the
+    // plan is a semi-join (hitFiles returns no literal list)
+    val (files, lits) = graft.sinks.Writers.hitFiles(spark, out, "doc_id",
+      keys.distinct(), inListLimit = graft.sinks.Writers.DeleteInListLimit)
+    assert(lits.isEmpty, "10^5 keys must not take the literal-IN path")
+    assert(files.nonEmpty)
+
+    val stats = graft.sinks.Writers.deleteWhereKeys(spark, out, "doc_id", keys)
+    // dataset holds doc_id 0..1999; multiples of 7 in range: ceil(2000/7)
+    val expectedDropped = (0 until 2000).count(_ % 7 == 0)
+    assert(stats.rowsDeleted == expectedDropped.toLong)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2000L - expectedDropped)
+    assert(got.filter($"doc_id" % 7 === 0).isEmpty)
+    // and the bounded fast path on the same API: a tiny key frame stays IN-list
+    val (_, litsSmall) = graft.sinks.Writers.hitFiles(spark, out, "doc_id",
+      Seq(3L, 5L).toDF("doc_id"), inListLimit = graft.sinks.Writers.DeleteInListLimit)
+    assert(litsSmall.nonEmpty, "bounded key sets should keep the footer-skipping IN path")
+  }
+
   test("two-phase token budget: equals the single-window form; granule-invariant") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
