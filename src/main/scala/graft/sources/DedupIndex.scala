@@ -323,8 +323,12 @@ object DedupIndex {
       corpusBands: DataFrame, bloom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       minEq: Int = TextOps.verifyMinEqual): DataFrame = {
+    // geometry from the filter itself (one row per bucket by
+    // construction), never from a constant the filter might not match —
+    // probing with the wrong bucket count manufactures false negatives
     val hashed = HashBloom.withMaybe(
-      batch.withColumn("_h", sha2(col(textCol), 256)), bloom, "_h", BloomBuckets)
+      batch.withColumn("_h", sha2(col(textCol), 256)), bloom, "_h",
+      HashBloom.bucketsOf(bloom))
     val definiteNew = hashed.filter(!col("_maybe"))
     val checkedNew = hashed.filter(col("_maybe"))
       .join(corpusHashes, hashed("_h") === corpusHashes("h"), "left_anti")
@@ -336,6 +340,57 @@ object DedupIndex {
   /** [[dedupBatch]] against a registered [[Index]]. */
   def dedupBatch(s: SparkSession, idx: Index, batch: DataFrame): DataFrame =
     dedupBatch(batch, s.table(idx.hashes), s.table(idx.bands))
+
+  // ------------------------------------------------------------------
+  // Bloom sidecar of a USER-OWNED index — unlike the stamped
+  // [[corpusBloom]] (frozen per corpus fingerprint), this one must
+  // evolve in lockstep with the hash table it gates for, or the gate
+  // manufactures false negatives. It lives as its own [[ArtifactStore]]
+  // versioned artifact under `<index>/_bloom` (the name does not parse
+  // as a version dir, so index version resolution never sees it).
+  // ------------------------------------------------------------------
+
+  private def bloomBase(idx: Index): String = s"${idx.dir}/_bloom"
+
+  /** The index's current Bloom sidecar, bootstrapping one from the full
+    * hash table on first use (a one-time scan of the index — the honest
+    * cost of retrofitting a sidecar onto an existing index). */
+  def ensureBloom(s: SparkSession, idx: Index,
+      buckets: Int = BloomBuckets): DataFrame = {
+    val f = ArtifactStore.fs(idx.dir)
+    val cur = ArtifactStore.currentDir(f, bloomBase(idx)).getOrElse {
+      ArtifactStore.commit(f, bloomBase(idx)) { v =>
+        HashBloom.build(s.table(idx.hashes), "h", buckets)
+          .write.parquet(s"$v/bloom")
+      }
+    }
+    s.read.parquet(s"$cur/bloom")
+  }
+
+  /** Lockstep sidecar maintenance: OR the batch's content hashes into
+    * the sidecar and publish the grown filter as a new version. MUST
+    * run in the same maintenance step as [[absorb]] and BEFORE it: a
+    * sidecar that runs AHEAD of the hash table only adds false
+    * positives (safe — the exact join removes them); a sidecar BEHIND
+    * it tells the gate that absorbed documents are provably new, and
+    * their redelivery bypasses the exact join entirely (the false
+    * negative a Bloom gate must never produce). Any crash point in the
+    * bloom-then-absorb order preserves `sidecar ⊇ hash table`.
+    *
+    * Cost: the add is distributed (per-bucket OR) but rewrites the
+    * sidecar (~10 bits/doc) each maintenance window; production would
+    * shard the write to touched buckets only — the read side is
+    * unaffected either way. */
+  def absorbBloom(s: SparkSession, idx: Index, kept: DataFrame,
+      textCol: String = "text"): Unit = {
+    val cur = ensureBloom(s, idx)
+    val grown = HashBloom.add(cur,
+      kept.select(sha2(col(textCol), 256).as("h")).distinct(), "h",
+      HashBloom.bucketsOf(cur))
+    ArtifactStore.commit(ArtifactStore.fs(idx.dir), bloomBase(idx)) { v =>
+      grown.write.parquet(s"$v/bloom")
+    }
+  }
 
   /** Algorithm token folded into the stamp (ADVICE r06): banding or
     * threshold changes must route to a fresh artifact, not silently

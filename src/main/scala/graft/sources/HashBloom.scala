@@ -73,9 +73,22 @@ object HashBloom {
   }
 
   /** Width (bits per bucket) of an existing filter — from one row, the
-    * table being self-describing (bounded driver action). */
+    * table being self-describing (bounded driver action). [[build]]
+    * emits one row per bucket even for an empty input set, so a built
+    * filter always answers; an empty FRAME here means the caller
+    * filtered the table away — a diagnosable error, not a crash. */
   def widthOf(bloom: DataFrame): Long =
-    bloom.select(size(col("bits"))).head().getInt(0) * 64L
+    bloom.select(size(col("bits"))).head(1) match {
+      case Array(r) => r.getInt(0) * 64L
+      case _ => throw new IllegalArgumentException(
+        "empty bloom table (no bucket rows): build() always writes one " +
+          "row per bucket — was this frame filtered before use?")
+    }
+
+  /** Bucket count of an existing filter — the table carries exactly one
+    * row per bucket by construction, so the count IS the geometry (and
+    * probing with any other count would manufacture false negatives). */
+  def bucketsOf(bloom: DataFrame): Int = bloom.count().toInt
 
   /** Absorb new hashes into an existing filter: build a delta at the
     * SAME geometry (the existing width — indices are width-dependent,
@@ -114,7 +127,7 @@ object HashBloom {
     val h = col(hashCol)
     val idx = explode(array((0 until k).map(i =>
       bitIdx(h, i, lit(m))): _*)).as("idx")
-    hashes
+    val built = hashes
       .select(bucketOf(h, buckets).as("bucket"), idx)
       .select(col("bucket"), (col("idx") / 64).cast("int").as("word"),
         call_function("shiftleft", lit(1L), pmod(col("idx"), lit(64L)).cast("int")).as("bit"))
@@ -125,6 +138,16 @@ object HashBloom {
       .select(col("bucket"),
         transform(sequence(lit(0), lit(words - 1)),
           wi => coalesce(element_at(col("wm"), wi), lit(0L))).as("bits"))
+    // skeleton join: EVERY bucket gets a row, elements or not — an empty
+    // or sparse build yields all-zero bitsets (probe = provably absent,
+    // correct for an empty set) instead of missing rows that crash
+    // widthOf/bucketsOf and force null-handling on every probe
+    hashes.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(built, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("bits"),
+          array_repeat(lit(0L), words)).as("bits"))
   }
 
   /** Annotate `df` with a `_maybe` column: true iff the filter MIGHT

@@ -121,19 +121,44 @@ object Streams {
     * gate their own redelivery out. The kept frame is pinned
     * (persist+count) before landing — a lazy frame re-evaluated after
     * the absorb would gate itself out (same trap the
-    * [[graft.sources.DedupIndex.absorb]] scaladoc documents). */
+    * [[graft.sources.DedupIndex.absorb]] scaladoc documents).
+    *
+    * `bloomBuckets > 0` enables the Bloom pre-gate END-TO-END: each
+    * batch probes the index's sidecar ([[graft.sources.DedupIndex
+    * .ensureBloom]]) so provably-new rows skip the exact anti-join, and
+    * the SAME maintenance step grows the sidecar BEFORE the hash-table
+    * absorb ([[graft.sources.DedupIndex.absorbBloom]]) — sidecar ahead
+    * of the hash table = extra false positives (safe, the exact join
+    * removes them); sidecar behind it = false negatives (redelivered
+    * docs bypass the gate and land twice). Every crash point in the
+    * land → bloom → absorb order preserves `sidecar ⊇ hash table`. */
   def indexDedupStream(stream: DataFrame, idx: graft.sources.DedupIndex.Index,
-      idCol: String, textCol: String, checkpointDir: Option[String] = None)(
+      idCol: String, textCol: String, checkpointDir: Option[String] = None,
+      bloomBuckets: Int = 0)(
       land: DataFrame => Unit): StreamingQuery = {
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val kept = graft.sources.DedupIndex.dedupBatch(s, idx, batch)
+        val gated =
+          if (bloomBuckets > 0)
+            graft.sources.DedupIndex.dedupBatchBloom(batch,
+              s.table(idx.hashes), s.table(idx.bands),
+              graft.sources.DedupIndex.ensureBloom(s, idx, bloomBuckets),
+              idCol, textCol)
+          else graft.sources.DedupIndex.dedupBatch(s, idx, batch)
+        val kept = gated
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          kept.count() // pin the gate's verdict before the index changes
+          val n = kept.count() // pin the gate's verdict before the index changes
           land(kept)
-          graft.sources.DedupIndex.absorb(s, idx, kept, idCol, textCol)
+          // an all-duplicate batch (e.g. a replayed trigger) has nothing
+          // to absorb: skip the index append AND the sidecar commit —
+          // empty maintenance versions are pure write amplification
+          if (n > 0) {
+            if (bloomBuckets > 0)
+              graft.sources.DedupIndex.absorbBloom(s, idx, kept, textCol)
+            graft.sources.DedupIndex.absorb(s, idx, kept, idCol, textCol)
+          }
         } finally kept.unpersist()
       }
       .trigger(Trigger.AvailableNow())

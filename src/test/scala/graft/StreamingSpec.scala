@@ -383,6 +383,56 @@ class StreamingSpec extends SparkSpec {
       s"cross-run duplicates must be gated by the absorbed index: $landed")
   }
 
+  test("index-absorb dedup with Bloom sidecar: lockstep maintenance, zero false negatives") {
+    import graft.sources.{ArtifactStore, DedupIndex, HashBloom}
+    import org.apache.spark.sql.functions.{col => fcol}
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_bloom_stream").toString
+    val drop = s"$root/drop"; new java.io.File(drop).mkdirs()
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the fence and the birds sing in the morning light"
+    val corpus = Seq((1L, base), (2L, "some totally separate corpus content here"))
+      .toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, s"$root/idx", buckets = 4)
+    val landed = scala.collection.mutable.ListBuffer[Long]()
+    def drive(): Unit = {
+      val q = graft.streaming.Streams.indexDedupStream(
+        graft.streaming.Streams.jsonFileSource(spark, drop,
+          "doc_id BIGINT, text STRING"),
+        idx, "doc_id", "text", bloomBuckets = 8) { kept =>
+        landed ++= kept.select("doc_id").collect().map(_.getLong(0)); ()
+      }
+      q.awaitTermination()
+    }
+    def file(n: String, rows: (Long, String)*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/$n"),
+        rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n"))
+    val fresh = "a wholly fresh document first of its name telling a long " +
+      "story about streams indexes and the ships that pass between them"
+    val fresher = "another new arrival with its own phrasing and no shared " +
+      "shingles against anything previously landed in this corpus"
+    // batch 1: d10 fresh, d11 = exact corpus dup → only d10 lands
+    file("f1.json", (10L, fresh), (11L, base))
+    drive()
+    assert(landed.toSet == Set(10L))
+    // batch 2 (same run lineage, new query): d12 = exact copy of d10 —
+    // absorbed LAST batch, so only a lockstep sidecar knows it; a stale
+    // sidecar would call it provably-new and bypass the exact gate
+    file("f2.json", (12L, fresh), (13L, fresher))
+    drive()
+    assert(landed.toSet == Set(10L, 13L),
+      s"cross-batch duplicate escaped the bloom-gated index: $landed")
+    // the published sidecar stays a superset of the hash table: every
+    // landed hash probes maybe=true (zero false negatives, end to end)
+    val sidecar = DedupIndex.ensureBloom(spark, idx, 8)
+    val falseNeg = HashBloom.withMaybe(spark.table(idx.hashes), sidecar, "h",
+      HashBloom.bucketsOf(sidecar)).filter(!fcol("_maybe")).count()
+    assert(falseNeg == 0L, s"$falseNeg hash-table members probe provably-absent")
+    // and the sidecar really evolved: bootstrap version + one absorb per
+    // non-empty batch, all committed versions
+    assert(ArtifactStore.versions(
+      ArtifactStore.fs(s"$root/idx"), s"$root/idx/_bloom").length == 3)
+  }
+
   test("index-absorb dedup: a crashed trigger re-drives its batch; committed batches don't replay") {
     import graft.sources.DedupIndex
     val root = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
