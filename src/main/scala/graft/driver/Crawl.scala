@@ -84,11 +84,17 @@ object Crawl {
       var continue = true
       while (continue && total < cap) {
         fetchPage(t, dv, page) match {
-          case Some(df) if !df.isEmpty =>
-            out += df.withColumn("_ord", lit(startOrd + out.size))
-            total += df.count()
-            page += 1
-          case _ => continue = false
+          case Some(df) =>
+            // ONE evaluation per page: the count both decides emptiness
+            // and advances the cap (an isEmpty + count pair would run
+            // every page's plan twice — ADVICE r09)
+            val n = df.count()
+            if (n > 0) {
+              out += df.withColumn("_ord", lit(startOrd + out.size))
+              total += n
+              page += 1
+            } else continue = false
+          case None => continue = false
         }
       }
     }
@@ -152,6 +158,60 @@ object Crawl {
         case None => Failed(p)
       }
     }
+
+  /** The matchList fan-out DISTRIBUTED — the 100 TB analog of
+    * [[fetchMatchLists]]: the reference's loop is driver-sequential
+    * (`EC2/fetcher.py:111-134`, one container, one API budget), which is
+    * faithful but caps throughput at one in-flight request. At fleet
+    * scale the puuid list is a Dataset fanned out over `numSlices`
+    * partitions, and each partition runs the SAME guarded fetch
+    * (limiter → breaker → retry/backoff) under a per-partition SLICE of
+    * the request budget: every `(maxRequests, windowSec)` limit becomes
+    * `(maxRequests / numSlices, windowSec)` locally, so the aggregate
+    * across all partitions never exceeds the global budget — no
+    * coordination, no shared state, the slice IS the contract (the same
+    * move as the per-source token budget: global invariant enforced by
+    * partition-local arithmetic). `numSlices` must not exceed the
+    * tightest window's budget, or a slice would round to zero requests.
+    *
+    * Limiter/breaker/clock are CREATED on the executor (factory, not
+    * instance — driver-side state can't travel); failures surface as
+    * `failed = true` rows for the same K8 leftover persistence the
+    * driver form feeds. CrawlSpec proves the envelope equals the
+    * driver form's and that each partition's request times respect its
+    * slice under a deterministic clock. */
+  def fetchMatchListsDistributed(puuids: DataFrame, window: Windows.WindowState,
+      fetch: (String, Windows.WindowState) => Resilience.Outcome[Seq[String]],
+      limits: Seq[(Int, Long)], numSlices: Int,
+      maxRetries: Int = 3, failureThreshold: Int = 5,
+      recoveryTimeoutSec: Long = 60L,
+      clockFactory: () => Resilience.Clock = () => Resilience.Clock.system)
+      : DataFrame = {
+    require(numSlices > 0, s"numSlices=$numSlices")
+    val tightest = limits.map(_._1).min
+    require(numSlices <= tightest,
+      s"numSlices=$numSlices exceeds the tightest window budget $tightest — " +
+        "a slice needs at least one request per window")
+    val sliced = limits.map { case (maxReq, win) => (maxReq / numSlices, win) }
+    val spark = puuids.sparkSession
+    import spark.implicits._
+    puuids.select(col("puuid")).as[String]
+      .repartition(numSlices)
+      .mapPartitions { it =>
+        val clock = clockFactory()
+        val limiter = new Resilience.SlidingWindowRateLimiter(sliced, clock)
+        val breaker = new Resilience.CircuitBreaker(failureThreshold,
+          recoveryTimeoutSec, clock)
+        it.map { p =>
+          Resilience.guardedFetch(limiter, breaker, maxRetries, clock)(
+            _ => fetch(p, window)) match {
+            case Some(ids) => (p, ids, false)
+            case None      => (p, Seq.empty[String], true)
+          }
+        }
+      }
+      .toDF("puuid", "matchIds", "failed")
+  }
 
   /** The envelope the fetcher uploads (`fetcher.py:141-146`): ONE row
     * `{ranked_map: {puuid: stats…}, matchlist: [distinct ids]}` — the

@@ -51,6 +51,98 @@ class CrawlSpec extends SparkSpec {
     assert(none.isEmpty && t2 == 3)
   }
 
+  test("lowEloUnion evaluates each page exactly once (ADVICE r09: no isEmpty+count pair)") {
+    // pages materialize through a side-effecting RDD map, so every PLAN
+    // EVALUATION of a page increments the counter once per row — the
+    // old isEmpty-then-count pair scored ~3 per 2-row page, single-count
+    // scores exactly 2. The counter lives in a static object (a local
+    // AtomicInteger would be serialized INTO the task closure and the
+    // task would increment its private copy).
+    PageEvalProbe.reset()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "puuid STRING, rank STRING, tier STRING, lp INT")
+    def countingPage(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1).map { r =>
+          PageEvalProbe.evals.incrementAndGet(); r
+        },
+        schema)
+    def fetchPage(t: String, d: String, page: Int): Option[DataFrame] =
+      if (d == "I" && page <= 2)
+        Some(countingPage(Seq(
+          org.apache.spark.sql.Row(s"low_${d}_${page}_a", "I", t, 50),
+          org.apache.spark.sql.Row(s"low_${d}_${page}_b", "I", t, 40))))
+      else Some(countingPage(Nil))
+    val (frames, total) = Crawl.lowEloUnion(fetchPage,
+      tiers = Seq("BRONZE"), divisions = Seq("I"))
+    assert(total == 4 && frames.size == 2)
+    assert(PageEvalProbe.evals.get() == 4,
+      s"4 rows over 2 non-empty pages must evaluate once each; " +
+        s"saw ${PageEvalProbe.evals.get()} row evals")
+  }
+
+  test("fetchMatchListsDistributed: same envelope as the driver form; each slice honors its budget") {
+    import org.apache.spark.sql.functions.{col, explode, not}
+    val puuids = (1 to 24).map(i => f"p$i%02d")
+    val bad = Set("p05", "p17")
+    val window = Windows.WindowState(1000L, 2000L)
+    // 404 → immediate give-up (no backoff sleeps perturbing the logical
+    // clocks); everything else returns a deterministic id list
+    def fetch(p: String, w: Windows.WindowState): Resilience.Outcome[Seq[String]] =
+      if (bad(p)) Resilience.Status(404)
+      else Resilience.Ok(Seq(s"m-$p-1", s"m-$p-2", s"shared-${w.startEpoch}"))
+
+    // driver-sequential baseline
+    val base = Crawl.fetchMatchLists(puuids, window, fetch, limiter, breaker,
+      clock = noWait)
+    val baseOk = base.collect { case Crawl.Matches(p, ids) => p -> ids }.toMap
+    val baseFailed = base.collect { case Crawl.Failed(p) => p }.toSet
+
+    // distributed: 8 req / 120 s global budget over 4 slices → each
+    // partition-local limiter gets 2 req / 120 s; logical clocks start
+    // at 0 and advance only through limiter sleeps
+    FanoutProbe.reset()
+    val out = Crawl.fetchMatchListsDistributed(
+      puuids.toDF("puuid"), window, FanoutProbe.recording(fetch),
+      limits = Seq((8, 120L)), numSlices = 4,
+      clockFactory = () => FanoutProbe.newClock()).cache()
+
+    val gotOk = out.filter(not(col("failed")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val gotFailed = out.filter(col("failed"))
+      .collect().map(_.getString(0)).toSet
+    assert(gotOk == baseOk, "distributed fan-out diverged from the driver form")
+    assert(gotFailed == baseFailed)
+
+    // identical ENVELOPE through the same downstream path
+    val ranks = Seq(("p01", 900)).toDF("puuid", "lp")
+    val envBase = Crawl.envelope(ranks,
+      baseOk.values.flatten.toSeq.toDF("matchId")).collect().toSeq
+    val envDist = Crawl.envelope(ranks,
+      out.filter(not(col("failed")))
+        .select(explode(col("matchIds")).as("matchId"))).collect().toSeq
+    assert(envBase == envDist)
+
+    // budget proof, per slice: on each partition's own clock, request
+    // i+2 is at least one full window after request i (2 req / 120 s);
+    // since every slice holds this independently, the aggregate under
+    // any common clock stays ≤ 8 req / 120 s
+    val byPart = FanoutProbe.calls()
+    assert(byPart.size == 4, s"expected 4 slices, saw ${byPart.keySet}")
+    assert(byPart.values.map(_.length).sum == 24)
+    byPart.foreach { case (part, ts) =>
+      // round-robin starts at a random offset, so slices hold 5-7 rows;
+      // the budget claim is spacing, which holds for any count: request
+      // i+2 sits a full window after request i (2 req / 120 s slice)
+      val sorted = ts.sorted
+      sorted.drop(2).zip(sorted).foreach { case (later, earlier) =>
+        assert(later >= earlier + 120000L,
+          s"partition $part burst past its slice: $sorted")
+      }
+    }
+    out.unpersist()
+  }
+
   test("stampedPlayers evolves drifted tier schemas and renames rank (P3/P8)") {
     // the reference's highElo and LowElo entries carry different field
     // sets (league-v4 entries vs challengerleagues entries); the union
@@ -323,5 +415,51 @@ class CrawlSpec extends SparkSpec {
     assert(leftovers == Set("p3"))
     // state persisted only after the fetcher succeeded
     assert(graft.sinks.Writers.readState(statePath).contains((2 * day, 4 * day)))
+  }
+}
+
+/** Static page-evaluation counter (see FanoutProbe for why an object:
+  * task closures get serialized even in local mode, so a captured
+  * AtomicInteger would be a per-task copy). */
+object PageEvalProbe {
+  val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = evals.set(0)
+}
+
+/** Same-JVM side channel for the distributed fan-out spec. Closures
+  * reference this SINGLETON by class — object members are not serialized
+  * with the closure — so in local mode the executor tasks and the
+  * asserting test observe one shared instance. Each partition registers
+  * its own logical clock (starts at 0, advances only through limiter
+  * sleeps); the recording wrapper logs (partitionId, partition-local
+  * now) at every fetch call. */
+object FanoutProbe {
+  import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+  import java.util.concurrent.atomic.AtomicLong
+  private val clocks = new ConcurrentHashMap[Int, AtomicLong]()
+  private val times = new ConcurrentLinkedQueue[(Int, Long)]()
+
+  def reset(): Unit = { clocks.clear(); times.clear() }
+
+  def newClock(): Resilience.Clock = {
+    val now = new AtomicLong(0L)
+    clocks.put(org.apache.spark.TaskContext.getPartitionId(), now)
+    Resilience.Clock(() => now.get(),
+      ms => { if (ms > 0) now.addAndGet(ms); () }, () => 0.5)
+  }
+
+  def recording(
+      fetch: (String, Windows.WindowState) => Resilience.Outcome[Seq[String]])
+      : (String, Windows.WindowState) => Resilience.Outcome[Seq[String]] =
+    (p, w) => {
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      times.add((pid, clocks.get(pid).get()))
+      fetch(p, w)
+    }
+
+  def calls(): Map[Int, Seq[Long]] = {
+    import scala.jdk.CollectionConverters._
+    times.iterator().asScala.toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
   }
 }
