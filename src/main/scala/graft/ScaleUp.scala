@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a `copies`× benchmark fixture from the driver's sf0.1 parquet
+  * (default: sf1.0 at /tmp/graft_sf1.0) so the WHOLE catalog can run one
+  * decade up — the driver only ships sf0.001/0.01/0.1, and "the plans
+  * look scale-safe" is not a measurement (VERDICT r09 missing #3).
+  *
+  * Derivation (the round-8 decade recipe, now committed and applied to
+  * every table):
+  *  - dimensions (`region`, `nation`) copy through unchanged — real
+  *    scale-ups grow facts, not the nation list;
+  *  - keyed tables union `copies` key-shifted copies (key + c·SPAN for
+  *    every entity key, so FK pairs shift in lockstep and every join
+  *    yields exactly copies× the matches: orders⨝lineitem on orderkey,
+  *    orders⨝customer on custkey, lineitem⨝part/supplier);
+  *  - `documents` copy 0 is untouched; copies 1+ append a copy tag to
+  *    EVERY word, so no shingle collides across copies while within-copy
+  *    dup/near-dup structure is preserved exactly — dedup work scales
+  *    copies× without manufacturing cross-copy near-dups (`n_chars`
+  *    re-derived from the salted text);
+  *  - `embeddings` shift `vec_id` only — vectors repeat, so per-centroid
+  *    list sizes grow copies× while fixed-id probe queries (which live in
+  *    copy 0) stay meaningful;
+  *  - fixed-id anchors (`CorpusBoundaryId`, KNN query ids, hybrid-search
+  *    seeds) all resolve into the intact copy 0, so every catalog row
+  *    still computes its real shape — with the one declared caveat that
+  *    a CONSTANT corpus boundary means incremental-dedup's corpus side
+  *    stays fixed while its batch side scales (the batch side is the
+  *    side that shuffles, so the scaling question is still exercised).
+  *
+  * `events.ts` arrives as raw long nanos (the TIMESTAMP(NANOS) column
+  * under `nanosAsLong`) and is written back as plain INT64 nanos, which
+  * [[graft.sources.Tables.events]] reads identically. */
+object ScaleUp {
+
+  /** Key shift per copy — far above every key in the sf0.1 fixture. */
+  val Span = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1.0")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.sources.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, dst, copies)
+    println(s"""{"scaled":"$dst","copies":$copies,"src":"$src"}""")
+    spark.stop()
+  }
+
+  /** Every table the driver fixture ships. */
+  val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "embeddings", "documents")
+
+  /** Materialize the `copies`× fixture under `dst` (callable from specs —
+    * [[main]] owns the session lifecycle, this does not; `tables` narrows
+    * the derivation to a subset when a spec only needs one table). */
+  def derive(spark: SparkSession, src: String, dst: String, copies: Int,
+      tables: Seq[String] = AllTables): Unit = {
+    def write(name: String)(xform: (DataFrame, Int) => DataFrame): Unit =
+      if (tables.contains(name)) {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        (0 until copies).map(c => xform(base, c))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      }
+    def shifted(keys: String*)(df: DataFrame, c: Int): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * Span)))
+
+    // dimensions: one copy, no shift
+    Seq("region", "nation").filter(tables.contains).foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    write("customer")(shifted("c_custkey"))
+    write("supplier")(shifted("s_suppkey"))
+    write("part")(shifted("p_partkey"))
+    write("orders")(shifted("o_orderkey", "o_custkey"))
+    write("lineitem")(shifted("l_orderkey", "l_partkey", "l_suppkey"))
+    write("events")(shifted("event_id", "user_id"))
+    write("embeddings")(shifted("vec_id"))
+    write("documents") { (df, c) =>
+      val s = shifted("doc_id")(df, c)
+      if (c == 0) s
+      else s
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"zz$c"))), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+  }
+}

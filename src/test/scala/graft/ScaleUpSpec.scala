@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Pins the [[ScaleUp]] derivation invariants the decade measurement
+  * depends on (PERF.md): the scaled fixture must grow WORK linearly
+  * without changing the SHAPE of any query's answer distribution.
+  *
+  *  - facts grow exactly `copies`×; dimensions do not grow at all;
+  *  - FK pairs shift in lockstep, so every catalog join yields exactly
+  *    `copies`× the base matches — no cross-copy match can exist
+  *    (keys within a copy are < Span apart; shifts differ by ≥ Span);
+  *  - document texts are salted per copy: distinct texts grow exactly
+  *    `copies`× (zero cross-copy shingle/text collisions) while the
+  *    within-copy duplicate-group histogram is preserved per copy —
+  *    dedup work scales without manufacturing near-dups;
+  *  - the derived fixture reads back through the SAME [[Tables]] entry
+  *    points the catalog uses (the events nanos round-trip included).
+  */
+class ScaleUpSpec extends SparkSpec {
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val dst = {
+    val d = java.nio.file.Files.createTempDirectory("graft_scaleup").toString
+    ScaleUp.derive(spark, src, d, copies = 3)
+    d
+  }
+  private val copies = 3
+
+  test("facts grow copies-x; dimensions are untouched") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "embeddings", "documents")) {
+      val base = spark.read.parquet(s"$src/$t.parquet").count()
+      val big = spark.read.parquet(s"$dst/$t.parquet").count()
+      assert(big == base * copies, s"$t: $big != $copies x $base")
+    }
+    for (t <- Seq("region", "nation")) {
+      val base = spark.read.parquet(s"$src/$t.parquet").count()
+      val big = spark.read.parquet(s"$dst/$t.parquet").count()
+      assert(big == base, s"$t: dimension grew $base -> $big")
+    }
+  }
+
+  test("FK lockstep: joins yield exactly copies-x the base matches") {
+    def joinCount(dir: String): (Long, Long) = {
+      val o = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      val c = Tables.customer(spark, dir)
+      (li.join(o, li("l_orderkey") === o("o_orderkey")).count(),
+        o.join(c, o("o_custkey") === c("c_custkey")).count())
+    }
+    val (bLi, bCust) = joinCount(src)
+    val (sLi, sCust) = joinCount(dst)
+    assert(sLi == bLi * copies, s"orders-lineitem: $sLi != $copies x $bLi")
+    assert(sCust == bCust * copies, s"orders-customer: $sCust != $copies x $bCust")
+  }
+
+  test("documents: distinct texts grow exactly copies-x (no cross-copy collisions)") {
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val big = spark.read.parquet(s"$dst/documents.parquet")
+    assert(big.select("text").distinct().count() ==
+      base.select("text").distinct().count() * copies)
+  }
+
+  test("documents: within-copy duplicate-group histogram preserved per copy") {
+    // sf0.001/sf0.01 documents are dup-free, so the histogram check would
+    // be vacuous there — derive documents only from sf0.1 (8 dup rows)
+    val dupSrc = "/root/testdata/sf0.1"
+    val dupDst = java.nio.file.Files.createTempDirectory("graft_scaleup_doc").toString
+    ScaleUp.derive(spark, dupSrc, dupDst, copies, tables = Seq("documents"))
+    val base = spark.read.parquet(s"$dupSrc/documents.parquet")
+    def histogram(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("text").count().groupBy("count").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseHist = histogram(base)
+    // the fixture must contain real dup groups or this test proves nothing
+    assert(baseHist.keys.exists(_ > 1), "sf0.1 documents has no exact dups")
+    val big = spark.read.parquet(s"$dupDst/documents.parquet")
+      .withColumn("copy", floor(col("doc_id") / ScaleUp.Span))
+    for (c <- 0 until copies) {
+      val h = histogram(big.where(col("copy") === c).drop("copy"))
+      assert(h == baseHist, s"copy $c histogram $h != base $baseHist")
+    }
+    // n_chars stays consistent with the salted text (catalog queries
+    // derive length stats from it)
+    assert(big.where(length(col("text")) =!= col("n_chars")).count() == 0)
+  }
+
+  test("derived fixture reads through the catalog's Tables entry points") {
+    val ev = Tables.events(spark, dst)
+    assert(ev.count() == Tables.events(spark, src).count() * copies)
+    assert(ev.schema == Tables.events(spark, src).schema)
+    val emb = Tables.embeddings(spark, dst)
+    assert(emb.select("vec_id").distinct().count() ==
+      Tables.embeddings(spark, src).select("vec_id").distinct().count() * copies)
+    // vectors repeat by design: per-centroid lists grow copies-x while
+    // fixed-id probes stay meaningful — distinct vectors must NOT grow
+    assert(emb.select("embedding").distinct().count() ==
+      Tables.embeddings(spark, src).select("embedding").distinct().count())
+  }
+}
