@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   *    stays fixed while its batch side scales (the batch side is the
   *    side that shuffles, so the scaling question is still exercised).
   *
-  * `events.ts` arrives as raw long nanos (the TIMESTAMP(NANOS) column
-  * under `nanosAsLong`) and is written back as plain INT64 nanos, which
-  * [[graft.sources.Tables.events]] reads identically. */
+  * `events.ts` copies through in whatever physical type the source
+  * fixture uses (timestamp[us] currently; raw INT64 nanos under
+  * `nanosAsLong` for older fixtures) — [[graft.sources.Tables
+  * .normalizeEventTs]] reads either generation identically. */
 object ScaleUp {
 
   /** Key shift per copy — far above every key in the sf0.1 fixture. */

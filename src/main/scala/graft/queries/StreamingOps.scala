@@ -3,6 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
 
 /** Streaming↔batch equivalence under the driver's hard oracle gate
   * (SURVEY §2.10; the reference's S3-event-driven micro-batch loop,
@@ -33,9 +34,8 @@ object StreamingOps {
     val sink = s"stream_equiv_sink_${sinkId.incrementAndGet()}"
     // the file-stream source wants a DIRECTORY basePath; events.parquet is
     // a single file, so stream its parent filtered down to just it
-    val q = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.normalizeEventTs(s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
       .groupBy(window($"ts", "2 days").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(sink)

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -17,8 +18,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Session confs every graft session must set at BUILD time (Smoke /
-    * Verify / Bench / tests). `events.ts` is parquet TIMESTAMP(NANOS),
-    * which the vectorized reader rejects — read it as long nanos instead.
+    * Verify / Bench / tests). Earlier driver fixtures shipped `events.ts`
+    * as parquet TIMESTAMP(NANOS), which the vectorized reader rejects —
+    * `nanosAsLong` reads it as raw long nanos instead (harmless no-op on
+    * the current timestamp[us] fixtures; kept so both generations load).
     * Set here once, NOT as a reader side-effect (a reader mutating shared
     * session conf would silently change how sibling queries parse nanos). */
   val requiredConfs: Map[String, String] = Map(
@@ -38,14 +41,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** Raw long-nanos `ts` surfaced as a micros-precision TimestampType
-    * (DuckDB's own ns→µs truncation matches). `div` truncates toward zero,
-    * which equals floor division only for post-epoch data — all driver
-    * events are 2024+; pre-epoch nanos would need floordiv. Requires
-    * [[requiredConfs]] set at session build. */
+  /** Normalize an events frame's `ts` to a micros-precision UTC-instant
+    * TimestampType regardless of which fixture generation wrote it:
+    *  - INT64 TIMESTAMP(NANOS) (pre-2026-08-13 driver fixtures), read as
+    *    raw long under [[requiredConfs]]' `nanosAsLong` → `div 1000` to
+    *    micros (DuckDB's own ns→µs truncation matches; `div` truncates
+    *    toward zero, which equals floor division only for post-epoch
+    *    data — all driver events are 2024+);
+    *  - timestamp[us] without timezone (current fixtures), which Spark
+    *    surfaces as TIMESTAMP_NTZ → cast to TimestampType, reading the
+    *    stored wall-clock as UTC under the session's UTC timeZone —
+    *    exactly how the DuckDB oracle reads the same file (naive
+    *    TIMESTAMP);
+    *  - an already-instant TimestampType passes through.
+    * Works on streaming frames too (the dispatch reads only the schema). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
