@@ -115,7 +115,17 @@ object Bench {
         q.run(spark, dir).write.format("noop").mode("overwrite").save(); None
       } catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
 
-    val qs = SparkEntry.catalog.filter(_.headline)
+    // SPARK_GRAFT_ONLY=a,b,c narrows the catalog for targeted scale
+    // probes (e.g. re-measuring one query's decade ratio at sf10
+    // without paying the full catalog). Local investigation only — the
+    // driver never sets it — and a narrowed run is stamped `subset` in
+    // bench_full.json so it can never pass as a full-catalog record.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = {
+      val all = SparkEntry.catalog.filter(_.headline)
+      only.fold(all)(o => all.filter(q => o(q.name)))
+    }
     qs.foreach(exec(_, warmDir)) // warmup: codegen + JIT per query shape
 
     // best-of-N per query: box noise is additive, so the minimum is the
@@ -244,9 +254,12 @@ object Bench {
     val contamJson =
       if (contaminated.isEmpty) ""
       else s""","contaminated":${contaminated.map(jstr).mkString("[", ",", "]")}"""
+    val subsetJson =
+      if (only.isEmpty) ""
+      else s""","subset":"${qs.length} of ${SparkEntry.catalog.count(_.headline)}""""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${qJsonAt(
-          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson,"sf":"$sfDir"}"""
+          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson$subsetJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchDir, "bench_full.json"),
       fullJson.getBytes("UTF-8"))

@@ -64,6 +64,27 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(table(s, d, "events"))
+
+  /** Streaming read of `dir/name.parquet` that works with BOTH fixture
+    * layouts. The driver writes each table as a single FILE named
+    * `name.parquet`; the file-stream source wants a directory basePath,
+    * so stream the parent filtered down to that filename. Spark-written
+    * fixtures ([[graft.ScaleUp]]) make `name.parquet` a DIRECTORY of
+    * part files — stream it as the basePath directly; the filename glob
+    * would match no part file and the query would silently stream ZERO
+    * rows (it did, at sf1.0, until this helper: the stream rows "ran"
+    * 10× faster on 10× data because they processed nothing). Schema
+    * comes from a batch read of the same path (streams can't infer). */
+  def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = s.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    if (isDir) s.readStream.schema(schema).parquet(path)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -477,6 +477,37 @@ class StreamingSpec extends SparkSpec {
       s"restart must re-drive exactly the failed batch: $landed")
   }
 
+  test("streamTable reads directory-layout fixtures (ScaleUp) == file-layout (driver)") {
+    // the driver writes each table as a single FILE `name.parquet`;
+    // ScaleUp writes a DIRECTORY of part files under the same name. The
+    // old filename-glob stream read matched no part file on the
+    // directory layout and silently streamed ZERO rows (the sf1.0 bench
+    // "ran" the stream rows 10x faster on 10x data) — pin both layouts
+    // through the same catalog read and require equal drained output.
+    val src = "/root/testdata/sf0.001"
+    val dst = Files.createTempDirectory("graft_dirfix").toString
+    ScaleUp.derive(spark, src, dst, copies = 1, tables = Seq("events"))
+    assert(new java.io.File(s"$dst/events.parquet").isDirectory)
+    def drained(d: String): Map[(java.sql.Timestamp, String), Long] = {
+      val q = graft.sources.Tables.normalizeEventTs(
+          graft.sources.Tables.streamTable(spark, d, "events"))
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "2 days").as("w"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .writeStream.format("memory").queryName(s"dirfix_${d.hashCode.abs}")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(s"dirfix_${d.hashCode.abs}")
+        .select($"w.start", $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map { case (t, e, n) => (t, e) -> n }.toMap
+    }
+    val fromDir = drained(dst)
+    assert(fromDir.nonEmpty && fromDir.values.sum ==
+      graft.sources.Tables.events(spark, src).count(),
+      "directory layout must stream every row")
+    assert(fromDir == drained(src), "both layouts must drain identically")
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered ids (St7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
