@@ -8,6 +8,30 @@ import graft.operators.{Normalize, VerticalSplit}
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeEventTs: all three ts generations land on the same instants") {
+    // the on-disk fixture only exercises one generation at a time, so pin
+    // the dispatch here: long nanos (legacy fixtures via nanosAsLong),
+    // TIMESTAMP_NTZ wall-clock (current timestamp[us] fixtures, session
+    // tz UTC), and an already-instant timestamp must all normalize to
+    // the identical micros-precision instant
+    val nanos = 1722470400123456789L // 2024-08-01T00:00:00.123456789Z
+    val fromLong = graft.sources.Tables.normalizeEventTs(
+      Seq(nanos).toDF("ts"))
+    val fromNtz = graft.sources.Tables.normalizeEventTs(
+      Seq(nanos / 1000).toDF("us")
+        .select(timestamp_micros($"us").cast("timestamp_ntz").as("ts")))
+    val fromTs = graft.sources.Tables.normalizeEventTs(
+      Seq(nanos / 1000).toDF("us").select(timestamp_micros($"us").as("ts")))
+    val vals = Seq(fromLong, fromNtz, fromTs).map { df =>
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      df.select($"ts".cast("long")).as[Long].head() ->
+        df.select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).as[String].head()
+    }
+    assert(vals.distinct.size == 1, s"generations disagree: $vals")
+    assert(vals.head._2 == "2024-08-01 00:00:00.123456")
+  }
+
   test("split assigns each column to the FIRST matching group; rejoin restores the row") {
     val df = Seq((1, "k", 10, 20.0, "x")).toDF("id", "key", "perks_a", "challenges_b", "other")
     val parts = VerticalSplit.split(df, Seq("id", "key"), Seq(
