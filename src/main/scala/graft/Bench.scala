@@ -128,6 +128,19 @@ object Bench {
     }
     qs.foreach(exec(_, warmDir)) // warmup: codegen + JIT per query shape
 
+    // box-speed calibration stamp: a fixed data-independent codegen
+    // workload (range→sum, no I/O, no shuffle) timed after warmup. Round
+    // 9→10 the VM landed on ~2.2×-slower hardware and EVERY query moved
+    // together — absolute cross-round deltas were box noise, and the only
+    // way to see that was a side experiment. With `calib_sec` in every
+    // record, a delta reader divides the two stamps first and argues
+    // about plans, not hosts. (Best of 3, same policy as the queries.)
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // best-of-N per query: box noise is additive, so the minimum is the
     // least-contaminated estimate of the plan's real cost; all reps are
     // kept for the spread. Reps are INTERLEAVED round-robin across
@@ -258,7 +271,8 @@ object Bench {
       if (only.isEmpty) ""
       else s""","subset":"${qs.length} of ${SparkEntry.catalog.count(_.headline)}""""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"queries":${qJsonAt(
+      s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"calib_sec":${r3(
+          calib)},"queries":${qJsonAt(
           v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson$subsetJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchDir, "bench_full.json"),
