@@ -19,10 +19,15 @@ import graft.sources.Tables
   *  - EVERY rep's time is recorded (`reps` map in `bench_full.json`), not
   *    just the min — the round-over-round question "did this query really
   *    regress, or is the box noisy?" needs the spread, not a point estimate;
-  *  - a regression gate: the newest PARSEABLE prior `BENCH_r{N}.json`
-  *    (driver format, stdout line embedded in its `tail` field) is read and
-  *    any per-query delta beyond 1.5× in either direction is reported in
-  *    `deltas` — with the current spread attached, so a "regression" whose
+  *  - a regression gate: history is the committed `bench_full.json`
+  *    when its `sf` matches and it is not a subset record (exact
+  *    3-decimal values + `calib_sec`), else the newest PARSEABLE prior
+  *    `BENCH_r{N}.json` (driver format, stdout line embedded in its
+  *    `tail` field). When both sides carry a calib stamp, prior times
+  *    are scaled by curCalib/prevCalib first (host-speed swings are not
+  *    regressions; the applied `calib_ratio` is recorded). Any per-query
+  *    delta beyond 1.5× in either direction is reported in `deltas` —
+  *    with the current spread attached, so a "regression" whose
   *    previous time sits inside today's rep spread reads as noise, not code;
   *  - the stdout line stays COMPACT (2-decimal minima, no reps/deltas): the
   *    driver keeps only the last 2000 chars of output, and an over-long
@@ -98,6 +103,43 @@ object Bench {
       } catch { case _: Throwable => None }
     }.nextOption()
   }
+  /** Full-precision history: the committed `bench_full.json` is LAST
+    * round's record until this run overwrites it at the end, carrying
+    * exact 3-decimal per-query seconds plus the box-speed `calib_sec`
+    * stamp — a strictly better regression baseline than the driver's
+    * 2000-char tail capture (which degrades to integer precision at
+    * catalog size). Used only when its `sf` matches this run's and it
+    * is NOT a `subset` record (a narrowed probe must never serve as
+    * full-catalog history). Returns (per-query seconds, calib stamp). */
+  def previousFull(dir: String,
+      sfDir: String): Option[(Map[String, Double], Option[Double])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val f = new java.io.File(dir, "bench_full.json")
+      if (!f.isFile) None
+      else {
+        val j = JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        val sfOk = j \ "sf" match { case JString(s) => s == sfDir; case _ => false }
+        val subset = (j \ "subset") != JNothing
+        if (!sfOk || subset) None
+        else j \ "queries" match {
+          case JObject(fields) =>
+            val qs = fields.collect { case (k, JDouble(v)) => k -> v }
+              .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble })
+              .filter(_._2 >= 0).toMap
+            val calib = j \ "calib_sec" match {
+              case JDouble(v) if v > 0 => Some(v)
+              case _                   => None
+            }
+            if (qs.isEmpty) None else Some((qs, calib))
+          case _ => None
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -158,7 +200,24 @@ object Bench {
     for (_ <- 1 to reps; q <- qs) runOnce(q)
 
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
-    val history = previousBench(benchDir)
+    // history preference: the committed full-precision record first
+    // (exact values + calib stamp), the driver's tail capture as the
+    // fallback. When BOTH this run and the history carry a calib stamp,
+    // prior times are scaled by curCalib/prevCalib before any gate
+    // compares them — the round-10 lesson: the host's effective speed
+    // moved 1.6× between runs of identical code, and without the
+    // normalization every such swing reads as a catalog-wide
+    // regression (or improvement) that never happened.
+    val fullHist = previousFull(benchDir, sfDir)
+    val tailHist = previousBench(benchDir)
+    val prevQueries: Map[String, Double] =
+      fullHist.map(_._1).orElse(tailHist.map(_._2)).getOrElse(Map.empty)
+    val calibRatio: Option[Double] =
+      fullHist.flatMap(_._2).map(pc => calib / pc)
+    def adj(p: Double): Double = calibRatio.fold(p)(p * _)
+    val prevTag: Option[String] =
+      if (fullHist.isDefined) Some("\"bench_full\"")
+      else tailHist.map(_._1.toString)
 
     // contamination gate (VERDICT r08/r09): a query whose best rep is
     // >10× its parseable-history time while that history is sub-second
@@ -175,16 +234,14 @@ object Bench {
     // re-run it all). A contaminated sub-second row must itself clear
     // the box's 1 s noise floor to count as an anomaly.
     val contaminated = collection.mutable.Buffer.empty[String]
-    history.foreach { case (_, prev) =>
-      qs.foreach { q =>
-        val ok = timed(q.name).filter(_._2.isEmpty).map(_._1)
-        prev.get(q.name).foreach { h =>
-          val bar = math.max(h * 10, 1.0)
-          if (h < 1.0 && ok.nonEmpty && ok.min > bar) {
-            runOnce(q)
-            val ok2 = timed(q.name).filter(_._2.isEmpty).map(_._1)
-            if (ok2.nonEmpty && ok2.min > bar) contaminated += q.name
-          }
+    qs.foreach { q =>
+      val ok = timed(q.name).filter(_._2.isEmpty).map(_._1)
+      prevQueries.get(q.name).map(adj).foreach { h =>
+        val bar = math.max(h * 10, 1.0)
+        if (h < 1.0 && ok.nonEmpty && ok.min > bar) {
+          runOnce(q)
+          val ok2 = timed(q.name).filter(_._2.isEmpty).map(_._1)
+          if (ok2.nonEmpty && ok2.min > bar) contaminated += q.name
         }
       }
     }
@@ -227,19 +284,21 @@ object Bench {
     // regressions of consequence clear 1 s. The current spread rides
     // along so a flagged move can be judged against it.
     val noiseFloorSec = 1.0
-    val deltaJson = history match {
-      case Some((prevRound, prev)) =>
+    val deltaJson =
+      if (prevQueries.isEmpty) ""
+      else {
         val flagged = results.flatMap { case (k, cur, rs, _) =>
-          prev.get(k).collect {
+          prevQueries.get(k).map(adj).collect {
             case p if cur > 0 && math.max(p, cur) > noiseFloorSec &&
                 (cur > p * 1.5 || p > cur * 1.5) =>
               s"${jstr(k)}:{${jstr("prev")}:${r3(p)},${jstr("cur")}:${r3(cur)}," +
                 s"${jstr("reps")}:${rs.map(r3).mkString("[", ",", "]")}}"
           }
         }
-        s""","prev_round":$prevRound,"deltas":${flagged.mkString("{", ",", "}")}"""
-      case None => ""
-    }
+        val ratioJson =
+          calibRatio.fold("")(r => s""","calib_ratio":${r3(r)}""")
+        s""","prev":${prevTag.get}$ratioJson,"deltas":${flagged.mkString("{", ",", "}")}"""
+      }
     val total = r2(results.collect { case (_, v, _, _) if v >= 0 => v }.sum)
     // 1-minute load average at end of run: a headline number taken on a
     // busy box (load >> core count) is noise, not a regression — this

@@ -45,6 +45,23 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r2 == 6 && qs2 == Map("a" -> 1.5, "b" -> 0.2))
   }
 
+  test("previousFull: matching-sf bench_full wins with calib; subset and other-sf are refused") {
+    val dir = Files.createTempDirectory("graft_bench_full").toString
+    def put(json: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/bench_full.json"), json)
+    put("""{"metric":"total","value":2,"calib_sec":0.1,"queries":{"a":1.234,"bad":-1.0},"sf":"/sf/x"}""")
+    assert(Bench.previousFull(dir, "/sf/x")
+      == Some((Map("a" -> 1.234), Some(0.1))))
+    assert(Bench.previousFull(dir, "/sf/OTHER").isEmpty, "sf mismatch must refuse")
+    put("""{"metric":"total","value":2,"queries":{"a":1.0},"subset":"3 of 109","sf":"/sf/x"}""")
+    assert(Bench.previousFull(dir, "/sf/x").isEmpty, "subset record must refuse")
+    put("""{"metric":"total","value":2,"queries":{"a":2.5},"sf":"/sf/x"}""")
+    assert(Bench.previousFull(dir, "/sf/x") == Some((Map("a" -> 2.5), None)),
+      "calib-less history is usable, just unnormalized")
+    assert(Bench.previousFull(
+      Files.createTempDirectory("graft_bench_none").toString, "/sf/x").isEmpty)
+  }
+
   test("sbt [info] prefixes and bare-line files are tolerated; empty dir is None") {
     val dir = Files.createTempDirectory("graft_bench_hist").toString
     write(dir, 2, """[info] {"metric":"total","value":1,"unit":"sec","queries":{"q":2.0}}""")
