@@ -40,6 +40,12 @@ def main():
           f"({big['value']/small['value']:.2f}x for 10x data)")
     print(f"ratio p50={pct(.5):.2f} p90={pct(.9):.2f} max={ratios[-1]:.2f} "
           f"min={ratios[0]:.2f}; loads {small.get('load_avg')}/{big.get('load_avg')}")
+    # host-speed honesty: when both records carry the data-independent
+    # calib stamp, report how much of any ratio is just the box moving
+    ca, cb = small.get("calib_sec"), big.get("calib_sec")
+    if ca and cb:
+        print(f"calib {ca:.3f}s -> {cb:.3f}s (box factor {cb/ca:.2f}x; "
+              f"divide ratios by it for plan-only growth)")
     fmt = "| {} | {:.2f} | {:.2f} | {:.2f}x |" if md else "{:28s} {:8.2f} {:8.2f} {:7.2f}x"
     for name, a, b, r in rows:
         if r is None:
