@@ -66,8 +66,14 @@ object Bench {
     * within a file because the final line is now the short total-only
     * record, which carries no `queries` map — the per-query line sits
     * just above it. Queries recorded as errored (negative seconds) are
-    * dropped so the regression gate never compares against a -1 sentinel. */
-  def previousBench(dir: String): Option[(Int, Map[String, Double])] = {
+    * dropped so the regression gate never compares against a -1 sentinel.
+    * When `sfDir` is given, a line carrying a DIFFERENT `sf` is skipped —
+    * a local sf0.01 iteration run with the default bench dir must not
+    * gate against the driver's sf0.1 history (a line whose sf was
+    * truncated away is accepted: driver records are sf0.1 and the field
+    * sits at the line's tail, the end that survives head-truncation). */
+  def previousBench(dir: String,
+      sfDir: Option[String] = None): Option[(Int, Map[String, Double])] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val rx = """BENCH_r(\d+)\.json""".r
@@ -90,7 +96,13 @@ object Bench {
           .toSeq.reverse // last line first: skip the short total-only record
         lines.iterator.flatMap { l =>
           try {
-            JsonMethods.parse(l) \ "queries" match {
+            val j = JsonMethods.parse(l)
+            val sfOk = (j \ "sf", sfDir) match {
+              case (JString(s), Some(want)) => s == want
+              case _                        => true // absent/truncated sf, or no filter
+            }
+            if (!sfOk) None
+            else j \ "queries" match {
               case JObject(fields) =>
                 val qs = fields.collect { case (k, JDouble(v)) => k -> v }
                   .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble })
@@ -209,7 +221,7 @@ object Bench {
     // normalization every such swing reads as a catalog-wide
     // regression (or improvement) that never happened.
     val fullHist = previousFull(benchDir, sfDir)
-    val tailHist = previousBench(benchDir)
+    val tailHist = previousBench(benchDir, Some(sfDir))
     val prevQueries: Map[String, Double] =
       fullHist.map(_._1).orElse(tailHist.map(_._2)).getOrElse(Map.empty)
     val calibRatio: Option[Double] =

@@ -69,4 +69,16 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r == 2 && qs("q") == 2.0)
     assert(Bench.previousBench(Files.createTempDirectory("graft_empty").toString).isEmpty)
   }
+
+  test("sf filter: other-sf lines are skipped, absent/truncated sf is accepted") {
+    val dir = Files.createTempDirectory("graft_bench_sf").toString
+    write(dir, 8, """{"metric":"total","value":1,"unit":"sec","queries":{"a":1.0},"sf":"/sf/big"}""")
+    // a local iteration at a different SF must not gate against it
+    assert(Bench.previousBench(dir, Some("/sf/small")).isEmpty)
+    assert(Bench.previousBench(dir, Some("/sf/big")).map(_._2) == Some(Map("a" -> 1.0)))
+    // head-truncated lines lose the LEADING fields, never the trailing
+    // sf — but a line with no sf at all (older format) still counts
+    write(dir, 9, """{"metric":"total","value":1,"unit":"sec","queries":{"b":2.0}}""")
+    assert(Bench.previousBench(dir, Some("/sf/anything")).map(_._2) == Some(Map("b" -> 2.0)))
+  }
 }
