@@ -295,27 +295,9 @@ object Crawl {
       (df: DataFrame, kind: String, n: Int) =>
         Writers.jsonDump(df, s"$outRoot/$kind/batch_$n")
     }
-    // envelope pull, retried like the upload (processor.py:37-61)
-    val env = Resilience.fetchWithBackoff(3, clock) { _ =>
-      try {
-        val e = spark.read.json(s"$outRoot/$matchlistKey")
-        // match_count is the always-inferrable marker: an empty crawl's
-        // ranked_map/matchlist hold only {}/[] and JSON inference drops
-        // such fields, so their ABSENCE is legal when match_count says so
-        require(e.columns.contains("match_count"),
-          s"malformed matchlist envelope at $matchlistKey")
-        val n = e.select(col("match_count")).head().getLong(0)
-        require(n == 0 ||
-          (e.columns.contains("matchlist") && e.columns.contains("ranked_map")),
-          s"envelope at $matchlistKey claims $n matches but lacks the fields")
-        Resilience.Ok(e)
-      } catch { case ex: Exception => Resilience.TransportError(ex) }
-    }.getOrElse(return None)
-    val pmKey = s"player-maps/player-map_${window.startEpoch}_${window.endEpoch}_.json"
-    Writers.jsonDump(
-      if (env.columns.contains("ranked_map")) env.select(col("ranked_map"))
-      else spark.sql("SELECT map() AS ranked_map"),
-      s"$outRoot/$pmKey")
+    val env = pullEnvelope(spark, outRoot, matchlistKey, clock)
+      .getOrElse(return None)
+    val pmKey = landPlayerMap(spark, outRoot, env, window)
     val ids =
       if (env.columns.contains("matchlist"))
         env.select(explode(col("matchlist")).as("m")).as[String].collect()
@@ -336,17 +318,48 @@ object Crawl {
       walk.timelineBatches, leftoverKey, pmKey))
   }
 
+  /** Envelope pull, retried like the upload (`processor.py:37-61`): the
+    * exit-7 manual-intervention path is `None`. `match_count` is the
+    * always-inferrable marker — an empty crawl's ranked_map/matchlist
+    * hold only {}/[] and JSON inference drops such fields, so their
+    * ABSENCE is legal when match_count says so. */
+  private def pullEnvelope(spark: SparkSession, outRoot: String,
+      matchlistKey: String, clock: Resilience.Clock): Option[DataFrame] =
+    Resilience.fetchWithBackoff(3, clock) { _ =>
+      try {
+        val e = spark.read.json(s"$outRoot/$matchlistKey")
+        require(e.columns.contains("match_count"),
+          s"malformed matchlist envelope at $matchlistKey")
+        val n = e.select(col("match_count")).head().getLong(0)
+        require(n == 0 ||
+          (e.columns.contains("matchlist") && e.columns.contains("ranked_map")),
+          s"envelope at $matchlistKey claims $n matches but lacks the fields")
+        Resilience.Ok(e)
+      } catch { case ex: Exception => Resilience.TransportError(ex) }
+    }
+
+  /** Re-land the rank map under `player-maps/` (`processor.py:63-71`). */
+  private def landPlayerMap(spark: SparkSession, outRoot: String,
+      env: DataFrame, window: Windows.WindowState): String = {
+    val pmKey = s"player-maps/player-map_${window.startEpoch}_${window.endEpoch}_.json"
+    Writers.jsonDump(
+      if (env.columns.contains("ranked_map")) env.select(col("ranked_map"))
+      else spark.sql("SELECT map() AS ranked_map"),
+      s"$outRoot/$pmKey")
+    pmKey
+  }
+
   /** Outcome of one matchlist walk. `unprocessed` is non-empty iff the
     * deadline cut the walk short — it starts at the CURRENT id (see the
     * declared divergence on [[runProcessor]]). */
-  private final case class Walk(total: Int, noData: Int, matchBatches: Int,
+  private[graft] final case class Walk(total: Int, noData: Int, matchBatches: Int,
       timelineBatches: Int, unprocessed: Seq[String])
 
   /** The shared per-id walk of `run_processor` and `run_leftovers`
     * (`processor.py:95-233`, `leftover.py:68-180`): deadline check →
     * guarded match+timeline fetch → skip-on-no-data → source-stamped
     * batch flushes in the reference cadence, remainders at the end. */
-  private def walkMatches(spark: SparkSession, ids: Seq[String],
+  private[graft] def walkMatches(spark: SparkSession, ids: Seq[String],
       fetchMatch: String => Resilience.Outcome[String],
       fetchTimeline: String => Resilience.Outcome[String],
       limiter: Resilience.SlidingWindowRateLimiter,
@@ -394,6 +407,175 @@ object Crawl {
       timelineBatches += 1; land(parse(timelineBatch), "match_timeline", timelineBatches)
     }
     Walk(total, noData, matchBatches, timelineBatches, unprocessed)
+  }
+
+  /** The matchlist walk DISTRIBUTED — the 100 TB analog of
+    * [[walkMatches]], the same move [[fetchMatchListsDistributed]] made
+    * for the fan-out: the reference's processor loop is the pipeline's
+    * 13-hour driver-sequential hot path (`EC2/processor.py:95-174`, 2 API
+    * requests per match id under one container's budget); at fleet scale
+    * the id list fans out over `numSlices` partitions, each running the
+    * SAME guarded match+timeline fetch pair under a per-partition SLICE
+    * of the request budget — every `(maxRequests, windowSec)` limit
+    * becomes `(maxRequests / numSlices, windowSec)` locally, so the
+    * aggregate across partitions never exceeds the global budget with no
+    * coordination (limiter/breaker/clock are CREATED on the executor via
+    * factories; driver-side state can't travel).
+    *
+    * Contract differences from the driver form, all declared:
+    *  - **Walk order** is sorted matchId (the determinism rule
+    *    [[runLeftovers]] already established — the reference's matchlist
+    *    is a Python set with no order of its own). Batch k of a kind is
+    *    EXACTLY docs [k·batchSize, (k+1)·batchSize) of the successful
+    *    fetches in that order, so batches are reproducible and equal to
+    *    a driver-form walk over the sorted list: the global index is
+    *    assigned by range-repartition + per-partition zip (two bounded
+    *    jobs), never a single-reducer window.
+    *  - **Flush cadence** (200 matches / 50 timelines,
+    *    `processor.py:160-174`) bounds each LANDED batch, exactly like
+    *    the reference's cadence bounds its in-memory buffer; `land`
+    *    calls arrive grouped per kind rather than interleaved (the
+    *    landed content per (kind, batch) is identical). Each batch is
+    *    parsed DISTRIBUTED — `spark.read.json` over the batch slice, no
+    *    driver-side doc buffering at all.
+    *  - **Deadline** is checked per partition on ITS clock: the
+    *    unprocessed set is the union of per-partition tails (the driver
+    *    form's tail is one contiguous suffix); no id is ever lost —
+    *    every id is exactly one of processed / no_data / unprocessed.
+    * CrawlSpec proves batches, leftovers, and report equal the driver
+    * form on the sorted list, and that each slice's request times
+    * respect its budget under a deterministic clock. */
+  def walkMatchesDistributed(ids: DataFrame,
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limits: Seq[(Int, Long)], numSlices: Int,
+      maxRetries: Int = 3, failureThreshold: Int = 5,
+      recoveryTimeoutSec: Long = 60L,
+      deadlineEpoch: Long = Long.MaxValue,
+      clockFactory: () => Resilience.Clock = () => Resilience.Clock.system,
+      source: String = "crawl",
+      matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
+      land: (DataFrame, String, Int) => Unit): Walk = {
+    require(numSlices > 0, s"numSlices=$numSlices")
+    val tightest = limits.map(_._1).min
+    require(numSlices <= tightest,
+      s"numSlices=$numSlices exceeds the tightest window budget $tightest — " +
+        "a slice needs at least one request per window")
+    val sliced = limits.map { case (maxReq, win) => (maxReq / numSlices, win) }
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val fetched = ids.select(col("matchId")).as[String]
+      .repartition(numSlices)
+      .mapPartitions { it =>
+        val clock = clockFactory()
+        val limiter = new Resilience.SlidingWindowRateLimiter(sliced, clock)
+        val breaker = new Resilience.CircuitBreaker(failureThreshold,
+          recoveryTimeoutSec, clock)
+        var expired = false
+        it.map { id =>
+          if (expired || clock.nowMs() / 1000 >= deadlineEpoch) {
+            expired = true // deadline observed once: the rest of this slice is tail
+            (id, null: String, null: String, "unprocessed")
+          } else {
+            val m = Resilience.guardedFetch(limiter, breaker, maxRetries, clock)(
+              _ => fetchMatch(id))
+            val t = Resilience.guardedFetch(limiter, breaker, maxRetries, clock)(
+              _ => fetchTimeline(id))
+            (m, t) match {
+              case (Some(md), Some(td)) => (id, md, td, "ok")
+              case _ => (id, null: String, null: String, "no_data")
+            }
+          }
+        }
+      }
+      .toDF("matchId", "matchDoc", "timelineDoc", "status")
+      .cache()
+    try {
+      val total = fetched.filter(col("status") === "ok").count().toInt
+      val noData = fetched.filter(col("status") === "no_data").count().toInt
+      val unprocessed = fetched.filter(col("status") === "unprocessed")
+        .select(col("matchId")).as[String].collect().toSeq.sorted
+      var matchBatches = 0; var timelineBatches = 0
+      if (total > 0) {
+        // contiguous global index in sorted-matchId order: range partition
+        // (distributed sort) + per-partition zip with collected offsets —
+        // the batch boundary never funnels through one reducer
+        val indexed = fetched.filter(col("status") === "ok")
+          .select(col("matchId"), col("matchDoc"), col("timelineDoc"))
+          .repartitionByRange(numSlices, col("matchId"))
+          .sortWithinPartitions(col("matchId"))
+          .as[(String, String, String)].rdd.zipWithIndex()
+          .map { case ((id, md, td), i) => (id, md, td, i) }
+          .toDF("matchId", "matchDoc", "timelineDoc", "idx")
+          .cache()
+        try {
+          def landKind(docCol: String, kind: String, batchSize: Int): Int = {
+            val nBatches = (total + batchSize - 1) / batchSize
+            var n = 0
+            while (n < nBatches) {
+              val batch = indexed
+                .filter(col("idx") >= n.toLong * batchSize &&
+                  col("idx") < (n + 1).toLong * batchSize)
+                .select(col(docCol)).as[String]
+              land(spark.read.json(batch).withColumn("source", lit(source)),
+                kind, n + 1)
+              n += 1
+            }
+            nBatches
+          }
+          matchBatches = landKind("matchDoc", "match", matchBatchSize)
+          timelineBatches = landKind("timelineDoc", "match_timeline", timelineBatchSize)
+        } finally indexed.unpersist()
+      }
+      Walk(total, noData, matchBatches, timelineBatches, unprocessed)
+    } finally fetched.unpersist()
+  }
+
+  /** [[runProcessor]] with the heavy walk on executors: same envelope
+    * pull / player-map re-land / leftover persistence / matchlist
+    * cleanup, but the per-id match+timeline loop runs through
+    * [[walkMatchesDistributed]] under a sliced request budget instead of
+    * the driver-sequential [[walkMatches]]. The faithful driver twin
+    * stays the default `run` path (the reference IS one container with
+    * one budget); this is the shape a 1000-executor deployment runs. */
+  def runProcessorDistributed(spark: SparkSession, outRoot: String,
+      matchlistKey: String, window: Windows.WindowState,
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limits: Seq[(Int, Long)], numSlices: Int,
+      deadlineEpoch: Long = Long.MaxValue,
+      clockFactory: () => Resilience.Clock = () => Resilience.Clock.system,
+      source: String = "crawl",
+      matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
+      land: (org.apache.spark.sql.DataFrame, String, Int) => Unit = null)
+      : Option[ProcessorReport] = {
+    import spark.implicits._
+    val landFn = Option(land).getOrElse {
+      (df: DataFrame, kind: String, n: Int) =>
+        Writers.jsonDump(df, s"$outRoot/$kind/batch_$n")
+    }
+    val driverClock = clockFactory()
+    val env = pullEnvelope(spark, outRoot, matchlistKey, driverClock)
+      .getOrElse(return None)
+    val pmKey = landPlayerMap(spark, outRoot, env, window)
+    val ids =
+      if (env.columns.contains("matchlist"))
+        env.select(explode(col("matchlist")).as("matchId"))
+      else spark.emptyDataset[String].toDF("matchId")
+    val walk = walkMatchesDistributed(ids, fetchMatch, fetchTimeline,
+      limits, numSlices, deadlineEpoch = deadlineEpoch,
+      clockFactory = clockFactory, source = source,
+      matchBatchSize = matchBatchSize, timelineBatchSize = timelineBatchSize,
+      land = landFn)
+    val leftoverKey = if (walk.unprocessed.nonEmpty) {
+      val key = s"backfill/leftovers/leftovers_${window.startEpoch}_" +
+        s"${window.endEpoch}_${walk.unprocessed.length}_matches"
+      Writers.saveLeftovers(walk.unprocessed.toDF("key"), s"$outRoot/$key")
+      Some(key)
+    } else None
+    Writers.deletePath(spark, s"$outRoot/$matchlistKey")
+    Some(ProcessorReport(walk.total, walk.noData, walk.matchBatches,
+      walk.timelineBatches, leftoverKey, pmKey))
   }
 
   /** One leftover file's re-drive outcome. */

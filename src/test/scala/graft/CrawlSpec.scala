@@ -143,6 +143,117 @@ class CrawlSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("walkMatchesDistributed: batches/leftovers/report equal the driver form; each slice honors its budget") {
+    val ids = (1 to 30).map(i => f"m$i%02d") // already sorted: the declared walk order
+    val bad = Set("m05", "m17")
+    def doc(id: String) = s"""{"matchId":"$id","k":1}"""
+    def fm(id: String): Resilience.Outcome[String] =
+      if (bad(id)) Resilience.Status(404) else Resilience.Ok(doc(id))
+    def ft(id: String): Resilience.Outcome[String] = Resilience.Ok(doc(id))
+    def collectLand(buf: scala.collection.mutable.Map[(String, Int), Set[(String, Long, String)]])
+        : (DataFrame, String, Int) => Unit =
+      (df, kind, n) => {
+        buf((kind, n)) = df.collect()
+          .map(r => (r.getAs[String]("matchId"), r.getAs[Long]("k"),
+            r.getAs[String]("source"))).toSet
+        ()
+      }
+
+    // driver-sequential baseline at cadence (4, 2)
+    val baseLanded = scala.collection.mutable.Map[(String, Int), Set[(String, Long, String)]]()
+    val base = Crawl.walkMatches(spark, ids, fm, ft, limiter, breaker,
+      deadlineEpoch = Long.MaxValue, clock = noWait, source = "crawl",
+      matchBatchSize = 4, timelineBatchSize = 2, land = collectLand(baseLanded))
+
+    // distributed: 8 req / 120 s global over 4 slices → 2 req / 120 s each
+    FanoutProbe.reset()
+    val distLanded = scala.collection.mutable.Map[(String, Int), Set[(String, Long, String)]]()
+    val dist = Crawl.walkMatchesDistributed(ids.toDF("matchId"),
+      FanoutProbe.recordingDoc(fm), FanoutProbe.recordingDoc(ft),
+      limits = Seq((8, 120L)), numSlices = 4,
+      clockFactory = () => FanoutProbe.newClock(),
+      matchBatchSize = 4, timelineBatchSize = 2, land = collectLand(distLanded))
+
+    // report equality: totals, no-data count, batch counts, empty tail
+    assert((dist.total, dist.noData, dist.matchBatches, dist.timelineBatches) ==
+      (base.total, base.noData, base.matchBatches, base.timelineBatches))
+    assert(dist.total == 28 && dist.noData == 2 && dist.unprocessed.isEmpty)
+    // batch-for-batch landed content equality: walk order is sorted ids
+    // in BOTH forms, so batch k of each kind holds the same docs
+    assert(distLanded.keySet == baseLanded.keySet)
+    baseLanded.foreach { case (key, rows) =>
+      assert(distLanded(key) == rows, s"batch $key diverged from the driver form")
+    }
+
+    // budget proof per slice: 2 requests per id, 2 req / 120 s slice —
+    // on each partition's own clock request i+2 is a full window after
+    // request i, so the aggregate stays ≤ 8 req / 120 s
+    val byPart = FanoutProbe.calls()
+    assert(byPart.size == 4, s"expected 4 slices, saw ${byPart.keySet}")
+    assert(byPart.values.map(_.length).sum == 60) // 30 ids × 2 requests
+    byPart.foreach { case (part, ts) =>
+      val sorted = ts.sorted
+      sorted.drop(2).zip(sorted).foreach { case (later, earlier) =>
+        assert(later >= earlier + 120000L,
+          s"partition $part burst past its slice: $sorted")
+      }
+    }
+  }
+
+  test("walkMatchesDistributed deadline: per-slice tails, no id lost, leftovers sorted") {
+    val ids = (1 to 24).map(i => f"d$i%02d")
+    def ok(id: String): Resilience.Outcome[String] = Resilience.Ok(s"""{"matchId":"$id"}""")
+    val landed = scala.collection.mutable.ListBuffer[(String, Int, Set[String])]()
+    FanoutProbe.reset()
+    // 2 req / 120 s per slice: each id costs 2 requests, so a slice's
+    // second id pushes its logical clock to 120 s — the 100 s deadline is
+    // then observed before its THIRD id: exactly 2 ids processed per slice
+    val walk = Crawl.walkMatchesDistributed(ids.toDF("matchId"), ok, ok,
+      limits = Seq((8, 120L)), numSlices = 4, deadlineEpoch = 100L,
+      clockFactory = () => FanoutProbe.newClock(),
+      matchBatchSize = 200, timelineBatchSize = 50,
+      land = (df, kind, n) => {
+        landed += ((kind, n, df.collect().map(_.getAs[String]("matchId")).toSet)); ()
+      })
+    assert(walk.total == 8 && walk.noData == 0)
+    assert(walk.unprocessed.length == 16)
+    // exactly-one-of invariant: processed ∪ unprocessed = all, disjoint
+    val processed = landed.collect { case ("match", _, s) => s }.flatten.toSet
+    assert(processed.size == 8)
+    assert((processed ++ walk.unprocessed).toSet == ids.toSet)
+    assert(processed.intersect(walk.unprocessed.toSet).isEmpty)
+    // the leftover tail is sorted — ready for the deterministic re-drive
+    assert(walk.unprocessed == walk.unprocessed.sorted)
+    // remainder batches flushed under the cadence even on the cut walk
+    assert(walk.matchBatches == 1 && walk.timelineBatches == 1)
+  }
+
+  test("runProcessorDistributed: same report/player-map/cleanup as the driver processor") {
+    val dir = Files.createTempDirectory("graft_proc_dist").toString
+    val w = Windows.WindowState(0, 2 * 24 * 3600)
+    val key = seedEnvelope(dir, w, (1 to 7).map(i => s"m$i"))
+    val landed = scala.collection.mutable.ListBuffer[(String, Int, Long)]()
+    def doc(id: String) = s"""{"matchId":"$id","k":1}"""
+    def fm(id: String): Resilience.Outcome[String] =
+      if (id == "m3") Resilience.Status(404) else Resilience.Ok(doc(id))
+    def ft(id: String): Resilience.Outcome[String] = Resilience.Ok(doc(id))
+    // locally scoped so the factory closure ships without the spec instance
+    val nw = Resilience.Clock(() => 0L, _ => (), () => 0.5)
+    val rep = Crawl.runProcessorDistributed(spark, dir, key, w, fm, ft,
+      limits = Seq((1000, 1L)), numSlices = 4,
+      clockFactory = () => nw,
+      matchBatchSize = 4, timelineBatchSize = 2,
+      land = (df, kind, n) => { landed += ((kind, n, df.count())); () }).get
+    // identical shape to the driver processor's run over the same envelope
+    assert(rep.total == 6 && rep.noData == 1)
+    assert(rep.matchBatches == 2 && rep.timelineBatches == 3)
+    assert(landed.collect { case ("match", _, n) => n }.toList == List(4, 2))
+    assert(landed.collect { case ("match_timeline", _, n) => n }.toList == List(2, 2, 2))
+    assert(rep.leftoverKey.isEmpty)
+    assert(spark.read.json(s"$dir/${rep.playerMapKey}").columns.contains("ranked_map"))
+    assert(!new java.io.File(s"$dir/$key").exists())
+  }
+
   test("stampedPlayers evolves drifted tier schemas and renames rank (P3/P8)") {
     // the reference's highElo and LowElo entries carry different field
     // sets (league-v4 entries vs challengerleagues entries); the union
@@ -455,6 +566,15 @@ object FanoutProbe {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       times.add((pid, clocks.get(pid).get()))
       fetch(p, w)
+    }
+
+  /** Same side channel for the distributed match walk's doc fetches. */
+  def recordingDoc(fetch: String => Resilience.Outcome[String])
+      : String => Resilience.Outcome[String] =
+    id => {
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      times.add((pid, clocks.get(pid).get()))
+      fetch(id)
     }
 
   def calls(): Map[Int, Seq[Long]] = {
