@@ -179,19 +179,35 @@ object DedupIndex {
     * previous version (this session or any other) keeps its complete
     * snapshot, and object stores need no atomic rename they don't have.
     * Returns the handle on the new version — the caller continues with
-    * it (single-writer discipline, as every table-format compactor
-    * demands); superseded versions are reclaimed by
-    * [[ArtifactStore.vacuum]] after a quiescent period. */
+    * it; superseded versions are reclaimed by [[ArtifactStore.vacuum]]
+    * after a quiescent period.
+    *
+    * Concurrency: the rewrite goes through
+    * [[ArtifactStore.commitExclusive]] — the claim serializes racing
+    * compactors (the loser rebases on the winner's output: compacting a
+    * compaction, harmless), and the SOURCE is the claimed-parent
+    * version's files, not this session's possibly-stale registered
+    * tables. A concurrent in-place [[absorb]] is fenced on the
+    * absorber's side: it re-checks the current version after appending
+    * (waiting out any live claim first) and re-drives into the
+    * successor when superseded, so a compaction can never silently drop
+    * a racing batch's rows. */
   def compact(s: SparkSession, idx: Index): Index = {
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    ArtifactStore.commit(ArtifactStore.fs(idx.dir), idx.dir) { v =>
-      writeMeta(v, idx.buckets)
-      s.table(idx.hashes).distinct()
-        .write.bucketBy(idx.buckets, "h").sortBy("h")
+    ArtifactStore.commitExclusive(ArtifactStore.fs(idx.dir), idx.dir) { (parent, v) =>
+      val pdir = parent.getOrElse(throw new IllegalStateException(
+        s"compact of an index with no committed version at ${idx.dir}")).toString
+      val b = readMeta(pdir).getOrElse(idx.buckets)
+      writeMeta(v, b)
+      // plain parquet reads of the parent's files: bucket METADATA only
+      // matters for join pruning, and a full distinct-rewrite re-creates
+      // the layout from scratch anyway
+      s.read.parquet(s"$pdir/hashes").distinct()
+        .write.bucketBy(b, "h").sortBy("h")
         .option("path", s"$v/hashes").saveAsTable(s"graft_cp_h_$tag")
       s.sql(s"DROP TABLE graft_cp_h_$tag")
-      s.table(idx.bands).distinct()
-        .write.bucketBy(idx.buckets, "band", "band_key").sortBy("band", "band_key")
+      s.read.parquet(s"$pdir/bands").distinct()
+        .write.bucketBy(b, "band", "band_key").sortBy("band", "band_key")
         .option("path", s"$v/bands").saveAsTable(s"graft_cp_b_$tag")
       s.sql(s"DROP TABLE graft_cp_b_$tag")
     }
@@ -217,12 +233,46 @@ object DedupIndex {
     * does. Found by the streaming index-dedup spec; within one absorb
     * call this is now airtight — but do not REUSE one gated frame
     * across two absorbs: the second call pins whatever the gate says
-    * THEN, which is empty once the first absorb landed. */
+    * THEN, which is empty once the first absorb landed.
+    *
+    * Concurrency vs [[compact]]: an absorb appends into the CURRENT
+    * version's files while a compaction snapshots those files and
+    * publishes a successor — rows appended after the snapshot would be
+    * silently absent from the new version. The fence is on this side:
+    * after appending, wait out any live commit claim on the index base
+    * ([[ArtifactStore.awaitUnclaimed]] — a compactor holds its claim
+    * until its marker is up), then re-check the current version; if it
+    * moved, re-absorb the SAME pinned rows into the successor and check
+    * again. Re-absorbing rows the compactor did see just appends
+    * duplicates, which the probe is insensitive to and the next compact
+    * re-distincts. Two racing absorbs never conflict at all (appends
+    * create disjoint files). Returns the handle current when the absorb
+    * was durably in the winning lineage — callers that keep absorbing
+    * should continue with it. */
   def absorb(s: SparkSession, idx: Index, kept: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxRedrives: Int = 5): Index = {
     val pinned = kept.select(col(idCol), col(textCol)).localCheckpoint(true)
-    hashFrame(pinned, textCol).write.mode("append").insertInto(idx.hashes)
-    bandFrame(pinned, idCol, textCol).write.mode("append").insertInto(idx.bands)
+    val f = ArtifactStore.fs(idx.dir)
+    var cur = idx
+    var attempts = 0
+    while (attempts < maxRedrives) {
+      attempts += 1
+      hashFrame(pinned, textCol).write.mode("append").insertInto(cur.hashes)
+      bandFrame(pinned, idCol, textCol).write.mode("append").insertInto(cur.bands)
+      // fence: a live claim is a compaction that may have snapshotted
+      // BEFORE our files landed — wait for it to publish or die, then
+      // trust the version comparison
+      ArtifactStore.awaitUnclaimed(f, cur.dir)
+      val now = ArtifactStore.currentDir(f, cur.dir)
+        .getOrElse(throw new IllegalStateException(
+          s"index at ${cur.dir} lost its committed version mid-absorb"))
+        .toString
+      if (now == cur.versionDir) return cur
+      cur = open(s, idx.dir) // superseded mid-absorb: re-drive into the successor
+    }
+    throw new IllegalStateException(
+      s"absorb superseded $maxRedrives times at ${idx.dir} — compaction storm?")
   }
 
   /** The daily dedup gates against any corpus hash/band frames: drop
@@ -322,13 +372,19 @@ object DedupIndex {
   def dedupBatchBloom(batch: DataFrame, corpusHashes: DataFrame,
       corpusBands: DataFrame, bloom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      minEq: Int = TextOps.verifyMinEqual): DataFrame = {
-    // geometry from the filter itself (one row per bucket by
-    // construction), never from a constant the filter might not match —
-    // probing with the wrong bucket count manufactures false negatives
+      minEq: Int = TextOps.verifyMinEqual,
+      bloomBuckets: Int = -1): DataFrame = {
+    // bucket geometry comes from the filter's PROVENANCE, not a probe
+    // job per gate (VERDICT r10 next-round #7): the stamped
+    // [[corpusBloom]] pins [[BloomBuckets]] in its artifact stamp, the
+    // user-owned sidecar carries it in its version metadata
+    // ([[sidecarGeometry]]) — callers pass that value. The count()
+    // fallback (bloomBuckets <= 0) remains for ad-hoc frames only;
+    // probing with a WRONG count manufactures false negatives, which is
+    // why the value must trace to how the filter was built
+    val b = if (bloomBuckets > 0) bloomBuckets else HashBloom.bucketsOf(bloom)
     val hashed = HashBloom.withMaybe(
-      batch.withColumn("_h", sha2(col(textCol), 256)), bloom, "_h",
-      HashBloom.bucketsOf(bloom))
+      batch.withColumn("_h", sha2(col(textCol), 256)), bloom, "_h", b)
     val definiteNew = hashed.filter(!col("_maybe"))
     val checkedNew = hashed.filter(col("_maybe"))
       .join(corpusHashes, hashed("_h") === corpusHashes("h"), "left_anti")
@@ -352,16 +408,76 @@ object DedupIndex {
 
   private def bloomBase(idx: Index): String = s"${idx.dir}/_bloom"
 
+  /** Sidecar geometry metadata, one small JSON next to each version's
+    * `bloom/` dir — the same discipline as the index's own
+    * `_graft_index_meta.json`: geometry is a property of the FILES, so
+    * it travels with them, and gates read it instead of running a
+    * count()/head() probe job per call (VERDICT r10 "what's wrong" #2). */
+  private def writeBloomMeta(vdir: String, buckets: Int, width: Long, k: Int): Unit = {
+    val f = ArtifactStore.fs(vdir)
+    val out = f.create(new org.apache.hadoop.fs.Path(vdir, "_bloom_meta.json"), true)
+    try out.write(
+      s"""{"buckets": $buckets, "width": $width, "k": $k}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readBloomMeta(vdir: String): Option[(Int, Long, Int)] = {
+    val f = ArtifactStore.fs(vdir)
+    val p = new org.apache.hadoop.fs.Path(vdir, "_bloom_meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      def field(n: String) =
+        (s""""$n"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(s).map(_.group(1))
+      for (b <- field("buckets"); w <- field("width"); k <- field("k"))
+        yield (b.toInt, w.toLong, k.toInt)
+    }
+  }
+
+  /** (buckets, width) of the index's CURRENT sidecar, from its version
+    * metadata — the value probes must pass to [[dedupBatchBloom]].
+    * Pre-metadata sidecars (none written by this code) fall back to one
+    * frame probe. */
+  def sidecarGeometry(s: SparkSession, idx: Index): (Int, Long) = {
+    val f = ArtifactStore.fs(idx.dir)
+    val cur = ArtifactStore.currentDir(f, bloomBase(idx))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed sidecar at ${bloomBase(idx)} — ensureBloom first"))
+      .toString
+    readBloomMeta(cur).map { case (b, w, _) => (b, w) }.getOrElse {
+      val df = s.read.parquet(s"$cur/bloom")
+      (HashBloom.bucketsOf(df), HashBloom.widthOf(df))
+    }
+  }
+
   /** The index's current Bloom sidecar, bootstrapping one from the full
     * hash table on first use (a one-time scan of the index — the honest
-    * cost of retrofitting a sidecar onto an existing index). */
+    * cost of retrofitting a sidecar onto an existing index). The
+    * bootstrap goes through [[ArtifactStore.commitExclusive]] so two
+    * racing first-users build one filter between them (a full rebuild
+    * from the hash table is correct from ANY parent state, so the
+    * rebased loser would simply rebuild — but the claim means it never
+    * has to). */
   def ensureBloom(s: SparkSession, idx: Index,
       buckets: Int = BloomBuckets): DataFrame = {
     val f = ArtifactStore.fs(idx.dir)
     val cur = ArtifactStore.currentDir(f, bloomBase(idx)).getOrElse {
-      ArtifactStore.commit(f, bloomBase(idx)) { v =>
-        HashBloom.build(s.table(idx.hashes), "h", buckets)
-          .write.parquet(s"$v/bloom")
+      ArtifactStore.commitExclusive(f, bloomBase(idx)) { (parent, v) =>
+        parent match {
+          case Some(p) => // a sibling bootstrapped while we waited: carry it
+            s.read.parquet(s"$p/bloom").write.parquet(s"$v/bloom")
+            readBloomMeta(p.toString).foreach { case (b, w, k) =>
+              writeBloomMeta(v, b, w, k)
+            }
+          case None =>
+            HashBloom.build(s.table(idx.hashes), "h", buckets)
+              .write.parquet(s"$v/bloom")
+            // geometry rides the version: one single-row read at BUILD
+            // time, so no probe ever pays a count()/head() job
+            writeBloomMeta(v, buckets,
+              HashBloom.widthOf(s.read.parquet(s"$v/bloom")), HashBloom.Probes)
+        }
       }
     }
     s.read.parquet(s"$cur/bloom")
@@ -380,16 +496,74 @@ object DedupIndex {
     * Cost: the add is distributed (per-bucket OR) but rewrites the
     * sidecar (~10 bits/doc) each maintenance window; production would
     * shard the write to touched buckets only — the read side is
-    * unaffected either way. */
+    * unaffected either way.
+    *
+    * Concurrency: this is a read-modify-write of the sidecar — exactly
+    * the shape [[ArtifactStore.commit]]'s race tolerance is wrong for
+    * (two racers each OR their own batch into the same parent; the
+    * loser's bits vanish from the winning lineage, manufacturing the
+    * false negatives a Bloom gate must never have). The grow therefore
+    * runs through [[ArtifactStore.commitExclusive]]: the parent filter
+    * is read INSIDE the claim window, so a rebased retry re-ORs the
+    * same pinned batch hashes into whatever the sibling published —
+    * both batches' bits survive in the winning lineage
+    * (DedupIndexSpec races two absorbs to prove it). */
   def absorbBloom(s: SparkSession, idx: Index, kept: DataFrame,
       textCol: String = "text"): Unit = {
-    val cur = ensureBloom(s, idx)
-    val grown = HashBloom.add(cur,
-      kept.select(sha2(col(textCol), 256).as("h")).distinct(), "h",
-      HashBloom.bucketsOf(cur))
-    ArtifactStore.commit(ArtifactStore.fs(idx.dir), bloomBase(idx)) { v =>
-      grown.write.parquet(s"$v/bloom")
+    val newHashes = kept.select(sha2(col(textCol), 256).as("h")).distinct()
+      .localCheckpoint(true) // pinned: every rebased attempt ORs the same set
+    ArtifactStore.commitExclusive(ArtifactStore.fs(idx.dir), bloomBase(idx)) {
+      (parent, v) =>
+        parent match {
+          case Some(p) =>
+            val cur = s.read.parquet(s"$p/bloom")
+            // geometry from the parent's metadata, not probe jobs; a
+            // pre-metadata parent pays the probe once and the new
+            // version records what it learned
+            val (b, w, k) = readBloomMeta(p.toString).getOrElse(
+              (HashBloom.bucketsOf(cur), HashBloom.widthOf(cur), HashBloom.Probes))
+            HashBloom.add(cur, newHashes, "h", b, k, width = w)
+              .write.parquet(s"$v/bloom")
+            writeBloomMeta(v, b, w, k)
+          case None => // first maintenance ever: bootstrap inline, batch included
+            HashBloom.add(
+              HashBloom.build(s.table(idx.hashes), "h", BloomBuckets),
+              newHashes, "h", BloomBuckets)
+              .write.parquet(s"$v/bloom")
+            writeBloomMeta(v, BloomBuckets,
+              HashBloom.widthOf(s.read.parquet(s"$v/bloom")), HashBloom.Probes)
+        }
     }
+  }
+
+  /** Rebuild the sidecar from the CURRENT hash table — the maintenance
+    * answer to two slow decays [[HashBloom.add]] cannot fix: fpp climbs
+    * as the element count outgrows the built width (a filter never
+    * widens under add), and a [[compact]]ed table deserves a filter
+    * sized to what actually remains. Published as a new sidecar version
+    * under the commit claim; bucket count carries over from the current
+    * sidecar's metadata. The rebuilt filter describes a SUPERSET of no
+    * one — it equals the hash table exactly, so `sidecar ⊇ hash table`
+    * holds by construction. */
+  def rebuildBloom(s: SparkSession, idx: Index): Unit = {
+    ArtifactStore.commitExclusive(ArtifactStore.fs(idx.dir), bloomBase(idx)) {
+      (parent, v) =>
+        val b = parent.flatMap(p => readBloomMeta(p.toString).map(_._1))
+          .getOrElse(BloomBuckets)
+        HashBloom.build(s.table(idx.hashes), "h", b).write.parquet(s"$v/bloom")
+        writeBloomMeta(v, b,
+          HashBloom.widthOf(s.read.parquet(s"$v/bloom")), HashBloom.Probes)
+    }
+  }
+
+  /** Does `dir` hold a user-owned index (a committed version carrying
+    * the index's own metadata file)? The [[graft.Maintain]] walker uses
+    * this to route roots: index roots get compact+bloom-rebuild, plain
+    * artifact roots just get vacuumed. */
+  def isIndexRoot(dir: String): Boolean = {
+    val f = ArtifactStore.fs(dir)
+    ArtifactStore.currentDir(f, dir).exists(v =>
+      f.exists(new org.apache.hadoop.fs.Path(v, "_graft_index_meta.json")))
   }
 
   /** Algorithm token folded into the stamp (ADVICE r06): banding or

@@ -109,8 +109,11 @@ object HashBloom {
     * to "everything maybe" — safe, just useless), rebuild at the new
     * count like any Bloom deployment. */
   def add(bloom: DataFrame, newHashes: DataFrame, hashCol: String,
-      buckets: Int, k: Int = Probes): DataFrame = {
-    val delta = buildAt(newHashes, hashCol, buckets, widthOf(bloom), k)
+      buckets: Int, k: Int = Probes, width: Long = -1L): DataFrame = {
+    // width from the caller's metadata when known (no head() probe);
+    // derived from the frame otherwise
+    val m = if (width > 0) width else widthOf(bloom)
+    val delta = buildAt(newHashes, hashCol, buckets, m, k)
     bloom.select(col("bucket"), col("bits").as("_ob"))
       .join(delta.select(col("bucket"), col("bits").as("_db")),
         Seq("bucket"), "full_outer")

@@ -140,12 +140,15 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val gated =
-          if (bloomBuckets > 0)
+          if (bloomBuckets > 0) {
+            val bloom = graft.sources.DedupIndex.ensureBloom(s, idx, bloomBuckets)
+            // geometry from the sidecar's version metadata — the gate
+            // itself runs no count() probe job per micro-batch
+            val (b, _) = graft.sources.DedupIndex.sidecarGeometry(s, idx)
             graft.sources.DedupIndex.dedupBatchBloom(batch,
-              s.table(idx.hashes), s.table(idx.bands),
-              graft.sources.DedupIndex.ensureBloom(s, idx, bloomBuckets),
-              idCol, textCol)
-          else graft.sources.DedupIndex.dedupBatch(s, idx, batch)
+              s.table(idx.hashes), s.table(idx.bands), bloom,
+              idCol, textCol, bloomBuckets = b)
+          } else graft.sources.DedupIndex.dedupBatch(s, idx, batch)
         val kept = gated
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -157,7 +160,10 @@ object Streams {
           if (n > 0) {
             if (bloomBuckets > 0)
               graft.sources.DedupIndex.absorbBloom(s, idx, kept, textCol)
+            // returned handle discarded: this loop holds one Index for the
+            // stream's life and no compactor runs inside a trigger
             graft.sources.DedupIndex.absorb(s, idx, kept, idCol, textCol)
+            ()
           }
         } finally kept.unpersist()
       }

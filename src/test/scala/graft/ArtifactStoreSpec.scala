@@ -87,6 +87,97 @@ class ArtifactStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(read(fs, new Path(v2, "data")) == "two")
   }
 
+  test("commitExclusive: claim-serialized read-modify-write; waits, reaps, rebases") {
+    val base = freshBase("graft_store_excl")
+    val fs = ArtifactStore.fs(base, shimConf)
+
+    // (a) basic chain: each successor builds FROM its parent
+    val v1 = ArtifactStore.commitExclusive(fs, base) { (parent, d) =>
+      assert(parent.isEmpty); put(fs, d, "data", "one")
+    }
+    assert(ArtifactStore.currentDir(fs, base).contains(v1))
+    val v2 = ArtifactStore.commitExclusive(fs, base) { (parent, d) =>
+      put(fs, d, "data", read(fs, new Path(parent.get, "data")) + "+two")
+    }
+    assert(read(fs, new Path(v2, "data")) == "one+two")
+    assert(!ArtifactStore.activeClaim(fs, base), "claim must be released")
+
+    // (b) a LIVE foreign claim blocks us; when its owner publishes, we
+    // rebase on the published version instead of forking from v2
+    val claim3 = new Path(base, "_graft_claim_0000000003")
+    put(fs, base, "_graft_claim_0000000003", "other-tag")
+    var sibPublished = false
+    val v4 = ArtifactStore.commitExclusive(fs, base,
+      waitMs = _ => {
+        // the sibling's publish happens while we wait on its claim
+        if (!sibPublished) {
+          sibPublished = true
+          val sib = new Path(base, "v0000000003_500_other")
+          fs.mkdirs(sib)
+          put(fs, sib.toString, "data",
+            read(fs, new Path(v2, "data")) + "+other")
+          fs.create(new Path(sib, ArtifactStore.Marker), true).close()
+          fs.delete(claim3, false)
+        }
+      }) { (parent, d) =>
+      put(fs, d, "data", read(fs, new Path(parent.get, "data")) + "+mine")
+    }
+    assert(v4.getName.startsWith("v0000000004_"))
+    assert(read(fs, new Path(v4, "data")) == "one+two+other+mine",
+      "must rebase on the sibling's committed version, not its parent")
+
+    // (c) a STALE foreign claim (crashed claimant) is reaped, not waited on
+    put(fs, base, "_graft_claim_0000000005", "dead-tag")
+    fs.setTimes(new Path(base, "_graft_claim_0000000005"),
+      System.currentTimeMillis() - 60000L, -1)
+    val v5 = ArtifactStore.commitExclusive(fs, base, claimStaleMs = 5000L,
+      waitMs = _ => fail("must reap the stale claim, not wait on it")) {
+      (parent, d) =>
+        put(fs, d, "data", read(fs, new Path(parent.get, "data")) + "+five")
+    }
+    assert(read(fs, new Path(v5, "data")) == "one+two+other+mine+five")
+
+    // (d) presumed-dead claimant: our claim is reaped and recycled
+    // MID-BUILD; we must retract the unpublished stage and rebase — both
+    // our rows and the recycler's rows survive in the final lineage
+    var attempt = 0
+    val v7 = ArtifactStore.commitExclusive(fs, base) { (parent, d) =>
+      attempt += 1
+      if (attempt == 1) {
+        // a reaper deletes our claim (thinks us dead); a sibling
+        // re-claims the seq, publishes it, and releases
+        fs.delete(new Path(base, "_graft_claim_0000000006"), false)
+        val sib = new Path(base, "v0000000006_500_other2")
+        fs.mkdirs(sib)
+        put(fs, sib.toString, "data",
+          read(fs, new Path(parent.get, "data")) + "+other2")
+        fs.create(new Path(sib, ArtifactStore.Marker), true).close()
+      }
+      put(fs, d, "data", read(fs, new Path(parent.get, "data")) + "+mine2")
+    }
+    assert(attempt == 2, "first build must be retracted, second rebased")
+    assert(v7.getName.startsWith("v0000000007_"))
+    assert(read(fs, new Path(v7, "data")) ==
+      "one+two+other+mine+five+other2+mine2",
+      "retract-and-rebase must preserve BOTH writers' increments")
+    // the retracted attempt-1 stage is uncommitted and invisible
+    assert(ArtifactStore.versions(fs, base).map(_._1).max == 7L)
+
+    // (e) vacuum reaps stale claims but never a live one
+    put(fs, base, "_graft_claim_0000000008", "stale")
+    fs.setTimes(new Path(base, "_graft_claim_0000000008"),
+      System.currentTimeMillis() - 60000L, -1)
+    put(fs, base, "_graft_claim_0000000009", "live")
+    ArtifactStore.vacuum(fs, base, keep = 1, staleMs = 5000L)
+    assert(!fs.exists(new Path(base, "_graft_claim_0000000008")),
+      "stale claim survived vacuum")
+    assert(fs.exists(new Path(base, "_graft_claim_0000000009")),
+      "live claim reaped — would kill an in-flight committer")
+    assert(ArtifactStore.activeClaim(fs, base))
+    fs.delete(new Path(base, "_graft_claim_0000000009"), false)
+    assert(!ArtifactStore.activeClaim(fs, base))
+  }
+
   test("same-seq race: both land committed; readers agree on one deterministic winner") {
     val base = freshBase("graft_store_race")
     val fs = ArtifactStore.fs(base, shimConf)

@@ -165,6 +165,154 @@ class DedupIndexSpec extends SparkSpec {
     assert((100L until 110L).forall(!kept.contains(_)))
   }
 
+  test("bloom gate geometry rides metadata: constructing the gate runs ZERO jobs") {
+    import graft.sources.{DedupIndex, HashBloom}
+    val corpus = Seq(
+      (1L, base),
+      (2L, "geometry metadata fixture corpus document two")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, "a new document for the geometry gate"))
+      .toDF("doc_id", "text")
+    // build everything that legitimately runs jobs BEFORE the listener
+    val dir = Files.createTempDirectory("graft_idx_geom").toString + "/idx"
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+    DedupIndex.absorbBloom(spark, idx, corpus) // sidecar exists + has metadata
+    val cH = spark.table(idx.hashes)
+    val cB = spark.table(idx.bands)
+    val bloom = DedupIndex.ensureBloom(spark, idx)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (buckets, width) =
+      try {
+        // geometry lookup = one metadata file read, no Spark job
+        val g = DedupIndex.sidecarGeometry(spark, idx)
+        // gate CONSTRUCTION (incl. planning) must run no job either —
+        // the old form paid a count() of the sidecar per call, which
+        // bench reps and plan dumps each re-paid
+        val gated = DedupIndex.dedupBatchBloom(batch, cH, cB, bloom,
+          bloomBuckets = g._1)
+        gated.queryExecution.executedPlan
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        g
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"gate construction ran ${jobs.get()} jobs — geometry probes are back")
+    assert(buckets == DedupIndex.BloomBuckets && width > 0)
+    // the metadata agrees with the frame-derived truth
+    assert(buckets == HashBloom.bucketsOf(bloom) && width == HashBloom.widthOf(bloom))
+    // and the gate still gates: corpus redelivery drops, fresh survives
+    val kept = DedupIndex.dedupBatchBloom(batch, cH, cB, bloom, bloomBuckets = buckets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
+  test("racing bloom absorbs: BOTH batches' hashes survive the winning lineage") {
+    import graft.sources.{ArtifactStore, HashBloom}
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_idx_race").toString + "/idx"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "entirely different corpus text about artifact commit claims")
+    ).toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+
+    // two maintenance writers race their sidecar grows: without the
+    // claim protocol each would OR its batch into the same parent and
+    // the deterministic winner would silently drop the loser's bits —
+    // the false negatives a Bloom gate must never have
+    val batchA = (0 until 50).map(i => (100L + i, s"racer A document $i"))
+      .toDF("doc_id", "text")
+    val batchB = (0 until 50).map(i => (200L + i, s"racer B document $i"))
+      .toDF("doc_id", "text")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq(batchA, batchB).map { b =>
+      new Thread(() => {
+        try { barrier.await(); DedupIndex.absorbBloom(spark, idx, b) }
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+
+    // the current sidecar must contain EVERY hash either racer absorbed
+    // (plus the corpus), with zero false negatives
+    val bloom = DedupIndex.ensureBloom(spark, idx)
+    val all = corpus.unionByName(batchA).unionByName(batchB)
+      .select(sha2($"text", 256).as("h"))
+    val fn = HashBloom.withMaybe(all, bloom, "h",
+      HashBloom.bucketsOf(bloom)).filter(!col("_maybe")).count()
+    assert(fn == 0L, s"$fn hashes lost to the race — loser's commit superseded")
+    // both grows committed as versions (bootstrap may add one more) and
+    // no claim is left behind
+    val f = ArtifactStore.fs(dir)
+    assert(ArtifactStore.versions(f, s"$dir/_bloom").length >= 2)
+    assert(!ArtifactStore.activeClaim(f, s"$dir/_bloom"))
+  }
+
+  test("absorb racing a compaction: the fence re-drives the batch into the successor") {
+    import graft.sources.ArtifactStore
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = Files.createTempDirectory("graft_idx_fence").toString + "/idx"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "unrelated corpus content for the compaction fence fixture")
+    ).toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+    val f = ArtifactStore.fs(dir)
+    val conf = ArtifactStore.hadoopConf()
+    val v1 = new Path(idx.versionDir)
+
+    // a compactor snapshots v1's files BEFORE the absorb lands its rows —
+    // the lost-append hazard: its successor version won't contain them
+    val snap = new Path(Files.createTempDirectory("graft_idx_snap").toString, "snap")
+    FileUtil.copy(f, v1, f, snap, false, conf)
+
+    // the compactor holds its commit claim while the absorb runs; the
+    // absorber's fence (awaitUnclaimed + version re-check) must hold it
+    // at the door until the compactor publishes, then re-drive
+    val fs2 = f
+    val claim = new Path(dir, "_graft_claim_0000000002")
+    val out = fs2.create(claim, false)
+    out.write("compactor".getBytes("UTF-8")); out.close()
+
+    val batch = Seq((10L, "a fresh document the compactor snapshot never saw"))
+      .toDF("doc_id", "text")
+    val result = new java.util.concurrent.atomic.AtomicReference[DedupIndex.Index]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t = new Thread(() => {
+      try result.set(DedupIndex.absorb(spark, idx, batch))
+      catch { case e: Throwable => errors.add(e) }
+    })
+    t.start()
+    Thread.sleep(1000) // let the appends land in v1 while the claim holds
+    // compactor publishes its (batch-less) snapshot as v2, then releases
+    val v2 = new Path(dir, "v0000000002_500_compactor")
+    FileUtil.copy(f, snap, f, v2, false, conf)
+    f.create(new Path(v2, ArtifactStore.Marker), true).close()
+    f.delete(claim, false)
+    t.join(120000)
+    assert(errors.isEmpty, s"absorb failed: ${errors.peek()}")
+
+    // the returned handle is on the successor, and the batch's rows are
+    // IN it: a redelivery fully drops — nothing was silently superseded
+    val newIdx = result.get()
+    assert(newIdx != null && newIdx.versionDir == f.makeQualified(v2).toString,
+      s"absorb must re-drive into the successor, got ${Option(newIdx).map(_.versionDir)}")
+    assert(DedupIndex.dedupBatch(spark, newIdx, batch).isEmpty,
+      "re-driven batch rows missing from the successor — the compaction ate them")
+    // and the corpus the snapshot carried still gates
+    assert(DedupIndex.dedupBatch(spark, newIdx,
+      corpus.withColumn("doc_id", $"doc_id" + 100L)).isEmpty)
+  }
+
   test("HashBloom: no false negatives, bounded false-positive rate, bloom gate == exact gate") {
     import graft.sources.HashBloom
     import org.apache.spark.sql.functions._
