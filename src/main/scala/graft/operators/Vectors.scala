@@ -306,4 +306,48 @@ object Vectors {
     df.withColumn("_pr", row_number().over(partial)).filter(col("_pr") <= k).drop("_pr")
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
   }
+
+  /** Default per-bucket row bound for exhaustive in-bucket pairing —
+    * overridable per session via `spark.graft.neardup.maxBucketRows`.
+    * 2^16 rows is ~2·10^9 pairs in one bucket: past it, exhaustive
+    * verification is the wrong tool and the job should route through
+    * ANN candidates (`knn_bucketed` / `quant_rerank`) instead. */
+  val MaxBucketRows = 1 << 16
+
+  def maxBucketRowsFor(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.neardup.maxBucketRows").map(_.toLong)
+      .getOrElse(MaxBucketRows.toLong)
+
+  /** Density guard for exhaustive in-bucket pair expansion (VERDICT r10
+    * next-round #5): rows pass through unchanged, but any bucket holding
+    * more than `maxRows` rows fails LOUDLY at execution — n rows expand
+    * to n·(n−1)/2 pairs, so one pathological hot bucket (a degenerate
+    * centroid, a constant label) silently turns a linear verifier
+    * quadratic; the guard turns that into an error naming the bucket and
+    * pointing at the ANN-candidate path, the same discipline as the
+    * connected-components round budget.
+    *
+    * The check is IN the plan, not an eager driver-side count (the
+    * VERDICT r07 rule: builders must not execute jobs per invocation —
+    * bench reps and plan dumps would each pay it): one per-bucket
+    * partial-agg count joined back on the bucket key, feeding a filter
+    * whose predicate `raise_error`s on oversized buckets and passes
+    * everything else — a filter is never pruned away, so the guard
+    * cannot be optimized out, and it costs one narrow agg on a column
+    * the pair join shuffles anyway. */
+  def withBucketBound(v: DataFrame, bucketCol: String, maxRows: Long): DataFrame = {
+    val counts = v.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bucket_n"))
+    v.join(counts, Seq(bucketCol))
+      .filter(when(col("_bucket_n") > maxRows,
+        raise_error(concat(
+          lit(s"exhaustive in-bucket pairing: bucket $bucketCol="),
+          col(bucketCol).cast("string"),
+          lit(" holds "), col("_bucket_n").cast("string"),
+          lit(s" rows (cap $maxRows) — ~"),
+          (col("_bucket_n") * (col("_bucket_n") - 1) / 2).cast("long").cast("string"),
+          lit(" pairs; raise spark.graft.neardup.maxBucketRows or route " +
+            "this bucket through ANN candidates (knn_bucketed/quant_rerank)"))))
+        .otherwise(lit(true)))
+      .select(v.columns.map(col).toSeq: _*) // original order: the join led with its key
+  }
 }

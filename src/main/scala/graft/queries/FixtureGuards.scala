@@ -30,8 +30,9 @@ object FixtureGuards {
 
   /** The ANN family's fixture assumptions, one bounded aggregation:
     * query vectors are `vec_id < 10`, IVF centroid seeds `vec_id < 8`,
-    * the semantic-decontam benchmark is `vec_id % 50 = 0` — all of
-    * which silently produce empty query/benchmark sets (vacuously green
+    * the semantic-decontam benchmark is the fixed set `vec_id % 50 = 0
+    * AND vec_id < `[[LlmOps.SemanticBenchMaxId]] — all of which
+    * silently produce empty query/benchmark sets (vacuously green
     * recall and decontam rows) if a regenerated fixture started ids at
     * 1000 or shrank below ~100 vectors. */
   def checkEmbeddings(embs: org.apache.spark.sql.DataFrame): Unit = {

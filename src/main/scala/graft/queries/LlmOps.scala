@@ -30,6 +30,14 @@ object LlmOps {
   val HybridQueryVecId = 0L
   val HybridTerms: Seq[String] = Seq("spark", "table", "hash")
 
+  /** The semantic-decontam benchmark is the FIXED id set
+    * `vec_id % 50 = 0 AND vec_id < SemanticBenchMaxId` — ten vectors,
+    * present in every fixture SF (the smallest carries ids 0..499), and
+    * CONSTANT as the corpus grows: eval suites don't scale with
+    * training data, so the catalog row must measure a linear corpus
+    * pass, not a benchmark that quietly grows with the fixture. */
+  val SemanticBenchMaxId = 500L
+
   /** SQL twin of [[TextOps.sigAgreement]] over the oracle's `g` CTE
     * (s0..s15 signature columns): count of equal components between the
     * signatures aliased `a` and `b`. */
@@ -59,6 +67,35 @@ object LlmOps {
            count(*) AS n_copies
     FROM documents GROUP BY 1 ORDER BY content_hash"""),
     sortCols = Seq("content_hash"))
+
+  /** Production-shape exact corpus dedup (VERDICT r10 next-round #4):
+    * land the KEPT documents themselves, first-wins per content hash —
+    * where [[docDedup]] emits the hash→keeper mapping, this emits the
+    * surviving full rows. The wide text column never crosses a group-by
+    * exchange: phase 1 derives keeper ids shuffling only (32 B hash,
+    * 8 B id) pairs after map-side partial agg; phase 2 is a left-semi
+    * join on the UNIQUE doc_id — broadcastable while the keeper set is
+    * small, bucketable on doc_id at corpus scale — so the bodies ride
+    * as values keyed by a fixed-width id, never as multi-KB grouping
+    * keys in a full-row distinct's exchange and sort buffers.
+    * ScaleTechniquesSpec measures the keeper-phase shuffle drop on a
+    * wide-payload frame; the fixture carries no exact dups at sf0.01
+    * (everything survives — same property doc_dedup's n_copies shows),
+    * while the scaled fixtures' copies give it real work. */
+  val dedupHash = Q("dedup_hash", (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val keepers = docs
+      .groupBy(sha2($"text", 256).as("_h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+  }, Some("""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+    ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
 
   /** The MinHash band CTE chain (`t, sh, hs, g, b`) over `src` — WITHOUT
     * the leading `WITH`, so callers can splice it into a larger chain. */
@@ -508,7 +545,10 @@ object LlmOps {
     graft.sources.DedupIndex.dedupBatchBloom(batchDocs,
         graft.sources.DedupIndex.corpusHashes(s, d, CorpusBoundaryId),
         graft.sources.DedupIndex.corpusBands(s, d, CorpusBoundaryId),
-        graft.sources.DedupIndex.corpusBloom(s, d, CorpusBoundaryId))
+        graft.sources.DedupIndex.corpusBloom(s, d, CorpusBoundaryId),
+        // stamp-pinned geometry: the artifact embeds BloomBuckets, so
+        // the gate passes the constant instead of count()ing per call
+        bloomBuckets = graft.sources.DedupIndex.BloomBuckets)
       .select($"doc_id", $"source")
   }, Some(incrementalDedupSql),
     sortCols = Seq("doc_id"))
@@ -1019,12 +1059,23 @@ object LlmOps {
     * real corpora use ≈0.95. Bounded to a deterministic 1/3 sample: at
     * scale the pair set comes from ANN candidates (`knn_bucketed`), not
     * from exhaustive in-bucket pairing — this query is the verifier that
-    * runs on that bounded candidate set. */
+    * runs on that bounded candidate set.
+    *
+    * Guarded: [[Vectors.withBucketBound]] fails loudly (in-plan, at
+    * execution) when any bucket's density would blow the pair expansion
+    * past `spark.graft.neardup.maxBucketRows` — a hot bucket must be an
+    * ERROR naming itself, never a silently quadratic stage. The sf10
+    * decade fixture (~13 k rows in the densest bucket) sits under the
+    * 2^16 default by design; the declared fixture-quadratic growth
+    * beyond that is exactly where the guard should start refusing. */
   val embeddingNeardup = Q("embedding_neardup", (s, d) => {
     import s.implicits._
-    val v = Tables.embeddings(s, d)
-      .filter($"vec_id" % 3 === 0)
-      .select($"vec_id", $"label", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val v = Vectors.withBucketBound(
+      Tables.embeddings(s, d)
+        .filter($"vec_id" % 3 === 0)
+        .select($"vec_id", $"label", $"embedding",
+          Vectors.normScaled($"embedding").as("n2")),
+      "label", Vectors.maxBucketRowsFor(s))
     val l = v.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"n2".as("na"))
     val r = v.select($"label".as("lb"), $"vec_id".as("vec_b"), $"embedding".as("eb"), $"n2".as("nb"))
     l.join(r, $"label" === $"lb" && $"vec_a" < $"vec_b")
@@ -1536,8 +1587,62 @@ object LlmOps {
     * pass — executes exactly once (VERDICT r07 finding 3: the previous
     * max-then-join-back plan re-ran it). The only exchange is the
     * per-vector max on the high-cardinality id. Ties on max_sim are
-    * well-defined cross-engine thanks to the exact scaled-int cosines. */
+    * well-defined cross-engine thanks to the exact scaled-int cosines.
+    *
+    * The benchmark is a FIXED id set (`vec_id % 50 = 0` below
+    * [[SemanticBenchMaxId]]) — the production meaning: eval suites do
+    * not grow with the corpus, so the row measures LINEAR corpus
+    * scaling across fixture decades (VERDICT r10 "what's missing" #3:
+    * the previous all-multiples slice grew BOTH sides of the cross
+    * join, making the catalog row quadratic-ish on derived fixtures by
+    * construction). At the driver's sf0.01 oracle fixture (500
+    * vectors) the fixed set and the slice coincide, so the oracle
+    * output is unchanged; [[semanticDecontamSlice]] keeps the
+    * corpus-proportional form as a declared bench-only variant. */
   val semanticDecontam = Q("semantic_decontam", (s, d) => {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", Vectors.normScaled($"embedding").as("n2"))
+    val isBench = $"vec_id" % 50 === 0 && $"vec_id" < SemanticBenchMaxId
+    val bench = v.filter(isBench)
+      .select($"vec_id".as("bid"), $"embedding".as("be"), $"n2".as("bn2"))
+    val corpus = v.filter(!isBench)
+    val sims = corpus.crossJoin(broadcast(bench))
+      .select($"vec_id", $"bid",
+        Vectors.cosine(Vectors.dotScaled($"embedding", $"be"), $"n2", $"bn2").as("sim"))
+    sims.groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"bid").as("neg_bid"))).as("best"))
+      .select($"vec_id", (-$"best.neg_bid").as("top_bench"),
+        $"best.sim".as("max_sim"), ($"best.sim" >= 0.45).as("flagged"))
+  }, Some(s"""
+    WITH v AS (SELECT vec_id, embedding,
+        list_sum(list_transform(embedding,
+          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
+      FROM embeddings),
+    b AS (SELECT vec_id AS bid, embedding AS be, n2 AS bn2 FROM v
+      WHERE vec_id % 50 = 0 AND vec_id < $SemanticBenchMaxId),
+    c AS (SELECT vec_id, embedding, n2 FROM v
+      WHERE NOT (vec_id % 50 = 0 AND vec_id < $SemanticBenchMaxId)),
+    s AS (SELECT c.vec_id, b.bid,
+        list_sum(list_transform(list_zip(c.embedding, b.be),
+          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
+          / sqrt(c.n2 * b.bn2) AS sim
+      FROM c CROSS JOIN b),
+    m AS (SELECT vec_id, max(sim) AS max_sim FROM s GROUP BY 1)
+    SELECT s.vec_id, min(s.bid) AS top_bench, m.max_sim,
+      m.max_sim >= 0.45 AS flagged
+    FROM s JOIN m ON s.vec_id = m.vec_id AND s.sim = m.max_sim
+    GROUP BY s.vec_id, m.max_sim
+    ORDER BY s.vec_id"""),
+    sortCols = Seq("vec_id"))
+
+  /** The OLD corpus-slice benchmark (`vec_id % 50 = 0`, every multiple)
+    * as a DECLARED bench-only variant, like `q1_agg_fast`: both sides of
+    * the cross join grow with the fixture, so its decade ratio shows
+    * what pinning the benchmark buys. No oracle by design — the driver
+    * records a rows-only check; the plan is the oracle-gated
+    * [[semanticDecontam]]'s with a different benchmark predicate. */
+  val semanticDecontamSlice = Q("semantic_decontam_slice", (s, d) => {
     import s.implicits._
     val v = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", Vectors.normScaled($"embedding").as("n2"))
@@ -1551,25 +1656,7 @@ object LlmOps {
       .agg(max(struct($"sim", (-$"bid").as("neg_bid"))).as("best"))
       .select($"vec_id", (-$"best.neg_bid").as("top_bench"),
         $"best.sim".as("max_sim"), ($"best.sim" >= 0.45).as("flagged"))
-  }, Some("""
-    WITH v AS (SELECT vec_id, embedding,
-        list_sum(list_transform(embedding,
-          x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) AS n2
-      FROM embeddings),
-    b AS (SELECT vec_id AS bid, embedding AS be, n2 AS bn2 FROM v WHERE vec_id % 50 = 0),
-    c AS (SELECT vec_id, embedding, n2 FROM v WHERE vec_id % 50 <> 0),
-    s AS (SELECT c.vec_id, b.bid,
-        list_sum(list_transform(list_zip(c.embedding, b.be),
-          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12)))
-          / sqrt(c.n2 * b.bn2) AS sim
-      FROM c CROSS JOIN b),
-    m AS (SELECT vec_id, max(sim) AS max_sim FROM s GROUP BY 1)
-    SELECT s.vec_id, min(s.bid) AS top_bench, m.max_sim,
-      m.max_sim >= 0.45 AS flagged
-    FROM s JOIN m ON s.vec_id = m.vec_id AND s.sim = m.max_sim
-    GROUP BY s.vec_id, m.max_sim
-    ORDER BY s.vec_id"""),
-    sortCols = Seq("vec_id"))
+  }, None, sortCols = Seq("vec_id"))
 
   /** Persisted IVF index: built at most once per embeddings fingerprint
     * (stale-proof, race-proof — see [[graft.sources.BuildOnce]]), probed
@@ -1686,7 +1773,7 @@ object LlmOps {
       FROM sims)""")
 
   val all: Seq[Q] = Seq(
-    docDedup, minhashBands, minhashPairs, minhashPairsVerified, pairJaccard,
+    docDedup, dedupHash, minhashBands, minhashPairs, minhashPairsVerified, pairJaccard,
     dupClusters, corpusDedup,
     trainSplit, perSourceCap, tokenBudget, lenQuantiles, incrementalDedup,
     incrementalDedupBloom,
@@ -1696,5 +1783,5 @@ object LlmOps {
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
     embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
     ivfRecall, ivfRecallN4, quantKnn, quantRerank, quantRecall, ivfQuant,
-    semanticDecontam)
+    semanticDecontam, semanticDecontamSlice)
 }

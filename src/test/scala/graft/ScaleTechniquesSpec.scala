@@ -163,6 +163,68 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_hash keeper phase: hashing the group key cuts the dedup shuffle payload-width-fold") {
+    // 100 distinct 2 KB payloads, 4 copies each, copies scattered across
+    // partitions so map-side combine cannot collapse them locally — the
+    // exchange really carries per-partition exemplars in both forms.
+    // Payload bytes are RANDOM: shuffle-write metrics count compressed
+    // bytes, and a constant filler would compress below the hash width
+    val rnd = new scala.util.Random(7)
+    val payloads = (0 until 100).map(i =>
+      f"payload-$i%03d-" + rnd.alphanumeric.take(2000).mkString)
+    val rows = (0 until 400).map(i => (i.toLong, payloads(i % 100)))
+      .toDF("id", "payload").repartition(8).localCheckpoint(true)
+
+    def shuffleWriteBytes(body: => Unit): Long = {
+      val sum = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            sum.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      sum.get()
+    }
+
+    withShuffleConfs() {
+      // keeper derivation, naive: the 2 KB payload IS the grouping key —
+      // it crosses the exchange and feeds the agg hash table as a key
+      var naiveKeepers: Set[Long] = null
+      val naiveBytes = shuffleWriteBytes {
+        naiveKeepers = rows.groupBy($"payload").agg(min($"id").as("id"))
+          .select("id").as[Long].collect().toSet
+      }
+      // keeper derivation, dedup_hash shape: a 32 B content hash keys the
+      // exchange; the payload never leaves the map side
+      var hashKeepers: Set[Long] = null
+      val hashBytes = shuffleWriteBytes {
+        hashKeepers = rows.groupBy(sha2($"payload", 256).as("_h"))
+          .agg(min($"id").as("id"))
+          .select("id").as[Long].collect().toSet
+      }
+      // identical keeper sets (first-wins: min id per content group)
+      assert(hashKeepers == naiveKeepers)
+      assert(hashKeepers == (0L until 100L).toSet,
+        "min id per payload group must be the first copy")
+      // the measured point: the keeper shuffle shrinks by roughly the
+      // payload/hash width ratio (~2 KB → 64 B hex ≈ 30×; assert ≥ 5×)
+      assert(hashBytes * 5 < naiveBytes,
+        s"hash keeper phase wrote $hashBytes shuffle bytes vs naive " +
+          s"$naiveBytes — expected a payload-width-fold drop")
+      // phase 2 lands the full kept rows through the unique-id semi join
+      val kept = rows.join(
+        rows.groupBy(sha2($"payload", 256).as("_h")).agg(min($"id").as("id"))
+          .select("id"),
+        Seq("id"), "left_semi")
+      assert(kept.count() == 100 &&
+        kept.select("payload").distinct().count() == 100)
+    }
+  }
+
   test("two-phase per-source cap: equals the single-window form; bounds the max task") {
     import graft.queries.LlmOps
     import org.apache.spark.sql.expressions.Window

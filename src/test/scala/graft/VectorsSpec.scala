@@ -150,6 +150,36 @@ class VectorsSpec extends SparkSpec {
       s"absorbed vectors not top-1 for their own embeddings: $hits")
   }
 
+  test("withBucketBound: pass-through under the cap, loud in-plan error on a hot bucket") {
+    import graft.queries.LlmOps
+    val frame = ((0 until 20).map(i => (i.toLong, "cool")) ++
+      (100 until 110).map(i => (i.toLong, "hot"))).toDF("vec_id", "label")
+    // under the cap: rows pass through bit-identically
+    val guarded = Vectors.withBucketBound(frame, "label", maxRows = 25)
+    assert(guarded.columns.toSeq == frame.columns.toSeq)
+    assert(guarded.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      frame.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // a manufactured hot bucket (20 rows > cap 15) fails AT EXECUTION,
+    // naming the bucket and its pair expansion — never silently quadratic
+    val hot = Vectors.withBucketBound(frame, "label", maxRows = 15)
+    val e = intercept[Exception] { hot.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val msg = messages(e).mkString("\n")
+    assert(msg.contains("label=cool") && msg.contains("20 rows") &&
+      msg.contains("190 pairs"), s"guard message unhelpful:\n$msg")
+    // the catalog row composes the guard: a tiny session cap trips it on
+    // the fixture, the default cap does not (oracle row unchanged)
+    spark.conf.set("spark.graft.neardup.maxBucketRows", "3")
+    try {
+      val boom = intercept[Exception] {
+        LlmOps.embeddingNeardup.run(spark, "/root/testdata/sf0.001").count()
+      }
+      assert(messages(boom).mkString.contains("exhaustive in-bucket pairing"))
+    } finally spark.conf.unset("spark.graft.neardup.maxBucketRows")
+    assert(LlmOps.embeddingNeardup.run(spark, "/root/testdata/sf0.001").count() > 0)
+  }
+
   test("IVF skeleton: nearest-centroid assignment via broadcast argmin") {
     // 2 obvious clusters on the axes; centroids from the true means.
     val vecs = Seq(
