@@ -180,6 +180,17 @@ object Bench {
       val all = SparkEntry.catalog.filter(_.headline)
       only.fold(all)(o => all.filter(q => o(q.name)))
     }
+    // ADVICE r10: a typo'd or empty SPARK_GRAFT_ONLY must fail fast, not
+    // silently run nothing and write a "0 of N" subset record
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.catalog.map(_.name).toSet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(qs.nonEmpty,
+        "SPARK_GRAFT_ONLY selected zero headline queries")
+    }
+    // narrowed runs record to their own file (ADVICE r10) — see below
+    val recordFile = if (only.isEmpty) "bench_full.json" else "bench_subset.json"
     qs.foreach(exec(_, warmDir)) // warmup: codegen + JIT per query shape
 
     // box-speed calibration stamp: a fixed data-independent codegen
@@ -323,7 +334,7 @@ object Bench {
     // adaptive precision drops to 1-decimal minima if even that would
     // risk head-truncation in the driver's 2000-char capture
     def stdoutLine(fmt: Double => String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJsonAt(fmt)},"detail":"bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJsonAt(fmt)},"detail":"$recordFile","sf":"$sfDir"}"""
     val line = {
       val two = stdoutLine(v => r2(v).toString)
       lazy val one = stdoutLine(v => (math.rint(v * 10) / 10).toString)
@@ -345,12 +356,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"calib_sec":${r3(
           calib)},"queries":${qJsonAt(
           v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson$subsetJson,"sf":"$sfDir"}"""
+    // ADVICE r10: a narrowed run writes its record to bench_subset.json —
+    // never over the committed full-catalog baseline, whose full
+    // precision + calib stamp the next full run gates against (the
+    // subset stamp already prevented MIS-gating, but clobbering the
+    // best baseline degraded the next gate to tail-capture precision)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(benchDir, "bench_full.json"),
+      java.nio.file.Paths.get(benchDir, recordFile),
       fullJson.getBytes("UTF-8"))
     catch {
       case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write bench_full.json: $e")
+        System.err.println(s"[bench] could not write $recordFile: $e")
     }
     spark.stop()
     // the per-query contract line goes out after Spark shutdown (so no
@@ -361,7 +377,7 @@ object Bench {
     // it — this ~100-char closing line stays parseable at every catalog
     // size, with bench_full.json as the pointer to per-query detail.
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","detail":"$recordFile","sf":"$sfDir"}""")
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }
