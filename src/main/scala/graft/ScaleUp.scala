@@ -44,6 +44,7 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1.0")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val span = args.lift(3).map(_.toLong).getOrElse(Span)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,8 +53,8 @@ object ScaleUp {
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    derive(spark, src, dst, copies)
-    println(s"""{"scaled":"$dst","copies":$copies,"src":"$src"}""")
+    derive(spark, src, dst, copies, span = span)
+    println(s"""{"scaled":"$dst","copies":$copies,"span":$span,"src":"$src"}""")
     spark.stop()
   }
 
@@ -63,9 +64,20 @@ object ScaleUp {
 
   /** Materialize the `copies`× fixture under `dst` (callable from specs —
     * [[main]] owns the session lifecycle, this does not; `tables` narrows
-    * the derivation to a subset when a spec only needs one table). */
+    * the derivation to a subset when a spec only needs one table).
+    *
+    * `span` is the per-copy key shift. The default suits a source fixture
+    * whose keys all sit below [[Span]] (the driver's sf0.1). Decades are
+    * STACKED by re-deriving from an already-derived fixture with a span
+    * exceeding its key range (e.g. sf10 holds keys below 100·Span, so
+    * sf10 → sf100 uses span = 1e9) — a 10-leg union over the big fixture
+    * instead of a 1000-leg union over sf0.1, which keeps the plan (and
+    * the documents word-salt expression count) constant per decade. The
+    * nested word salt appends a second `zz<c>` tag; tags end in
+    * `"zz" + decimal`, so tokens from different outer copies can never
+    * collide and within-copy dup structure is still preserved exactly. */
   def derive(spark: SparkSession, src: String, dst: String, copies: Int,
-      tables: Seq[String] = AllTables): Unit = {
+      tables: Seq[String] = AllTables, span: Long = Span): Unit = {
     def write(name: String)(xform: (DataFrame, Int) => DataFrame): Unit =
       if (tables.contains(name)) {
         val base = spark.read.parquet(s"$src/$name.parquet")
@@ -74,7 +86,7 @@ object ScaleUp {
           .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       }
     def shifted(keys: String*)(df: DataFrame, c: Int): DataFrame =
-      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * Span)))
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * span)))
 
     // dimensions: one copy, no shift
     Seq("region", "nation").filter(tables.contains).foreach { t =>
@@ -90,11 +102,18 @@ object ScaleUp {
     write("embeddings")(shifted("vec_id"))
     write("documents") { (df, c) =>
       val s = shifted("doc_id")(df, c)
+      // Tag number scales with span/Span so stacked derivations salt from
+      // disjoint number ranges: a source built with N copies holds tags
+      // zz1..zz(N-1), and a re-derivation over it uses span = N·Span, so
+      // its tags zzN, zz2N, … can never reproduce an inner tag (the
+      // inner copy 0 is UNSALTED — with a plain `c` tag, outer copy 1's
+      // salt of inner 0 would equal inner copy 1's existing text).
+      val tag = c * (span / Span)
       if (c == 0) s
       else s
         .withColumn("text",
           array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"zz$c"))), " "))
+            w => concat(w, lit(s"zz$tag"))), " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
   }

@@ -87,6 +87,29 @@ class ScaleUpSpec extends SparkSpec {
     assert(big.where(length(col("text")) =!= col("n_chars")).count() == 0)
   }
 
+  test("stacked derivation: re-deriving with a wider span composes decades") {
+    // sf100 is built sf10 -> x10 with span above the source's key range
+    // (a 10-leg union per decade instead of a 1000-leg union from sf0.1);
+    // the composed fixture must look exactly like a direct copies^2 one:
+    // facts x9, joins in lockstep, zero cross-copy text collisions.
+    val d2 = java.nio.file.Files.createTempDirectory("graft_scaleup2").toString
+    ScaleUp.derive(spark, dst, d2, copies, span = ScaleUp.Span * copies)
+    for (t <- Seq("lineitem", "documents", "embeddings")) {
+      val base = spark.read.parquet(s"$src/$t.parquet").count()
+      assert(spark.read.parquet(s"$d2/$t.parquet").count() == base * copies * copies)
+    }
+    val o = Tables.orders(spark, d2)
+    val li = Tables.lineitem(spark, d2)
+    val baseJoin = Tables.lineitem(spark, src).join(Tables.orders(spark, src),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey")).count() ==
+      baseJoin * copies * copies, "stacked FK shift broke join lockstep")
+    val docs = spark.read.parquet(s"$d2/documents.parquet")
+    assert(docs.select("text").distinct().count() ==
+      spark.read.parquet(s"$src/documents.parquet").select("text").distinct().count()
+        * copies * copies, "stacked word salt collided across copies")
+  }
+
   test("derived fixture reads through the catalog's Tables entry points") {
     val ev = Tables.events(spark, dst)
     assert(ev.count() == Tables.events(spark, src).count() * copies)
