@@ -276,6 +276,21 @@ object Bench {
       else (q.name, -1.0, Nil, runs.head._2)
     }
 
+    // Shuffle/spill byte metrics, measured AFTER (and outside) the timed
+    // reps so the timing contract is untouched: one extra execution per
+    // query through PlanMetrics' synchronous accumulator read. These are
+    // the scale-design numbers PERF.md's decade tables argue from —
+    // shuffle growing super-linearly, or spill appearing between two SFs,
+    // is the 100 TB warning timing alone can't give. Skipped via
+    // SPARK_GRAFT_METRICS=0 (and for errored queries).
+    val wantMetrics = sys.env.getOrElse("SPARK_GRAFT_METRICS", "1") != "0"
+    val planBytes: Map[String, graft.plans.PlanMetrics.Bytes] =
+      if (!wantMetrics) Map.empty
+      else qs.flatMap { q =>
+        try Some(q.name -> graft.plans.PlanMetrics.measure(q.run(spark, sfDir)))
+        catch { case _: Throwable => None }
+      }.toMap
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -352,10 +367,25 @@ object Bench {
     val subsetJson =
       if (only.isEmpty) ""
       else s""","subset":"${qs.length} of ${SparkEntry.catalog.count(_.headline)}""""
+    // per-query shuffle-write and spill MB (bench_full.json only — the
+    // stdout contract line must not grow with extra per-query maps)
+    def mb(b: Long): Double = math.rint(b / 1048.576) / 1000 // 3-decimal MB
+    val metricsJson =
+      if (planBytes.isEmpty) ""
+      else {
+        val sh = results.flatMap { case (k, _, _, _) =>
+          planBytes.get(k).map(b => s"${jstr(k)}:${mb(b.shuffleWrite)}")
+        }.mkString("{", ",", "}")
+        val spills = results.flatMap { case (k, _, _, _) =>
+          planBytes.get(k).filter(_.spill > 0).map(b => s"${jstr(k)}:${mb(b.spill)}")
+        }
+        val spJson = if (spills.isEmpty) "" else s""","spill_mb":${spills.mkString("{", ",", "}")}"""
+        s""","shuffle_mb":$sh$spJson"""
+      }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"calib_sec":${r3(
           calib)},"queries":${qJsonAt(
-          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson$subsetJson,"sf":"$sfDir"}"""
+          v => r3(v).toString)},"reps":$repJson$errJson$deltaJson$contamJson$subsetJson$metricsJson,"sf":"$sfDir"}"""
     // ADVICE r10: a narrowed run writes its record to bench_subset.json —
     // never over the committed full-catalog baseline, whose full
     // precision + calib stamp the next full run gates against (the

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Post-execution physical-plan metric extraction: how many bytes a query
+  * actually SHUFFLED and SPILLED, read from the executed plan's SQL
+  * metrics (the numbers the Spark UI shows), not estimated.
+  *
+  * The brief's scale question — "is there a shuffle here that becomes the
+  * bottleneck at 100 TB, and does the partition fit in executor memory?"
+  * — is answered by these two numbers as a function of SF: shuffle bytes
+  * that grow linearly with input are a re-partitioning the design pays by
+  * intent; spill bytes that appear at some SF mark the operating point
+  * where a partition outgrew its memory share (acceptable — spill is the
+  * graceful path — but worth measuring BEFORE the 1000-executor run).
+  * [[graft.Bench]] records both per query in `bench_full.json`
+  * (`shuffle_mb` / `spill_mb`), so the decade tables in PERF.md can split
+  * "time grew because the box slowed" from "the shuffle grew
+  * super-linearly" from "we started spilling between sf10 and sf100".
+  *
+  * Known limit: a query that drives eager jobs while CONSTRUCTING its
+  * DataFrame (the iterative connected-components rows localCheckpoint
+  * per round) reports only its FINAL plan's bytes — the iteration's
+  * shuffles ran outside the measured plan and read as 0 here. Those
+  * rows' shuffle story is argued in their own specs, not this number.
+  *
+  * Accumulator timing: SQL metrics ride task-completion events through
+  * the DAG scheduler, which processes the last task's update BEFORE the
+  * action unblocks — so values read AFTER a blocking action are final.
+  * No listener, no listener-bus race (QueryExecutionListener callbacks
+  * are delivered asynchronously, which mis-attributes metrics under
+  * back-to-back runs).
+  */
+object PlanMetrics {
+
+  /** (shuffle bytes written, spill bytes: memory-pressure disk spills
+    * from sorts/aggregations/joins, NOT shuffle files). */
+  final case class Bytes(shuffleWrite: Long, spill: Long) {
+    def +(o: Bytes): Bytes = Bytes(shuffleWrite + o.shuffleWrite, spill + o.spill)
+  }
+
+  /** Execute `df`'s plan (full plan, zero sink cost — the [[graft.Bench]]
+    * noop-write convention, via an empty per-partition drain) and return
+    * its measured bytes. Runs its OWN execution so callers measure a
+    * fresh plan instance's metrics, not an accumulation across reps. */
+  def measure(df: DataFrame): Bytes = {
+    val qe = df.queryExecution
+    qe.sparkSession.sparkContext.runJob(
+      qe.toRdd, (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        { while (it.hasNext) it.next(); () })
+    read(qe.executedPlan)
+  }
+
+  /** Sum shuffle-write and spill SQL metrics across an EXECUTED plan
+    * tree, descending through AQE wrappers and materialized query
+    * stages. `ReusedExchangeExec` is a pointer to an exchange reached
+    * through its own branch — descending through it would double-count
+    * that exchange's metrics, so it is treated as a leaf. */
+  def read(plan: SparkPlan): Bytes =
+    allNodes(plan).map { n =>
+      def m(key: String): Long =
+        n.metrics.get(key).map(_.value).filter(_ > 0).getOrElse(0L)
+      Bytes(m("shuffleBytesWritten"), m("spillSize"))
+    }.foldLeft(Bytes(0, 0))(_ + _)
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _: ReusedExchangeExec    => Seq.empty
+      case _                        => p.children
+    }
+    (p +: kids.flatMap(allNodes)) ++
+      p.subqueries.flatMap(allNodes) // scalar/IN subqueries shuffle too
+  }
+}
