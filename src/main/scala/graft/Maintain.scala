@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.sinks.Writers
 import graft.sources.{ArtifactStore, DedupIndex, Tables}
 
 /** One-command operational maintenance across artifact roots (VERDICT
@@ -17,7 +18,11 @@ import graft.sources.{ArtifactStore, DedupIndex, Tables}
   *    doesn't use the gate), then vacuum both the index's and the
   *    sidecar's superseded versions and stale claims/stages;
   *  - any other [[ArtifactStore]] base: vacuum only (build-once
-  *    artifacts are immutable per stamp — there is nothing to compact).
+  *    artifacts are immutable per stamp — there is nothing to compact);
+  *  - a FLAT parquet dataset root (data files directly under the root,
+  *    no version lineage — the shape every incremental sink accretes):
+  *    [[Writers.compactSmallFiles]], merging undersized files into
+  *    target-sized ones and leaving at-size files byte-identical.
   *
   * Ordering inside a root matters and is fixed here: compact FIRST
   * (publishes the successor), bloom rebuild SECOND (describes the
@@ -28,23 +33,40 @@ import graft.sources.{ArtifactStore, DedupIndex, Tables}
   *
   * Knobs (env): SPARK_GRAFT_KEEP (versions kept per root, default 1),
   * SPARK_GRAFT_STALE_MS (staleness horizon for uncommitted stages and
-  * crashed claims, default 10 min — 0 in tests). Output: one JSON line
+  * crashed claims, default 10 min — 0 in tests),
+  * SPARK_GRAFT_COMPACT_TARGET / SPARK_GRAFT_COMPACT_MIN (dataset
+  * compaction geometry in bytes, defaults 128 MiB / 32 MiB). Output:
+  * one JSON line
   * per root plus a closing summary line, same stdout discipline as
   * [[Bench]].
   */
 object Maintain {
 
-  /** What maintenance did to one root. */
+  /** What maintenance did to one root (`filesBefore`/`filesAfter` are
+    * meaningful for `kind = "dataset"` roots only). */
   final case class Report(root: String, kind: String,
       compacted: Boolean, bloomRebuilt: Boolean,
-      versionsBefore: Int, versionsAfter: Int)
+      versionsBefore: Int, versionsAfter: Int,
+      filesBefore: Int = 0, filesAfter: Int = 0)
 
   /** Maintain one root (library form — MaintainSpec drives this). */
   def maintainRoot(s: SparkSession, root: String,
-      keep: Int = 1, staleMs: Long = 10 * 60 * 1000L): Report = {
+      keep: Int = 1, staleMs: Long = 10 * 60 * 1000L,
+      compactTargetBytes: Long = 128L << 20,
+      compactMinBytes: Long = 32L << 20): Report = {
     val f = ArtifactStore.fs(root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
     val before = ArtifactStore.versions(f, root).length
-    if (DedupIndex.isIndexRoot(root)) {
+    // flat dataset: parquet files directly under the root, no lineage
+    val isFlatDataset = before == 0 && !DedupIndex.isIndexRoot(root) &&
+      f.exists(rootPath) && f.listStatus(rootPath)
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (isFlatDataset) {
+      val cs = Writers.compactSmallFiles(s, root,
+        targetBytes = compactTargetBytes, minBytes = compactMinBytes)
+      Report(root, "dataset", compacted = cs.filesCompacted > 0,
+        bloomRebuilt = false, 0, 0, cs.filesBefore, cs.filesAfter)
+    } else if (DedupIndex.isIndexRoot(root)) {
       val idx = DedupIndex.compact(s, DedupIndex.open(s, root))
       val bloomBase = s"$root/_bloom"
       val hasBloom = ArtifactStore.currentDir(f, bloomBase).isDefined
@@ -65,6 +87,10 @@ object Maintain {
     val keep = sys.env.getOrElse("SPARK_GRAFT_KEEP", "1").toInt
     val staleMs = sys.env.getOrElse("SPARK_GRAFT_STALE_MS",
       (10 * 60 * 1000L).toString).toLong
+    val cmpTarget = sys.env.getOrElse("SPARK_GRAFT_COMPACT_TARGET",
+      (128L << 20).toString).toLong
+    val cmpMin = sys.env.getOrElse("SPARK_GRAFT_COMPACT_MIN",
+      (32L << 20).toString).toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,9 +105,13 @@ object Maintain {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val reports = args.toSeq.map { root =>
-      val r = maintainRoot(spark, root, keep, staleMs)
+      val r = maintainRoot(spark, root, keep, staleMs, cmpTarget, cmpMin)
+      val tail = if (r.kind == "dataset")
+        s""""files":{"before":${r.filesBefore},"after":${r.filesAfter}}}"""
+      else
+        s""""versions":{"before":${r.versionsBefore},"after":${r.versionsAfter}}}"""
       println(s"""{"root":${jstr(r.root)},"kind":"${r.kind}","compacted":${r.compacted},""" +
-        s""""bloom_rebuilt":${r.bloomRebuilt},"versions":{"before":${r.versionsBefore},"after":${r.versionsAfter}}}""")
+        s""""bloom_rebuilt":${r.bloomRebuilt},""" + tail)
       r
     }
     spark.stop()

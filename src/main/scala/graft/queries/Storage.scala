@@ -132,6 +132,83 @@ object Storage {
     FROM orders WHERE o_orderkey % 10 < 2 ORDER BY o_orderkey"""),
     sortCols = Seq("o_orderkey"), headline = false)
 
+  /** Keyed MERGE over a landed dataset as a query row
+    * ([[Writers.upsertByKey]] — the file-level sibling of the JDBC
+    * `ON DUPLICATE KEY UPDATE` load, `Utils/sql.py:79-99`): land
+    * `customer` range-clustered on the key, apply one deterministic
+    * update batch (every 97th key relabeled into a sentinel segment;
+    * every 193rd key cloned under a fresh NEGATIVE key — absent at
+    * every SF and in every ScaleUp-derived fixture, whose shifts are
+    * strictly positive), and aggregate the merged dataset by segment.
+    * The row pays cluster-write + merge + read-back by the
+    * `partition_prune` convention (sink rows measure the sink);
+    * WritersSpec asserts the file-level claims (untouched files
+    * byte-identical, rewrite bounded to hit files, crash-window
+    * no-loss). The oracle rebuilds the merge relationally from the
+    * source table — one lost, duplicated, or stale row anywhere and
+    * the hash mismatches. */
+  val upsertMerge = Q("upsert_merge", (s, d) => {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ups_" +
+      s"${ProcessHandle.current().pid()}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val c = Tables.customer(s, d)
+    Writers.clusteredByRange(c, "c_custkey", path, 16)
+    // the update is a pure relabel — no FP arithmetic, so the oracle's
+    // rebuilt rows are bit-identical by construction
+    val updates = c.filter($"c_custkey" % 97 === 0)
+      .withColumn("c_mktsegment", lit("UPSERTED"))
+      .unionByName(c.filter($"c_custkey" % 193 === 0)
+        .withColumn("c_custkey", -$"c_custkey" - 1))
+    Writers.upsertByKey(s, path, "c_custkey", updates)
+    s.read.parquet(path)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sumd($"c_acctbal").as("bal"),
+        sum($"c_custkey").as("key_sum"))
+  }, Some(s"""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             'UPSERTED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 97 = 0),
+    ins AS (
+      SELECT -c_custkey - 1 AS c_custkey, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 193 = 0),
+    merged AS (
+      SELECT * FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins)
+    SELECT c_mktsegment, COUNT(*) AS n, ${sumdSql("c_acctbal")} AS bal,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM merged GROUP BY 1 ORDER BY c_mktsegment"""),
+    sortCols = Seq("c_mktsegment"))
+
+  /** Small-file compaction as a query row ([[Writers.compactSmallFiles]]
+    * — the standing maintenance op incremental sinks need: the
+    * reference lands 200-row objects, `S3.py:137-156`, and a year of
+    * that at corpus scale is a listing+footer storm): land `documents`
+    * fragmented across 32 files, compact everything under the size
+    * floor into ~target-sized outputs, and aggregate the read-back.
+    * The oracle computes the same aggregate straight off the source
+    * table — compaction must be a pure layout move, so one row lost,
+    * duplicated, or mangled in the merge flips the hash. File-count
+    * and untouched-big-file claims live in WritersSpec. */
+  val compactRoundtrip = Q("compact_roundtrip", (s, d) => {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_cmp_" +
+      s"${ProcessHandle.current().pid()}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.documents(s, d).repartition(32)
+      .write.mode("overwrite").parquet(path)
+    Writers.compactSmallFiles(s, path,
+      targetBytes = 64L << 20, minBytes = 32L << 20)
+    s.read.parquet(path)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }, Some("""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2 ORDER BY source, lang"""),
+    sortCols = Seq("source", "lang"))
+
   val all: Seq[Q] = Seq(partitionPrune, evolveUnion, batchSlice, jdbcRoundtrip,
-    targetedDelete)
+    targetedDelete, upsertMerge, compactRoundtrip)
 }

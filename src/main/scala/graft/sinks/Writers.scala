@@ -266,6 +266,167 @@ object Writers {
     (files, lits)
   }
 
+  /** Outcome of an [[upsertByKey]]: files touched and the replace/insert
+    * split (replaced + inserted = the update batch's row count). */
+  final case class UpsertStats(filesTotal: Int, filesRewritten: Int,
+      rowsReplaced: Long, rowsInserted: Long)
+
+  /** Keyed MERGE (upsert) into a landed flat parquet dataset: every row of
+    * `updates` whose key exists in the dataset REPLACES the stored row;
+    * keys the dataset has never seen are APPENDED. The file-level sibling
+    * of the reference's `ON DUPLICATE KEY UPDATE` load
+    * (`Utils/sql.py:79-99`, exercised against live Derby by
+    * [[JdbcSink]]) — at corpus scale the nightly "re-crawl changed
+    * players" batch must not rewrite 100 TB to refresh 10^5 rows.
+    *
+    * Scale shape (shares [[deleteWhereKeys]]' machinery): hit files are
+    * discovered by [[hitFiles]] (pushed-down IN under the literal limit —
+    * min/max footers skip files on a clustered layout — else a left-semi
+    * join; never a driver-side key list past the bound). Only hit files
+    * are rewritten; the update batch itself lands as fresh files. Swap
+    * order is the delete's no-loss order: replacements and inserts move
+    * IN first under collision-free names, originals are deleted second —
+    * a crash inside the window duplicates (at-least-once), never loses;
+    * exact dedup downstream reclaims duplicates, nothing reclaims a lost
+    * row. All I/O through Hadoop FS (object-store URIs work; per-file
+    * moves only, no directory renames). Non-transactional: single-writer
+    * discipline is the caller's, like every flat-parquet mutator here —
+    * evolving-artifact lineages that need racing writers go through
+    * [[graft.sources.ArtifactStore.commitExclusive]] instead.
+    *
+    * `updates` must carry exactly the dataset's columns (any order) and
+    * at most one row per key — a multi-row key has no deterministic
+    * winner, so it fails fast rather than landing order-dependent data.
+    *
+    * @param onBeforeDeleteOriginals test seam between move-in and delete,
+    *        as in [[deleteWhereKeys]] */
+  def upsertByKey(spark: SparkSession, path: String, keyCol: String,
+      updates: DataFrame, inListLimit: Int = DeleteInListLimit,
+      onBeforeDeleteOriginals: () => Unit = () => ()): UpsertStats = {
+    val fs = graft.sources.ArtifactStore.fs(path)
+    val dataDir = new org.apache.hadoop.fs.Path(path)
+    val existing = spark.read.parquet(path)
+    require(existing.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert batch columns ${updates.columns.sorted.mkString(",")} != " +
+        s"dataset columns ${existing.columns.sorted.mkString(",")}")
+    // align column order to the dataset's so the landed files share one
+    // schema; cache: read again for keys, counted once via observe below
+    val batch = updates.select(existing.columns.map(col).toIndexedSeq: _*)
+    val allFiles = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val keys = batch.select(col(keyCol)).distinct()
+    val (affected, inList) = hitFiles(spark, path, keyCol, keys, inListLimit)
+
+    val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.upsert_$tag")
+    val tmpKept = new org.apache.hadoop.fs.Path(tmp, "kept")
+    val tmpNew = new org.apache.hadoop.fs.Path(tmp, "new")
+
+    // duplicate-key check costs two counts on the BATCH (the small side
+    // of every upsert; the dataset is never re-scanned for it) — fail
+    // before anything lands. The replaced count then rides the kept
+    // write via observe (one pass, as in deleteWhereKeys).
+    val nKeys = keys.count()
+    val nBatch = batch.count()
+    require(nKeys == nBatch,
+      s"upsert batch has ${nBatch - nKeys} duplicate $keyCol rows — " +
+        "no deterministic winner; dedup the batch first")
+    val replaced =
+      if (affected.isEmpty) 0L
+      else {
+        val affectedDf = spark.read.parquet(affected: _*)
+        val marked = inList match {
+          case Some(lits) =>
+            affectedDf.withColumn("_hit", col(keyCol).isin(lits: _*))
+          case None =>
+            affectedDf.join(
+              keys.withColumnRenamed(keyCol, "_upsert_key")
+                .withColumn("_hit", lit(true)),
+              col(keyCol) === col("_upsert_key"), "left_outer")
+              .drop("_upsert_key")
+        }
+        val obs = org.apache.spark.sql.Observation(s"graft_upsert_$tag")
+        marked
+          .observe(obs, sum(when(col("_hit"), 1L).otherwise(0L)).as("replaced"))
+          .filter(!coalesce(col("_hit"), lit(false))).drop("_hit")
+          .write.parquet(tmpKept.toString)
+        obs.get("replaced") match { case null => 0L; case n: Number => n.longValue() }
+      }
+    batch.write.parquet(tmpNew.toString)
+
+    // ---- swap: new data IN first, originals out second ---------------
+    def moveIn(dir: org.apache.hadoop.fs.Path, prefix: String): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dataDir, s"part-$prefix$i-$tag.parquet"))
+          }
+    moveIn(tmpKept, "uk")
+    moveIn(tmpNew, "un")
+    onBeforeDeleteOriginals()
+    affected.foreach(u => fs.delete(new org.apache.hadoop.fs.Path(u), false))
+    fs.delete(tmp, true)
+    UpsertStats(allFiles.length, affected.length, replaced, nBatch - replaced)
+  }
+
+  /** Outcome of a [[compactSmallFiles]] pass. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int,
+      filesCompacted: Int, bytesCompacted: Long)
+
+  /** Small-file compaction over a landed flat parquet dataset: merge
+    * every file under `minBytes` into ~`targetBytes` outputs, leaving
+    * files already at size byte-identical on disk. Incremental sinks
+    * (the streaming absorb loop, per-batch [[upsertByKey]] inserts, the
+    * reference's 200-row objects — `S3.py:137-156`) accrete files whose
+    * per-file open/footer cost eventually dominates the scan: at 100 TB
+    * a million 100 KB objects is a listing+seek storm, and compaction is
+    * the standing maintenance op every table format ships. Wired into
+    * [[graft.Maintain]] next to index compact + vacuum.
+    *
+    * Plan shape: ONE read over just the undersized files (driver holds
+    * file names + sizes — listing metadata, never rows), `coalesce` to
+    * the byte-derived bin count (merges input partitions, NO shuffle —
+    * row order within files may change, content cannot), one write.
+    * Swap order as everywhere in this file: compacted files move in
+    * first, the originals they absorb are deleted second — crash inside
+    * the window duplicates, never loses.
+    *
+    * @param onBeforeDeleteOriginals test seam, as in [[deleteWhereKeys]] */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20, minBytes: Long = 32L << 20,
+      onBeforeDeleteOriginals: () => Unit = () => ()): CompactStats = {
+    require(minBytes <= targetBytes, s"minBytes $minBytes > targetBytes $targetBytes")
+    val fs = graft.sources.ArtifactStore.fs(path)
+    val dataDir = new org.apache.hadoop.fs.Path(path)
+    val all = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val small = all.filter(_.getLen < minBytes).sortBy(_.getPath.getName)
+    if (small.length < 2)
+      return CompactStats(all.length, all.length, 0, 0L)
+    val bytes = small.map(_.getLen).sum
+    val bins = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact_$tag")
+    spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+      .coalesce(bins)
+      .write.parquet(tmp.toString)
+    val moved = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    moved.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dataDir, s"part-c$i-$tag.parquet"))
+    }
+    onBeforeDeleteOriginals()
+    small.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+    CompactStats(all.length, all.length - small.length + moved.length,
+      small.length, bytes)
+  }
+
   /** K7: local debug dump (`save_json`, `S3.py:345-349`). */
   def jsonDump(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)

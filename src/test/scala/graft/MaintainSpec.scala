@@ -65,4 +65,26 @@ class MaintainSpec extends SparkSpec {
     assert(r.versionsBefore == 2 && r.versionsAfter == 1)
     assert(ArtifactStore.currentDir(f, base).contains(v2))
   }
+
+  test("flat dataset root: small files compacted, content preserved") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_maint_ds").toString + "/sink"
+    spark.range(200).select(col("id").as("doc_id"))
+      .repartition(20).write.parquet(dir)
+    val nBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nBefore == 20)
+    val r = Maintain.maintainRoot(spark, dir, keep = 1, staleMs = 0L,
+      compactTargetBytes = 1L << 30, compactMinBytes = 1L << 30)
+    assert(r.kind == "dataset" && r.compacted, s"unexpected report $r")
+    assert(r.filesBefore == 20 && r.filesAfter < 20)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200 &&
+      back.select("doc_id").distinct().count() == 200)
+    // a second pass over the already-compacted root is a no-op report
+    val r2 = Maintain.maintainRoot(spark, dir, keep = 1, staleMs = 0L,
+      compactTargetBytes = 1L << 30, compactMinBytes = 1L << 30)
+    assert(r2.kind == "dataset")
+    assert(r2.filesAfter == r.filesAfter)
+  }
 }
