@@ -1096,6 +1096,63 @@ object LlmOps {
     ORDER BY vec_a, vec_b"""),
     sortCols = Seq("vec_a", "vec_b"))
 
+  /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv:2303.09540
+    * — cluster the embedding space, then prune near-duplicates INSIDE
+    * each cluster): k-means-style centroids ([[Vectors.buildCentroids]],
+    * the `ivf_knn` build, bit-reproduced by the oracle), corpus assigned
+    * to its nearest centroid, and within each cluster a vector is DROPPED
+    * when a lower-id cluster-mate sits above the cosine threshold (the
+    * deterministic stand-in for the paper's keep-one-per-ε-ball; τ=0.4
+    * drops ~4% of the synthetic corpus — real corpora run ≈0.95).
+    * Differs from [[embeddingNeardup]] exactly where SemDeDup differs
+    * from plain near-dup: buckets are LEARNED from the data, not given
+    * labels, and the output is the per-vector keep/drop verdict (the
+    * pruned corpus), not the pair list.
+    *
+    * Scale shape: assignment broadcasts k centroids (one narrow
+    * partial-top-1 pass, no shuffle of the corpus); in-cluster pairing is
+    * guarded by [[Vectors.withBucketBound]] — k must grow with the corpus
+    * (the paper runs k ≈ √n) or the guard refuses; past the guard the
+    * candidate set comes from ANN (`knn_bucketed`/`quant_rerank`) with
+    * this same verdict rule, the route the error message names. */
+  val semDedup = Q("semdedup", (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = Vectors.buildCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Vectors.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val v = emb.select($"vec_id", $"embedding",
+        Vectors.normScaled($"embedding").as("n2"))
+      .join(assigned, "vec_id")
+    val guarded = Vectors.withBucketBound(v, "centroid_id",
+      Vectors.maxBucketRowsFor(s))
+    val l = guarded.select($"centroid_id", $"vec_id".as("vec_a"),
+      $"embedding".as("ea"), $"n2".as("na"))
+    val r = guarded.select($"centroid_id".as("cb"), $"vec_id".as("vec_b"),
+      $"embedding".as("eb"), $"n2".as("nb"))
+    val dropped = l.join(r, $"centroid_id" === $"cb" && $"vec_a" < $"vec_b")
+      .filter(Vectors.cosine(Vectors.dotScaled($"ea", $"eb"), $"na", $"nb") >= 0.4)
+      .select($"vec_b".as("vec_id")).distinct()
+    v.select($"vec_id", $"centroid_id")
+      .join(dropped.withColumn("_dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"centroid_id",
+        coalesce($"_dup", lit(false)).as("dropped"))
+  }, Some(s"""
+    WITH ${ivfSqlCtes(2)},
+    sd AS (SELECT ab.vec_id AS vec_b,
+        list_sum(list_transform(list_zip(a.e, b.e),
+          pp -> round(pp[1] * pp[2] * 1e12))) / sqrt(a.n2 * b.n2) AS cos_sim
+      FROM assign1 aa JOIN assign1 ab
+        ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+      JOIN vn a ON a.vec_id = aa.vec_id
+      JOIN vn b ON b.vec_id = ab.vec_id),
+    dropped AS (SELECT DISTINCT vec_b FROM sd WHERE cos_sim >= 0.4)
+    SELECT vn.vec_id, CAST(a1.centroid_id AS INTEGER) AS centroid_id,
+           (d.vec_b IS NOT NULL) AS dropped
+    FROM vn JOIN assign1 a1 ON a1.vec_id = vn.vec_id
+    LEFT JOIN dropped d ON d.vec_b = vn.vec_id
+    ORDER BY vn.vec_id"""),
+    sortCols = Seq("vec_id"))
+
   /** Bucketed ANN (brief: "IVF or LSH-bucketed variant as the scale
     * path"): candidates restricted to the query's coarse partition (the
     * `label` column stands in for the IVF centroid assignment — the
@@ -1781,7 +1838,7 @@ object LlmOps {
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
-    embeddingNeardup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
+    embeddingNeardup, semDedup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
     ivfRecall, ivfRecallN4, quantKnn, quantRerank, quantRecall, ivfQuant,
     semanticDecontam, semanticDecontamSlice)
 }

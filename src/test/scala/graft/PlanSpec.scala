@@ -317,6 +317,20 @@ class PlanSpec extends SparkSpec {
       "codes scan reads the unused label column (pruning lost)")
   }
 
+  test("semdedup: centroid assignment broadcasts; no cartesian outside it; guard in-plan") {
+    val p = plan("semdedup")
+    // nearest-centroid scoring is corpus × broadcast(k centroids) — the
+    // corpus must never shuffle to MEET the centroids (top-1 selection
+    // and the pair join shuffle on their own keys, which is fine)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid assignment lost its broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "an unbroadcast cross join appeared in the semdedup chain")
+    // the in-cluster pair stage carries the density guard (raise_error
+    // filter cannot be pruned): a manufactured hot cluster must refuse
+    assert(p.contains("raise_error"), "bucket-density guard fell out of the plan")
+  }
+
   test("catalog names are unique and every oracle key has a query") {
     // queries/oracleSql are Maps keyed by name: a duplicated catalog name
     // would silently SHADOW one implementation — the driver would verify
