@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(graft.functions.ScaledDot.descriptor)
     extensions.injectFunction(graft.functions.IntDot.descriptor)
+    extensions.injectFunction(graft.functions.TermProfile.descriptor)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

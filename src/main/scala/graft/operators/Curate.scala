@@ -89,19 +89,46 @@ object Curate {
   // ---------------------------------------------------------------------
 
   /** Per-doc repetition statistics: distinct-word ratio, top-word share,
-    * top-bigram share. Needs per-doc term frequencies, so it is NOT a
-    * pure array expression — the scale shape is explode → two-level
-    * HashAggregate keyed on (doc_id, token): high-cardinality keys with
-    * map-side partial aggregation, so no reducer ever sees more than one
-    * doc's vocabulary. (A `transform`+`array_distinct` array-expression
-    * version exists but is interpreted per element — CodegenFallback —
-    * and O(n²) for the mode; the explode form is the 100 TB path.)
+    * top-bigram share. A document's term frequencies are a function of
+    * the document's OWN row, so the scale shape is a narrow projection:
+    * [[graft.functions.TermProfile]] (`term_profile`, native codegen'd
+    * one-pass count/distinct/mode over the token array) applied to the
+    * words and to the bigram array — zero exchange, per-row state
+    * bounded by one document's vocabulary. The previous relational form
+    * (explode → two-level HashAggregate on (doc, token)) shuffled one
+    * row per corpus TOKEN: 6.5 GB shuffle / 91 GB spill at the r11
+    * sf100 run, for identical output ([[repetitionProfileExploded]]
+    * remains as the differential twin; generic HOFs were never an
+    * option — CodegenFallback, no O(n) mode).
     *
     * Output: (idCol, n_words, n_distinct, distinct_ratio, top_word_share,
     * top_gram_share). Repetitive boilerplate scores distinct_ratio → 0
     * and top shares → 1.
     */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = col("_toks")
+    // bigram strings, built narrowly from the token array (same shape as
+    // TextOps.shingles(n=2) — docs under 2 words collapse to one
+    // whole-doc gram, so n_grams = max(n_words - 1, 1) like the twin)
+    val grams = TextOps.shingles(toks, n = 2)
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        call_function("term_profile", toks).as("_wp"),
+        call_function("term_profile", grams).as("_gp"))
+      .select(col(idCol),
+        col("_wp.n").as("n_words"), col("_wp.n_distinct").as("n_distinct"),
+        (col("_wp.n_distinct").cast("double") / col("_wp.n")).as("distinct_ratio"),
+        (col("_wp.top_c").cast("double") / col("_wp.n")).as("top_word_share"),
+        (col("_gp.top_c").cast("double") / col("_gp.n")).as("top_gram_share"))
+  }
+
+  /** The relational form [[repetitionProfile]] replaced — explode →
+    * two-level HashAggregate keyed (doc, token), map-side partials so no
+    * reducer sees more than one doc's vocabulary. Kept as the
+    * differential-test reference for the native kernel (CurationSpec
+    * pins equality), and as the fallback for sessions without
+    * [[graft.GraftExtensions]]. */
+  def repetitionProfileExploded(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val words = df.select(id, explode(TextOps.tokens(col(textCol))).as("word"))
     val wordAgg = words.groupBy(id, col("word")).agg(count(lit(1)).as("c"))

@@ -194,7 +194,19 @@ object TextOps {
     val k = minhashA.size
     val pairs = verifiedPairsFromSignatures(
       minhashSignatures(df, idCol, textCol), idCol)
-    val grams = ngramHashRows(df, idCol, textCol, n = 3,
+    // ONLY pair members need exact grams: semi-join the corpus down to
+    // the verified-pair doc set BEFORE the per-token explosion. Without
+    // this the gram distinct + the two intersection joins each shuffle
+    // one row per corpus TOKEN — at the r11 sf100 run that was 11 GB of
+    // shuffle spilling 140 GB, for grams of docs no pair references.
+    // No broadcast hint: the pair-doc set scales with the near-dup rate,
+    // not the corpus, but it is still corpus-derived — the r07 rule. AQE
+    // converts the semi-join to a broadcast at runtime when the measured
+    // side is small, and degrades to a shuffled join when it isn't.
+    val pairDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    val pairMembers = df.join(pairDocs, Seq(idCol), "left_semi")
+    val grams = ngramHashRows(pairMembers, idCol, textCol, n = 3,
       hashFn = h => pmod(hash60(h), lit(P))).distinct()
     val sz = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val ga = grams.select(col(idCol).as("doc_a"), col("gram_hash").as("gh"))

@@ -54,6 +54,31 @@ class CurationSpec extends SparkSpec {
     assert(r2.getAs[Double]("top_word_share") == 0.25)
   }
 
+  test("repetition profile: native term_profile kernel == exploded relational twin") {
+    // real fixture docs + crafted edges (repetition, all-distinct,
+    // single word → whole-doc gram, multi-space survivors of trim)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .union(Seq((900001L, "a a a a b", "en", "crafted", 9L),
+        (900002L, "solo", "en", "crafted", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = Curate.repetitionProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val exploded = Curate.repetitionProfileExploded(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(native.length == exploded.length)
+    native.zip(exploded).foreach { case (a, b) =>
+      assert(a == b, s"kernel diverged from relational twin: $a vs $b") }
+    // plan shape: the native form is a narrow projection — NO exchange
+    // (checked on a plain scanless frame so only the operator's own
+    // shape is in the plan)
+    val plan = Curate.repetitionProfile(
+        Seq((1L, "a b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "term_profile form must not shuffle (that is its whole point)")
+  }
+
   test("decontaminate: flags only docs sharing a full n-gram with the benchmark") {
     val words = (0 until 20).map(i => s"w$i")
     val bench = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")

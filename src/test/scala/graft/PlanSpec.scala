@@ -260,11 +260,12 @@ class PlanSpec extends SparkSpec {
     assert(prep.contains("BroadcastHashJoin") && prep.contains("LeftAnti"),
       "contaminated-id set is not a broadcast anti-join")
     assert(!prep.contains("SortMergeJoin") && !prep.contains("CartesianProduct"))
-    // repetition needs term frequencies: hash aggregates with map-side
-    // partial agg on the high-cardinality (doc, token) keys — no window
+    // repetition is a per-row computation since the term_profile kernel
+    // (r11): a narrow projection with NO exchange at all — the 6.5 GB
+    // token shuffle the old explode+HashAggregate form paid is gone
     val rep = plan("repetition_profile")
-    assert(rep.contains("partial"), "repetition_profile lacks partial aggregation")
-    assert(!rep.contains("Window"), "repetition_profile uses a window")
+    assert(!rep.contains("Exchange"), "repetition_profile shuffles again")
+    assert(rep.contains("term_profile"), "repetition_profile lost the native kernel")
   }
 
   test("curriculum_order: range-partitioned two-phase rank, no global window") {
