@@ -57,14 +57,17 @@ case class TermProfile(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    val m = new java.util.HashMap[AnyRef, Integer]()
+    // mutable int-holder values: repeated terms cost ONE map lookup and
+    // an in-place bump (no re-put, no boxing) — same trick as codegen
+    val m = new java.util.HashMap[AnyRef, Array[Int]]()
     var top = 0L
     var i = 0
     while (i < n) {
       val k: AnyRef = if (xs.isNullAt(i)) null else xs.getUTF8String(i)
       val prev = m.get(k)
-      val c = if (prev == null) 1 else prev.intValue() + 1
-      m.put(k, Integer.valueOf(c))
+      val c =
+        if (prev == null) { m.put(k, Array(1)); 1 }
+        else { prev(0) += 1; prev(0) }
       if (c > top) top = c
       i += 1
     }
@@ -95,8 +98,13 @@ case class TermProfile(child: Expression) extends UnaryExpression {
         for (int $i = 0; $i < $n; $i++) {
           Object $k = $a.isNullAt($i) ? null : (Object) $getX;
           Object $prev = $m.get($k);
-          int $c = $prev == null ? 1 : ((java.lang.Integer) $prev).intValue() + 1;
-          $m.put($k, java.lang.Integer.valueOf($c));
+          int $c;
+          if ($prev == null) {
+            int[] h = new int[1]; h[0] = 1;
+            $m.put($k, h); $c = 1;
+          } else {
+            int[] h = (int[]) $prev; h[0]++; $c = h[0];
+          }
           if ($c > $top) $top = $c;
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
