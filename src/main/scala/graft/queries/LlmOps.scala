@@ -1153,6 +1153,54 @@ object LlmOps {
     ORDER BY vn.vec_id"""),
     sortCols = Seq("vec_id"))
 
+  /** The scale path the [[semDedup]] guard's error message routes to,
+    * as a catalog artifact: SAME learned clusters, SAME verdict rule
+    * (lower-id cluster-mate at cosine ≥ 0.4 drops you), but candidate
+    * pairs come from RP-LSH band collisions (16 planes × 4 bands, the
+    * `rplsh_knn` geometry) instead of exhaustive in-cluster pairing —
+    * candidate volume scales with collision rate, not cluster-size².
+    * Declared bench-only (no oracle): LSH recall < 1 means a missed
+    * collision is a missed drop, so the output is a certified SUBSET of
+    * the exhaustive verdicts — VectorsSpec pins exactly that
+    * (`dropped_ann ⊆ dropped_exhaustive`; fixture recall 0.905 with the
+    * Hamming-1 multi-probe, 0.476 without, floor 0.8) the way
+    * `quant_recall` audits the int8 shortlist. */
+  val semDedupAnn = Q("semdedup_ann", (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = Vectors.buildCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Vectors.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val v = emb.select($"vec_id", $"embedding",
+        Vectors.normScaled($"embedding").as("n2"))
+      .join(assigned, "vec_id")
+    val keys = Vectors.rpLshBands(emb, "vec_id", "embedding",
+      planes = 16, bands = 4)
+    // multi-probe on ONE side (the rplsh_knn trade: recall bought with
+    // candidate compute, not another copy of the key table): vec_a also
+    // matches buckets within Hamming distance 1 of its band key
+    val aKeys = keys
+      .select($"band", $"band_key", $"vec_id".as("vec_a"),
+        explode(array(RpLshProbeMasks.map(lit(_)): _*)).as("mask"))
+      .select($"band", $"band_key".bitwiseXOR($"mask").as("band_key"), $"vec_a")
+    val cpairs = aKeys
+      .join(keys.select($"band", $"band_key", $"vec_id".as("vec_b")),
+        Seq("band", "band_key"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b").distinct()
+    val a = v.select($"vec_id".as("vec_a"), $"centroid_id".as("ca"),
+      $"embedding".as("ea"), $"n2".as("na"))
+    val b = v.select($"vec_id".as("vec_b"), $"centroid_id".as("cb"),
+      $"embedding".as("eb"), $"n2".as("nb"))
+    val dropped = cpairs.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .filter($"ca" === $"cb" &&
+        Vectors.cosine(Vectors.dotScaled($"ea", $"eb"), $"na", $"nb") >= 0.4)
+      .select($"vec_b".as("vec_id")).distinct()
+    v.select($"vec_id", $"centroid_id")
+      .join(dropped.withColumn("_dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"centroid_id",
+        coalesce($"_dup", lit(false)).as("dropped"))
+  }, None, sortCols = Seq("vec_id"))
+
   /** Bucketed ANN (brief: "IVF or LSH-bucketed variant as the scale
     * path"): candidates restricted to the query's coarse partition (the
     * `label` column stands in for the IVF centroid assignment — the
@@ -1838,7 +1886,7 @@ object LlmOps {
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,
     tokenCount, langId, trainingPrep, knnCosine, knnBucketed,
-    embeddingNeardup, semDedup, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
+    embeddingNeardup, semDedup, semDedupAnn, ivfKnn, ivfProbe, rplshKnn, rplshProbe, rplshRecall,
     ivfRecall, ivfRecallN4, quantKnn, quantRerank, quantRecall, ivfQuant,
     semanticDecontam, semanticDecontamSlice)
 }

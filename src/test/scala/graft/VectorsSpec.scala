@@ -194,4 +194,26 @@ class VectorsSpec extends SparkSpec {
       .select($"vec_id", $"cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(assigned == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
+
+  test("semdedup_ann: certified subset of the exhaustive verdicts, recall measured") {
+    import graft.queries.LlmOps
+    // the ANN-candidate scale path may MISS drops (LSH recall < 1) but
+    // must never invent one: both forms share clusters and the verdict
+    // rule, so every ann-dropped id must be exhaustively-dropped too
+    val d = "/root/testdata/sf0.01"
+    def droppedOf(q: graft.queries.Q): Set[Long] =
+      q.run(spark, d).filter($"dropped").select($"vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val exact = droppedOf(LlmOps.semDedup)
+    val ann = droppedOf(LlmOps.semDedupAnn)
+    assert(exact.nonEmpty, "fixture lost its semantic near-dups")
+    assert(ann.subsetOf(exact),
+      s"ann invented drops: ${(ann -- exact).take(5)}")
+    val recall = ann.size.toDouble / exact.size
+    info(f"semdedup_ann recall on sf0.01: $recall%.3f (${ann.size}/${exact.size})")
+    // fixture-measured: 0.905 with 16-plane/4-band collisions +
+    // Hamming-1 multi-probe (0.476 without the probes); floor alerts if
+    // geometry or hashing drifts
+    assert(recall >= 0.8, f"semdedup_ann recall collapsed: $recall%.2f")
+  }
 }
