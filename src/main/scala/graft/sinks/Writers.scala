@@ -322,14 +322,20 @@ object Writers {
     val tmpKept = new org.apache.hadoop.fs.Path(tmp, "kept")
     val tmpNew = new org.apache.hadoop.fs.Path(tmp, "new")
 
-    // duplicate-key check costs two counts on the BATCH (the small side
-    // of every upsert; the dataset is never re-scanned for it) — fail
-    // before anything lands. The replaced count then rides the kept
-    // write via observe (one pass, as in deleteWhereKeys).
-    val nKeys = keys.count()
-    val nBatch = batch.count()
-    require(nKeys == nBatch,
-      s"upsert batch has ${nBatch - nKeys} duplicate $keyCol rows — " +
+    // duplicate-key check costs ONE aggregation job on the BATCH (the
+    // small side of every upsert; the dataset is never re-scanned for
+    // it) — fail before anything lands. The replaced count then rides
+    // the kept write via observe (one pass, as in deleteWhereKeys).
+    val counted = batch.agg(
+      count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+    val nBatch = counted.getLong(0)
+    // count_distinct skips nulls; null keys are duplicate-prone AND
+    // unreplaceable (null never equi-matches), so reject them outright
+    require(counted.getLong(2) == 0L,
+      s"upsert batch has ${counted.getLong(2)} null $keyCol rows")
+    require(counted.getLong(1) == nBatch,
+      s"upsert batch has ${nBatch - counted.getLong(1)} duplicate $keyCol rows — " +
         "no deterministic winner; dedup the batch first")
     val replaced =
       if (affected.isEmpty) 0L

@@ -196,4 +196,48 @@ class ArtifactStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     val v2 = ArtifactStore.commit(fs, base)(d => put(fs, d, "data", "next"))
     assert(v2.getName.startsWith("v0000000002_"))
   }
+
+  test("vacuum staleness runs on the STORE's clock: 1h skew reclaims no live stage") {
+    // store clock one hour BEHIND the reclaimer's: every store mtime
+    // looks an hour old from here. A local-clock vacuum would reclaim
+    // every in-flight stage and claim on sight; measuring "now" off the
+    // same skewed clock (ArtifactStore.storeNow) cancels the skew.
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set("fs.skewclock.impl", classOf[SkewedClockFileSystem].getName)
+    c.set("fs.skewclock.impl.disable.cache", "true")
+    val base = "skewclock:" +
+      java.nio.file.Files.createTempDirectory("graft_skew").toString + "/artifact"
+    val fs = new Path(base).getFileSystem(c)
+    ArtifactStore.commit(fs, base)(d => put(fs, d, "data", "v1"))
+    // a FRESH uncommitted stage (sibling mid-build) and a fresh claim
+    val stage = new Path(base, "v0000000002_inflight")
+    fs.mkdirs(stage)
+    put(fs, base, "_graft_claim_2", "")
+    val claim = new Path(base, "_graft_claim_2")
+    // sanity: the skew is real — both look ancient from the local clock
+    assert(System.currentTimeMillis() - fs.getFileStatus(stage).getModificationTime
+      > 30 * 60 * 1000L, "shim clock skew did not apply")
+
+    ArtifactStore.vacuum(fs, base, keep = 1, staleMs = 10 * 60 * 1000L)
+    assert(fs.exists(stage), "skewed clock reclaimed a LIVE in-flight stage")
+    assert(fs.exists(claim), "skewed clock reaped a live claim")
+    // staleMs = 0 still reclaims on request (both clocks agree age >= 0)
+    ArtifactStore.vacuum(fs, base, keep = 1, staleMs = 0L)
+    assert(!fs.exists(stage) && !fs.exists(claim))
+  }
+}
+
+/** Object-store shim whose clock runs one hour BEHIND the local JVM's:
+  * every reported mtime is shifted back, exactly the skew that makes a
+  * wall-clock staleness horizon dangerous (VERDICT r10 residual #3). */
+class SkewedClockFileSystem extends RawLocalFileSystem {
+  import org.apache.hadoop.fs.FileStatus
+  override def getScheme: String = "skewclock"
+  override def getUri: java.net.URI = java.net.URI.create("skewclock:///")
+  private def shift(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime - 60 * 60 * 1000L, st.getPath)
+  // getFileStatus only: RawLocalFileSystem.listStatus delegates through
+  // getFileStatus per entry, so shifting both would double the skew
+  override def getFileStatus(p: Path): FileStatus = shift(super.getFileStatus(p))
 }
