@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.ScaledDot.descriptor)
     extensions.injectFunction(graft.functions.IntDot.descriptor)
     extensions.injectFunction(graft.functions.TermProfile.descriptor)
+    extensions.injectFunction(graft.functions.MinhashSig.descriptor)
+    extensions.injectFunction(graft.functions.MinhashSig.descriptorXx)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

@@ -26,14 +26,13 @@ import graft.operators.TextOps
   *
   * Every stage is the scale shape the individual queries pin: hash-keyed
   * shuffles only, candidates from band buckets (never all-pairs), narrow
-  * stamping. `hashFn` swaps the portable oracle hash for `xxhash64` in
+  * stamping. `useXx` swaps the portable oracle hash for `xxhash64` in
   * production (see PERF.md on the md5 tax). */
 object TrainingPrep {
 
   def prepare(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minWords: Int = 5, minStopRatio: Double = 0.0,
-      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        graft.queries.hash60): DataFrame = {
+      useXx: Boolean = false): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
 
     // 1. quality gate
@@ -52,7 +51,7 @@ object TrainingPrep {
       .join(keepers, Seq("content_hash", idCol), "left_semi")
 
     // 3. near-dup removal: verified LSH candidates → clusters → canonical keep
-    val pairs = TextOps.verifiedCandidatePairs(exactDeduped, idCol, textCol, hashFn)
+    val pairs = TextOps.verifiedCandidatePairs(exactDeduped, idCol, textCol, useXx)
     val clusters = graft.operators.Components
       .connectedComponents(pairs, "doc_a", "doc_b")
     // the drop list is corpus-proportional (dedup removes 20–50% of a web

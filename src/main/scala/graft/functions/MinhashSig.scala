@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash signature kernel: all 16 permutation minima of a
+  * document's 3-word-shingle hash set, computed per ROW inside
+  * whole-stage codegen, with no shingle explosion and no aggregate.
+  *
+  * This is the signature-build twin of [[TermProfile]]: the relational
+  * form ([[graft.operators.TextOps.minhashSignaturesExploded]] — explode
+  * shingle start positions → hash → 16 codegen'd `min` partial
+  * aggregates per doc) materializes one row per corpus SHINGLE and runs
+  * a 16-column hash aggregate keyed by doc id. Map-side combine keeps
+  * its shuffle narrow (16 longs per doc), but the aggregation hash map
+  * itself holds every in-flight doc's 16-long state per task — at the
+  * r11 third-decade run (sf100, ~16 GB corpus) that map was the residual
+  * 8.5 GB spill under `minhash_pairs_verified` and the signature-stage
+  * share of `pair_jaccard`'s 17 GB. Every shingle of a document already
+  * sits inside the document's own row, so the signature is logically a
+  * per-row computation; this expression keeps it there — a narrow
+  * zero-exchange projection whose state is 16 longs, embarrassingly
+  * parallel at any corpus size.
+  *
+  * Semantics are bit-identical to the exploded form (MinhashKernelSpec
+  * pins the differential on fixture docs plus edge rows):
+  *   - input is the WHITESPACE TOKEN array ([[graft.operators.TextOps.tokens]]);
+  *     tokenization stays in the plan, the kernel owns shingling+hashing;
+  *   - `n >= 3` tokens → the n-2 three-word shingles (single-space
+  *     joined); fewer → ONE whole-doc shingle (all tokens joined) — the
+  *     same shape `TextOps.shingles` emits. Null elements are skipped
+  *     exactly as `concat_ws` skips them;
+  *   - shingle hash: the portable [[graft.queries.hash60]] (first 60 bits
+  *     of md5, matching `conv(substr(md5(x),1,15),16,10)` bit-for-bit, so
+  *     DuckDB oracles are unchanged), or native xxhash64 (seed 42 — the
+  *     same value `xxhash64(col)` computes) for the production `_xx`
+  *     variants; both reduced mod P = 2^31-1;
+  *   - signature component i = min over shingles of (a_i·h + b_i) mod P,
+  *     with the [[graft.operators.TextOps.minhashA]]/`minhashB`
+  *     constants (a·h+b < 2^62: long-exact);
+  *   - a NULL token array yields NULL (callers that need the exploded
+  *     form's treat-null-as-empty behavior coalesce before the call, as
+  *     `TextOps.minhashSignatures` does).
+  *
+  * Registered as SQL functions `minhash_sig` (md5) and `minhash_sig_xx`
+  * (xxhash64) via [[graft.GraftExtensions]].
+  */
+case class MinhashSig(child: Expression, useXx: Boolean)
+    extends UnaryExpression {
+
+  override def prettyName: String = if (useXx) "minhash_sig_xx" else "minhash_sig"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.sig(input.asInstanceOf[ArrayData], useXx)
+
+  // one static call per ROW (not per token): the heavy loop lives in
+  // MinhashKernel so md5/xxhash stay ordinary JVM code; the call itself
+  // sits inside whole-stage codegen (no fallback, no interpreter loop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinhashKernel.sig($a, $useXx);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  /** Registration triples for `SparkSessionExtensions.injectFunction`. */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"minhash_sig expects 1 argument, got ${children.size}")
+      MinhashSig(children.head, useXx = false)
+    })
+
+  val descriptorXx: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig_xx"),
+    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig_xx"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"minhash_sig_xx expects 1 argument, got ${children.size}")
+      MinhashSig(children.head, useXx = true)
+    })
+}
+
+/** The per-row loop behind [[MinhashSig]] — kept as plain JVM code
+  * (called once per row from generated code) rather than inlined Janino
+  * so the md5 path can use `java.security.MessageDigest` directly. */
+object MinhashKernel {
+  import graft.operators.TextOps
+
+  private val P: Long = TextOps.P
+  private val A: Array[Long] = TextOps.minhashA.toArray
+  private val B: Array[Long] = TextOps.minhashB.toArray
+  private val K: Int = A.length
+  private val Space: UTF8String = UTF8String.fromString(" ")
+
+  // MessageDigest is stateful; one per task thread, digest() self-resets
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** 16-long signature array for one document's token array. */
+  def sig(toks: ArrayData, useXx: Boolean): ArrayData = {
+    val n = toks.numElements()
+    val mins = new Array[Long](K)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    if (n >= 3) {
+      var i = 0
+      while (i <= n - 3) {
+        fold(mins, hashShingle(toks, i, 3, useXx))
+        i += 1
+      }
+    } else {
+      // whole-doc shingle, exactly TextOps.shingles' short-doc collapse
+      fold(mins, hashShingle(toks, 0, n, useXx))
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** h = hash(join of toks[start, start+len) with single spaces) mod P.
+    * Null elements are skipped, matching `concat_ws`. */
+  private def hashShingle(toks: ArrayData, start: Int, len: Int,
+      useXx: Boolean): Long = {
+    val parts = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      parts(i) = if (toks.isNullAt(start + i)) null
+                 else toks.getUTF8String(start + i)
+      i += 1
+    }
+    val s = UTF8String.concatWs(Space, parts: _*)
+    val raw =
+      if (useXx) XXH64.hashUTF8String(s, 42L) // xxhash64(col)'s fixed seed
+      else {
+        // first 15 hex digits of md5 = first 60 bits of the digest —
+        // bit-identical to conv(substr(md5(x),1,15),16,10) and DuckDB's
+        // CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+        val d = md5Local.get().digest(s.getBytes)
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        (v << 4) | ((d(7) & 0xffL) >>> 4)
+      }
+    java.lang.Math.floorMod(raw, P)
+  }
+
+  private def fold(mins: Array[Long], h: Long): Unit = {
+    var i = 0
+    while (i < K) {
+      val v = (A(i) * h + B(i)) % P // a,b,h < 2^31 ⇒ a·h+b < 2^62: exact
+      if (v < mins(i)) mins(i) = v
+      i += 1
+    }
+  }
+}

@@ -91,32 +91,48 @@ object TextOps {
       hashFn(concat_ws("_", rows.map(_.cast("string")): _*))
     }
 
-  /** The MinHash band table as a PLAN, not a per-row lambda: explode
-    * shingles → hash once per shingle → 16 codegen'd `min` partial
-    * aggregates per doc → 4 band keys → one row per (doc, band).
+  /** The MinHash band table: per-row signature kernel → 4 band keys →
+    * one row per (doc, band). Near-dup candidates then come from a
+    * shuffle on (band, band_key), never from comparing docs pairwise.
     *
-    * This is the 100 TB shape: higher-order array functions
-    * (transform/aggregate) are CodegenFallback in Spark — interpreted,
-    * and re-evaluated per signature — while explode + HashAggregate is
-    * whole-stage-codegen'd with map-side partial aggregation, so each
-    * shingle is hashed exactly once and the shuffle carries 16 longs per
-    * doc. Near-dup candidates then come from a shuffle on (band,
-    * band_key), never from comparing docs pairwise.
-    *
-    * `hashFn` defaults to the portable md5 [[hash60]] (oracle-checkable);
-    * production passes `xxhash64(_)` — same plan, native codegen'd hash,
-    * no cryptographic digest per shingle (the `*_xx` bench variants
-    * quantify the md5 tax). */
+    * `useXx = false` (default) hashes shingles with the portable md5
+    * [[hash60]] (oracle-checkable); `true` uses native xxhash64 — no
+    * cryptographic digest per shingle (the `*_xx` bench variants
+    * quantify the md5 tax). The band keys use the matching hash. */
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
-      hashFn: Column => Column = hash60): DataFrame =
-    bandTableFromSignatures(minhashSignatures(df, idCol, textCol, hashFn), idCol, hashFn)
+      useXx: Boolean = false): DataFrame =
+    bandTableFromSignatures(minhashSignatures(df, idCol, textCol, useXx), idCol,
+      if (useXx) xxhash64(_) else hash60)
 
   /** The k=16 MinHash signature per document, as (idCol, sig: array<long>)
     * — the reusable middle stage of [[minhashBandTable]], exposed so
     * verification ([[sigAgreement]]) can reuse the SAME signature subtree
     * the band keys were derived from (one signature computation per plan,
-    * never one per consumer). */
+    * never one per consumer).
+    *
+    * Backed by the per-row [[graft.functions.MinhashSig]] kernel: a
+    * narrow zero-exchange projection (no shingle explosion, no 16-column
+    * hash aggregate — the exploded twin's agg map was the residual
+    * signature-stage spill at the r11 sf100 run). Output is bit-identical
+    * to [[minhashSignaturesExploded]] (MinhashKernelSpec differential);
+    * the null-text coalesce reproduces the exploded form's
+    * whole-doc-empty-shingle behavior for null docs. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      useXx: Boolean = false): DataFrame =
+    df.select(col(idCol),
+      call_function(if (useXx) "minhash_sig_xx" else "minhash_sig",
+        coalesce(tokens(col(textCol)), array(lit("")))).as("sig"))
+
+  /** The relational twin of [[minhashSignatures]] — explode shingle
+    * start positions → hash once per shingle → 16 codegen'd `min`
+    * partial aggregates per doc. Retained as the differential oracle for
+    * the kernel (MinhashKernelSpec pins kernel == exploded on fixture
+    * and edge docs, both hashes) and as the shape a plain-Spark user
+    * would write: map-side combine keeps its shuffle narrow (16 longs
+    * per doc), but the aggregation map holds every in-flight doc's state
+    * per task — measurably spill-bound at corpus scale, which is why the
+    * kernel form is the production path. */
+  def minhashSignaturesExploded(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = hash60): DataFrame = {
     // shingle construction stays OUT of higher-order lambdas: explode the
     // START POSITIONS (one codegen'd sequence per doc) and build each
@@ -270,9 +286,10 @@ object TextOps {
     * the pair stage every clustering/dedup path uses (candidates from
     * band buckets, drops only after signature verification). */
   def verifiedCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual): DataFrame =
+      useXx: Boolean = false, minEqual: Int = verifyMinEqual): DataFrame =
     verifiedPairsFromSignatures(
-      minhashSignatures(df, idCol, textCol, hashFn), idCol, hashFn, minEqual)
+      minhashSignatures(df, idCol, textCol, useXx), idCol,
+      if (useXx) xxhash64(_) else hash60, minEqual)
       .select(col("doc_a"), col("doc_b"))
 
   /** Candidate near-dup pairs from a band table, bucket-locally and in ONE

@@ -758,7 +758,7 @@ object LlmOps {
     * there — so the driver records a rows-only check; its job is the
     * BENCH row that quantifies the md5 tax (PERF.md). */
   val minhashBandsXx = Q("minhash_bands_xx", (s, d) =>
-    TextOps.minhashBandTable(Tables.documents(s, d), "doc_id", "text", xxhash64(_)),
+    TextOps.minhashBandTable(Tables.documents(s, d), "doc_id", "text", useXx = true),
     None, sortCols = Seq("doc_id", "band"))
 
   /** Production-hash SimHash variant of `simhash` — same deal as
