@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.TermProfile.descriptor)
     extensions.injectFunction(graft.functions.MinhashSig.descriptor)
     extensions.injectFunction(graft.functions.MinhashSig.descriptorXx)
+    extensions.injectFunction(graft.functions.SimhashSig.descriptor)
+    extensions.injectFunction(graft.functions.SimhashSig.descriptorXx)
+    extensions.injectFunction(graft.functions.RollingFp.descriptor)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

@@ -148,17 +148,20 @@ object MinhashKernel {
     val s = UTF8String.concatWs(Space, parts: _*)
     val raw =
       if (useXx) XXH64.hashUTF8String(s, 42L) // xxhash64(col)'s fixed seed
-      else {
-        // first 15 hex digits of md5 = first 60 bits of the digest —
-        // bit-identical to conv(substr(md5(x),1,15),16,10) and DuckDB's
-        // CAST('0x' || substr(md5(x),1,15) AS BIGINT)
-        val d = md5Local.get().digest(s.getBytes)
-        var v = 0L
-        var j = 0
-        while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-        (v << 4) | ((d(7) & 0xffL) >>> 4)
-      }
+      else md5Hash60(s)
     java.lang.Math.floorMod(raw, P)
+  }
+
+  /** First 60 bits of md5 — bit-identical to the portable
+    * `conv(substr(md5(x),1,15),16,10)` [[graft.queries.hash60]] and
+    * DuckDB's `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. Shared by
+    * [[TextKernels]] (simhash, rolling fingerprint). */
+  def md5Hash60(s: UTF8String): Long = {
+    val d = md5Local.get().digest(s.getBytes)
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
   private def fold(mins: Array[Long], h: Long): Unit = {

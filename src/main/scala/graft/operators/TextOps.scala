@@ -328,10 +328,25 @@ object TextOps {
       .distinct()
   }
 
-  /** SimHash as a plan (same rationale as [[minhashBandTable]]): explode
-    * tokens → hash once → 32 codegen'd bit-balance sums per doc →
-    * recombine bits. */
+  /** Per-doc SimHash table, backed by the per-row
+    * [[graft.functions.SimhashSig]] kernel — a narrow zero-exchange
+    * projection (same spill rationale as [[minhashSignatures]]; the
+    * exploded twin below is the differential oracle). The null filter
+    * reproduces the exploded form's row semantics: explode drops
+    * null-token docs entirely. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      useXx: Boolean = false): DataFrame =
+    df.where(tokens(col(textCol)).isNotNull)
+      .select(col(idCol),
+        call_function(if (useXx) "simhash_sig_xx" else "simhash_sig",
+          tokens(col(textCol))).as("simhash"))
+
+  /** The relational twin of [[simhashTable]]: explode tokens → hash once
+    * → 32 codegen'd bit-balance sums per doc → recombine bits. Retained
+    * as the kernel's differential oracle (TextKernelsSpec); note it also
+    * MERGES duplicate ids (groupBy) where the kernel form is row-per-row
+    * — identical on the catalog's unique-keyed tables. */
+  def simhashTableExploded(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = hash60): DataFrame = {
     val hashed = df
       .select(col(idCol).as("_sh_id"), explode(tokens(col(textCol))).as("w"))
@@ -362,8 +377,14 @@ object TextOps {
 
   /** Rolling polynomial fingerprint: fold (acc·31 + h(w) mod P) mod P over
     * tokens — an order-sensitive content fingerprint (exact-dup detection
-    * robust to container/metadata diffs). */
-  def fingerprint(toks: Column): Column =
+    * robust to container/metadata diffs). Backed by the per-row
+    * [[graft.functions.RollingFp]] kernel; the handwritten HOF fold
+    * ([[fingerprintHof]]) is CodegenFallback — an interpreter loop with a
+    * per-token md5 Column eval — and is retained as the differential twin. */
+  def fingerprint(toks: Column): Column = call_function("rolling_fp", toks)
+
+  /** HOF twin of [[fingerprint]] (TextKernelsSpec pins equality). */
+  def fingerprintHof(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, w) => pmod(acc * 31 + pmod(hash60(w), lit(P)), lit(P)))
 

@@ -764,7 +764,7 @@ object LlmOps {
   /** Production-hash SimHash variant of `simhash` — same deal as
     * [[minhashBandsXx]]. */
   val simhashXx = Q("simhash_xx", (s, d) =>
-    TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text", xxhash64(_)),
+    TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text", useXx = true),
     None, sortCols = Seq("doc_id"))
 
   /** n-gram (word-set) Jaccard similarity on a bounded candidate window
