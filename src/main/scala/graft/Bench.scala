@@ -71,9 +71,14 @@ object Bench {
     * a local sf0.01 iteration run with the default bench dir must not
     * gate against the driver's sf0.1 history (a line whose sf was
     * truncated away is accepted: driver records are sf0.1 and the field
-    * sits at the line's tail, the end that survives head-truncation). */
+    * sits at the line's tail, the end that survives head-truncation —
+    * bounded by the `knownQueries` sanity check: when provided, an
+    * sf-less record must share at least half its query names with the
+    * current catalog, so a head-truncated record from some OTHER corpus
+    * or an ancient catalog generation can't serve as gate history). */
   def previousBench(dir: String,
-      sfDir: Option[String] = None): Option[(Int, Map[String, Double])] = {
+      sfDir: Option[String] = None,
+      knownQueries: Set[String] = Set.empty): Option[(Int, Map[String, Double])] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val rx = """BENCH_r(\d+)\.json""".r
@@ -97,9 +102,9 @@ object Bench {
         lines.iterator.flatMap { l =>
           try {
             val j = JsonMethods.parse(l)
-            val sfOk = (j \ "sf", sfDir) match {
-              case (JString(s), Some(want)) => s == want
-              case _                        => true // absent/truncated sf, or no filter
+            val (sfOk, sfAbsent) = (j \ "sf", sfDir) match {
+              case (JString(s), Some(want)) => (s == want, false)
+              case _                        => (true, true) // truncated sf, or no filter
             }
             if (!sfOk) None
             else j \ "queries" match {
@@ -107,7 +112,12 @@ object Bench {
                 val qs = fields.collect { case (k, JDouble(v)) => k -> v }
                   .concat(fields.collect { case (k, JInt(v)) => k -> v.toDouble })
                   .filter(_._2 >= 0).toMap
-                if (qs.isEmpty) None else Some((n, qs))
+                // sanity bound for sf-less (head-truncated) records: at
+                // least half the recorded names must be current catalog
+                // queries, else the record is from a different world
+                val known = !sfAbsent || knownQueries.isEmpty ||
+                  qs.keys.count(knownQueries.contains) * 2 >= qs.size
+                if (qs.isEmpty || !known) None else Some((n, qs))
               case _ => None
             }
           } catch { case _: Throwable => None }
@@ -232,7 +242,7 @@ object Bench {
     // normalization every such swing reads as a catalog-wide
     // regression (or improvement) that never happened.
     val fullHist = previousFull(benchDir, sfDir)
-    val tailHist = previousBench(benchDir, Some(sfDir))
+    val tailHist = previousBench(benchDir, Some(sfDir), qs.map(_.name).toSet)
     val prevQueries: Map[String, Double] =
       fullHist.map(_._1).orElse(tailHist.map(_._2)).getOrElse(Map.empty)
     val calibRatio: Option[Double] =

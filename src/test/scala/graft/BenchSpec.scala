@@ -81,4 +81,19 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     write(dir, 9, """{"metric":"total","value":1,"unit":"sec","queries":{"b":2.0}}""")
     assert(Bench.previousBench(dir, Some("/sf/anything")).map(_._2) == Some(Map("b" -> 2.0)))
   }
+
+  test("sf-less records must share half their query names with the catalog") {
+    val dir = Files.createTempDirectory("graft_bench_known").toString
+    write(dir, 9, """{"metric":"total","value":1,"unit":"sec","queries":{"b":2.0,"c":3.0}}""")
+    // no knownQueries → accepted (back-compat); disjoint catalog → refused
+    assert(Bench.previousBench(dir, Some("/sf/x")).isDefined)
+    assert(Bench.previousBench(dir, Some("/sf/x"), Set("z1", "z2")).isEmpty,
+      "an sf-less record from a foreign catalog must not gate")
+    // half-overlap (catalog evolves between rounds) → accepted
+    assert(Bench.previousBench(dir, Some("/sf/x"), Set("b", "z"))
+      .map(_._2) == Some(Map("b" -> 2.0, "c" -> 3.0)))
+    // a record WITH a matching sf is never name-checked
+    write(dir, 9, """{"metric":"total","value":1,"unit":"sec","queries":{"b":2.0},"sf":"/sf/x"}""")
+    assert(Bench.previousBench(dir, Some("/sf/x"), Set("zz")).isDefined)
+  }
 }
