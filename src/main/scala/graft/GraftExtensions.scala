@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.SimhashSig.descriptor)
     extensions.injectFunction(graft.functions.SimhashSig.descriptorXx)
     extensions.injectFunction(graft.functions.RollingFp.descriptor)
+    extensions.injectFunction(graft.functions.VerifiedBucketPairs.descriptor)
+    extensions.injectFunction(graft.functions.BucketIdPairs.descriptor)
+    extensions.injectFunction(graft.functions.HammingBucketPairs.descriptor)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

@@ -1,0 +1,240 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native in-bucket pair expansion for the LSH verification stage:
+  * `bucket_pairs_verified(ds, min_equal)` generates one row
+  * `(doc_a, doc_b, n_eq)` per i<j pair of a bucket's
+  * `array<struct<i: bigint, g: array<bigint>>>` member set, where
+  * `n_eq` counts equal signature components, emitting only pairs with
+  * `n_eq >= min_equal`.
+  *
+  * This replaces the handwritten
+  * `explode(flatten(transform(sequence, i -> transform(sequence, j ->
+  * struct(..., sigAgreement)))))` chain in
+  * [[graft.operators.TextOps.verifiedPairsFromSignatures]]. Higher-order
+  * functions are CodegenFallback — for a bucket of b members the chain
+  * runs ~b²·k interpreted lambda evaluations and materializes the whole
+  * pair array (b² structs, each carrying its own allocation) BEFORE the
+  * explode; the post-kernel sf100 run still spent its pair-stage time
+  * there. As a [[Generator]] the expansion is one JVM loop per bucket
+  * that emits rows directly — no intermediate array, no interpreter —
+  * and the verification gate is applied before a row is ever built, so
+  * sub-threshold pairs (the vast majority at scale: band collisions are
+  * precision-losing by design) cost two array reads and a compare loop.
+  *
+  * Semantics pinned by TextOpsSpec/MinhashKernelSpec differentials:
+  * iteration follows array order, so feeding it the same
+  * `sort_array(collect_set(...))` the HOF chain consumed yields the
+  * identical row set; the downstream `distinct()` contract is unchanged.
+  * NULL or sub-2-element input generates nothing. Registered as the SQL
+  * generator function `bucket_pairs_verified` via
+  * [[graft.GraftExtensions]]; the ids-only twin `bucket_pairs`
+  * ([[BucketIdPairs]]) serves the unverified candidate path. */
+case class VerifiedBucketPairs(left: Expression, right: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+
+  override def prettyName: String = "bucket_pairs_verified"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("n_eq", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, ArrayType(LongType, _), _, _))), _) =>
+      if (right.foldable && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable int min_equal, got ${right.sql}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint, array<bigint>>>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val minEqual: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ds = left.eval(input).asInstanceOf[ArrayData]
+    if (ds == null || ds.numElements() < 2) return Iterator.empty
+    val n = ds.numElements()
+    // unpack once: ids + signatures (k longs each)
+    val ids = new Array[Long](n)
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = ds.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getArray(1).toLongArray()
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        val a = sigs(i); val b = sigs(j)
+        val k = math.min(a.length, b.length)
+        var eq = 0
+        var c = 0
+        while (c < k) { if (a(c) == b(c)) eq += 1; c += 1 }
+        if (eq >= minEqual)
+          out += new GenericInternalRow(Array[Any](ids(i), ids(j), eq))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VerifiedBucketPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Ids-only in-bucket pair generator: `bucket_pairs(ids)` emits one
+  * `(doc_a, doc_b)` row per i<j pair of an `array<bigint>` bucket member
+  * set — the unverified candidate path
+  * ([[graft.operators.TextOps.minhashCandidatePairs]]). Same rationale
+  * and iteration order as [[VerifiedBucketPairs]]. */
+case class BucketIdPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def prettyName: String = "bucket_pairs"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < 2) return Iterator.empty
+    val ids = arr.toLongArray()
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+      ids.length * (ids.length - 1) / 2)
+    var i = 0
+    while (i < ids.length - 1) {
+      var j = i + 1
+      while (j < ids.length) {
+        out += new GenericInternalRow(Array[Any](ids(i), ids(j)))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketIdPairs =
+    copy(child = newChild)
+}
+
+/** Hamming-gated in-bucket pair generator for the SimHash near-dup
+  * path: `bucket_hamming_pairs(ds, max_hamming)` over a bucket's
+  * `array<struct<id: bigint, simhash: bigint>>` emits
+  * `(doc_a, doc_b, hamming)` for i<j pairs with
+  * `popcount(simhash_a XOR simhash_b) <= max_hamming`. Same rationale
+  * and iteration-order contract as [[VerifiedBucketPairs]]. */
+case class HammingBucketPairs(left: Expression, right: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+
+  override def prettyName: String = "bucket_hamming_pairs"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, LongType, _, _))), _) =>
+      if (right.foldable && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable int max_hamming, got ${right.sql}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint, bigint>>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val maxHamming: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ds = left.eval(input).asInstanceOf[ArrayData]
+    if (ds == null || ds.numElements() < 2) return Iterator.empty
+    val n = ds.numElements()
+    val ids = new Array[Long](n)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = ds.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      hashes(i) = row.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+        if (h <= maxHamming)
+          out += new GenericInternalRow(Array[Any](ids(i), ids(j), h))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingBucketPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object VerifiedBucketPairs {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bucket_pairs_verified"),
+    new ExpressionInfo(classOf[VerifiedBucketPairs].getName, "bucket_pairs_verified"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"bucket_pairs_verified expects 2 arguments, got ${children.size}")
+      VerifiedBucketPairs(children.head, children(1))
+    })
+}
+
+object BucketIdPairs {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bucket_pairs"),
+    new ExpressionInfo(classOf[BucketIdPairs].getName, "bucket_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"bucket_pairs expects 1 argument, got ${children.size}")
+      BucketIdPairs(children.head)
+    })
+}
+
+object HammingBucketPairs {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bucket_hamming_pairs"),
+    new ExpressionInfo(classOf[HammingBucketPairs].getName, "bucket_hamming_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"bucket_hamming_pairs expects 2 arguments, got ${children.size}")
+      HammingBucketPairs(children.head, children(1))
+    })
+}

@@ -265,6 +265,22 @@ object TextOps {
       .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("sig").as("g")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ds")) <= m)))
+    // long-keyed tables (the catalog, the dedup index) take the native
+    // generator — one JVM loop per bucket, the gate applied before any
+    // row is built; other key types keep the generic HOF expansion
+    // (TextOpsSpec pins the two equal on long keys)
+    val expanded =
+      if (sigs.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        buckets.select(
+          call_function("bucket_pairs_verified", col("ds"), lit(minEqual)))
+      else verifiedPairsHof(buckets, minEqual)
+    expanded.distinct()
+  }
+
+  /** The generic HOF form of [[verifiedPairsFromSignatures]]'s in-bucket
+    * expansion (also its differential twin on long keys): materialize
+    * the i<j pair array per bucket, explode, gate. */
+  private[graft] def verifiedPairsHof(buckets: DataFrame, minEqual: Int): DataFrame = {
     val pairs = flatten(transform(
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(
@@ -279,7 +295,6 @@ object TextOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.n_eq").as("n_eq"))
       .filter(col("n_eq") >= minEqual)
-      .distinct()
   }
 
   /** [[verifiedPairsFromSignatures]] straight from a document frame —
@@ -317,6 +332,17 @@ object TextOps {
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ids")) <= m)))
+    // native generator on long keys (see [[verifiedPairsFromSignatures]])
+    val expanded =
+      if (bandTable.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        buckets.select(call_function("bucket_pairs", col("ids")))
+      else candidatePairsHof(buckets)
+    expanded.distinct()
+  }
+
+  /** Generic HOF form of [[minhashCandidatePairs]]'s expansion (and its
+    * differential twin on long keys). */
+  private[graft] def candidatePairsHof(buckets: DataFrame): DataFrame = {
     val pairs = flatten(transform(
       sequence(lit(0), size(col("ids")) - 2),
       i => transform(
@@ -325,7 +351,6 @@ object TextOps {
           try_element_at(col("ids"), j + 1).as("b")))))
     buckets.select(explode(pairs).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
   }
 
   /** Per-doc SimHash table, backed by the per-row

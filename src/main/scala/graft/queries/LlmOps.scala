@@ -819,26 +819,16 @@ object LlmOps {
   val simhashNeardup = Q("simhash_neardup", (s, d) => {
     import s.implicits._
     // single-pass bucket-local pairing (a self-join would compute the
-    // SimHash subtree twice — same rationale as minhashCandidatePairs)
-    val grouped = TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text")
+    // SimHash subtree twice — same rationale as minhashCandidatePairs);
+    // the i<j expansion + popcount gate runs in the native
+    // bucket_hamming_pairs generator (one JVM loop per bucket, no
+    // interpreted HOF pair array — see graft.functions.BucketPairs)
+    TextOps.simhashTable(Tables.documents(s, d), "doc_id", "text")
       .withColumn("bucket", shiftright($"simhash", 16))
       .groupBy($"bucket")
       .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("ds"))
       .filter(size($"ds") > 1)
-    val pairs = flatten(transform(
-      sequence(lit(0), size($"ds") - 2),
-      i => transform(
-        sequence(i + 1, size($"ds") - 1),
-        j => {
-          val a = try_element_at($"ds", i + 1)
-          val b = try_element_at($"ds", j + 1)
-          struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
-            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
-              .as("hamming"))
-        })))
-    grouped.select(explode(pairs).as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"), $"p.hamming".as("hamming"))
-      .filter($"hamming" <= 8)
+      .select(call_function("bucket_hamming_pairs", $"ds", lit(8)))
   }, Some {
     val sim = (0 until 32).map { j =>
       s"CASE WHEN list_sum(list_transform(hv, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"

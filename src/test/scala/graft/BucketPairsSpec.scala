@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** The native in-bucket pair generators ([[graft.functions.BucketPairs]])
+  * pinned row-identical to the HOF expansions they replace, on crafted
+  * buckets covering the gate edges (eq == threshold, singleton buckets,
+  * equal signatures) and on the end-to-end near-dup path. */
+class BucketPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sig(xs: Long*): Seq[Long] = xs.toSeq
+
+  test("bucket_pairs_verified == HOF expansion, gate edges included") {
+    // k=4 signatures: pairs agree on 4, 3, 2, 0 components
+    val a = (1L, sig(1, 2, 3, 4))
+    val b = (2L, sig(1, 2, 3, 4)) // eq(a,b)=4
+    val c = (3L, sig(1, 2, 3, 9)) // eq(a,c)=3  (== threshold)
+    val e = (4L, sig(1, 2, 8, 9)) // eq(a,e)=2 (below); eq(c,e)=3
+    val f = (5L, sig(7, 8, 9, 6)) // eq=0 with all
+    // production pre-filters size(ds) > 1 before either expansion (the
+    // HOF's sequence(0, size-2) would go descending on a singleton)
+    val buckets = Seq(
+      Seq(a, b, c, e, f),
+      Seq(b, c))           // eq(b,c)=3
+      .toDF("raw")
+      .select(transform(col("raw"),
+        r => struct(r.getField("_1").as("i"), r.getField("_2").as("g"))).as("ds"))
+    val viaGen = buckets
+      .select(call_function("bucket_pairs_verified", col("ds"), lit(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaHof = TextOps.verifiedPairsHof(buckets, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaGen == viaHof)
+    assert(viaGen == Set((1L, 2L, 4), (1L, 3L, 3), (2L, 3L, 3), (3L, 4L, 3)))
+    // the generator itself is singleton-safe (emits nothing)
+    val single = Seq(Seq(a)).toDF("raw")
+      .select(transform(col("raw"),
+        r => struct(r.getField("_1").as("i"), r.getField("_2").as("g"))).as("ds"))
+    assert(single.select(
+      call_function("bucket_pairs_verified", col("ds"), lit(3))).count() == 0)
+  }
+
+  test("bucket_pairs == HOF id expansion") {
+    val buckets = Seq(Seq(3L, 1L, 2L), Seq(5L, 6L))
+      .toDF("ids")
+    val viaGen = buckets.select(call_function("bucket_pairs", col("ids")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHof = TextOps.candidatePairsHof(buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGen == viaHof)
+    // iteration is array order (callers pass sort_array output)
+    assert(viaGen == Set((3L, 1L), (3L, 2L), (1L, 2L), (5L, 6L)))
+    assert(Seq(Seq(7L)).toDF("ids")
+      .select(call_function("bucket_pairs", col("ids"))).count() == 0)
+  }
+
+  test("bucket_hamming_pairs gates at popcount(xor) <= max") {
+    val buckets = Seq(Seq(
+      (1L, 0x0FL),  // vs 2: xor=0x01 -> 1; vs 3: xor=0xF0F -> 8; vs 4: far
+      (2L, 0x0EL),
+      (3L, 0xF00L),
+      (4L, 0x7FFFFFFFL)))
+      .toDF("raw")
+      .select(transform(col("raw"),
+        r => struct(r.getField("_1").as("id"), r.getField("_2").as("h"))).as("ds"))
+    val got = buckets
+      .select(call_function("bucket_hamming_pairs", col("ds"), lit(8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 8), (2L, 3L, 7)))
+  }
+
+  test("end-to-end: verified pairs via generator equal the pre-generator path") {
+    val baseWords = (0 until 60).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, baseWords.mkString(" ")),
+      (2L, baseWords.updated(30, "CHANGED").mkString(" ")),
+      (3L, "completely unrelated text about spark shuffles and executors"),
+      (4L, baseWords.mkString(" "))).toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(docs, "doc_id", "text")
+    val viaGen = TextOps.verifiedPairsFromSignatures(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val buckets = TextOps.bandTableFromSignatures(sigs, "doc_id", keepSig = true)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(struct(col("doc_id").as("i"), col("sig").as("g")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val viaHof = TextOps.verifiedPairsHof(buckets, TextOps.verifyMinEqual)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaGen == viaHof)
+    assert(viaGen.exists(p => p._1 == 1L && p._2 == 4L && p._3 == TextOps.minhashA.size))
+  }
+
+  test("string-keyed tables fall back to the HOF path and still pair") {
+    val docs = Seq(
+      ("a", (0 until 40).map(i => s"w$i").mkString(" ")),
+      ("b", (0 until 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(docs, "doc_id", "text")
+    val pairs = TextOps.verifiedPairsFromSignatures(sigs, "doc_id").collect()
+    assert(pairs.length == 1 && pairs.head.getString(0) == "a")
+  }
+}
