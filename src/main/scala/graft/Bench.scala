@@ -102,9 +102,14 @@ object Bench {
         lines.iterator.flatMap { l =>
           try {
             val j = JsonMethods.parse(l)
-            val (sfOk, sfAbsent) = (j \ "sf", sfDir) match {
-              case (JString(s), Some(want)) => (s == want, false)
-              case _                        => (true, true) // truncated sf, or no filter
+            // sfAbsent means "the record carries no readable sf field",
+            // independent of whether a filter was requested — a
+            // well-formed sf must never trip the knownQueries sanity
+            // check below (ADVICE r11).
+            val sfAbsent = !(j \ "sf").isInstanceOf[JString]
+            val sfOk = (j \ "sf", sfDir) match {
+              case (JString(s), Some(want)) => s == want
+              case _                        => true // truncated sf, or no filter
             }
             if (!sfOk) None
             else j \ "queries" match {
@@ -233,6 +238,9 @@ object Bench {
     for (_ <- 1 to reps; q <- qs) runOnce(q)
 
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+    // a pointed-at directory that does not exist yet must not cost the
+    // run its detailed record (reps/shuffle/spill maps) at the very end
+    new java.io.File(benchDir).mkdirs()
     // history preference: the committed full-precision record first
     // (exact values + calib stamp), the driver's tail capture as the
     // fallback. When BOTH this run and the history carry a calib stamp,

@@ -45,6 +45,9 @@ object ScaleUp {
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1.0")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val span = args.lift(3).map(_.toLong).getOrElse(Span)
+    // optional comma-separated table subset: a fourth-decade fixture for
+    // the documents-only kernel rows fits a disk the full fixture won't
+    val tables = args.lift(4).map(_.split(",").toSeq).getOrElse(AllTables)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,8 +56,9 @@ object ScaleUp {
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    derive(spark, src, dst, copies, span = span)
-    println(s"""{"scaled":"$dst","copies":$copies,"span":$span,"src":"$src"}""")
+    derive(spark, src, dst, copies, tables = tables, span = span)
+    println(s"""{"scaled":"$dst","copies":$copies,"span":$span,"src":"$src",""" +
+      s""""tables":"${tables.mkString(",")}"}""")
     spark.stop()
   }
 

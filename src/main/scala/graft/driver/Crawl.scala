@@ -456,6 +456,53 @@ object Crawl {
       source: String = "crawl",
       matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
       land: (DataFrame, String, Int) => Unit): Walk = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val fetched = sliceFetch(ids, fetchMatch, fetchTimeline, limits,
+      numSlices, maxRetries, failureThreshold, recoveryTimeoutSec,
+      deadlineEpoch, clockFactory).cache()
+    try {
+      val total = fetched.filter(col("status") === "ok").count().toInt
+      val noData = fetched.filter(col("status") === "no_data").count().toInt
+      val unprocessed = fetched.filter(col("status") === "unprocessed")
+        .select(col("matchId")).as[String].collect().toSeq.sorted
+      var matchBatches = 0; var timelineBatches = 0
+      if (total > 0) {
+        val indexed = indexOk(fetched, numSlices).cache()
+        try {
+          def landKind(docCol: String, kind: String, batchSize: Int): Int = {
+            val nBatches = (total + batchSize - 1) / batchSize
+            var n = 0
+            while (n < nBatches) {
+              val batch = indexed
+                .filter(col("idx") >= n.toLong * batchSize &&
+                  col("idx") < (n + 1).toLong * batchSize)
+                .select(col(docCol)).as[String]
+              land(spark.read.json(batch).withColumn("source", lit(source)),
+                kind, n + 1)
+              n += 1
+            }
+            nBatches
+          }
+          matchBatches = landKind("matchDoc", "match", matchBatchSize)
+          timelineBatches = landKind("timelineDoc", "match_timeline", timelineBatchSize)
+        } finally indexed.unpersist()
+      }
+      Walk(total, noData, matchBatches, timelineBatches, unprocessed)
+    } finally fetched.unpersist()
+  }
+
+  /** The sliced-budget fetch phase shared by both distributed walks:
+    * `numSlices` partitions, each running the guarded match+timeline
+    * fetch pair under `(maxRequests / numSlices, windowSec)` with
+    * executor-created limiter/breaker/clock. One output row per id with
+    * status ok / no_data / unprocessed. */
+  private def sliceFetch(ids: DataFrame,
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limits: Seq[(Int, Long)], numSlices: Int, maxRetries: Int,
+      failureThreshold: Int, recoveryTimeoutSec: Long, deadlineEpoch: Long,
+      clockFactory: () => Resilience.Clock): DataFrame = {
     require(numSlices > 0, s"numSlices=$numSlices")
     val tightest = limits.map(_._1).min
     require(numSlices <= tightest,
@@ -464,7 +511,7 @@ object Crawl {
     val sliced = limits.map { case (maxReq, win) => (maxReq / numSlices, win) }
     val spark = ids.sparkSession
     import spark.implicits._
-    val fetched = ids.select(col("matchId")).as[String]
+    ids.select(col("matchId")).as[String]
       .repartition(numSlices)
       .mapPartitions { it =>
         val clock = clockFactory()
@@ -489,7 +536,65 @@ object Crawl {
         }
       }
       .toDF("matchId", "matchDoc", "timelineDoc", "status")
-      .cache()
+  }
+
+  /** Contiguous global index over the ok rows in sorted-matchId order:
+    * range partition (distributed sort) + per-partition zip with
+    * collected offsets — the batch boundary never funnels through one
+    * reducer. */
+  private def indexOk(fetched: DataFrame, numSlices: Int): DataFrame = {
+    val spark = fetched.sparkSession
+    import spark.implicits._
+    fetched.filter(col("status") === "ok")
+      .select(col("matchId"), col("matchDoc"), col("timelineDoc"))
+      .repartitionByRange(numSlices, col("matchId"))
+      .sortWithinPartitions(col("matchId"))
+      .as[(String, String, String)].rdd.zipWithIndex()
+      .map { case ((id, md, td), i) => (id, md, td, i) }
+      .toDF("matchId", "matchDoc", "timelineDoc", "idx")
+  }
+
+  /** [[walkMatchesDistributed]] with ONE-PASS batch landing — the scale
+    * form of the landing side (VERDICT r11 #2). The per-batch-callback
+    * walk above re-serializes on the driver: `landKind` runs one
+    * `filter(idx ∈ [n·B, (n+1)·B))` pass over the cached ok-set plus one
+    * driver-dispatched `spark.read.json` job per batch — at the
+    * reference's prod scale (20 k players × ≤100 ids → ~2 M ids → ~10 k
+    * batches, `EC2/processor.py:146-174`) that is ~10 k scheduled jobs
+    * each rescanning the cached frame. Here the batch number is DERIVED
+    * AS A COLUMN (`batch = floor(idx / batchSize) + 1`, 1-based like the
+    * loop form's `batch_<n>`) and every batch of a kind lands in one
+    * distributed pass: one schema-inference job over the ok docs + one
+    * `landAll(parsed, kind)` action, O(1) passes over the ok-set
+    * regardless of batch count.
+    *
+    * `landAll` receives the kind's ENTIRE parsed corpus — the same
+    * columns the loop form hands `land` (doc fields + `source`) plus the
+    * `batch` column — and lands it however it likes; the default in
+    * [[runProcessorDistributed]] is `partitionBy("batch")`, which keeps
+    * the reference's 200/50 envelope cadence as the on-disk batch unit
+    * (one directory per batch, contents equal to the loop form's
+    * `batch_<n>`) while writing them all in one job. Batch membership,
+    * walk order (sorted matchId), counts, and the leftover contract are
+    * those of [[walkMatchesDistributed]] — CrawlSpec pins the
+    * differential. Docs must not carry a top-level `batch` field (the
+    * column is ours; fail fast rather than silently shadow). */
+  def walkMatchesDistributedOnePass(ids: DataFrame,
+      fetchMatch: String => Resilience.Outcome[String],
+      fetchTimeline: String => Resilience.Outcome[String],
+      limits: Seq[(Int, Long)], numSlices: Int,
+      maxRetries: Int = 3, failureThreshold: Int = 5,
+      recoveryTimeoutSec: Long = 60L,
+      deadlineEpoch: Long = Long.MaxValue,
+      clockFactory: () => Resilience.Clock = () => Resilience.Clock.system,
+      source: String = "crawl",
+      matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
+      landAll: (DataFrame, String) => Unit): Walk = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val fetched = sliceFetch(ids, fetchMatch, fetchTimeline, limits,
+      numSlices, maxRetries, failureThreshold, recoveryTimeoutSec,
+      deadlineEpoch, clockFactory).cache()
     try {
       val total = fetched.filter(col("status") === "ok").count().toInt
       val noData = fetched.filter(col("status") === "no_data").count().toInt
@@ -497,31 +602,22 @@ object Crawl {
         .select(col("matchId")).as[String].collect().toSeq.sorted
       var matchBatches = 0; var timelineBatches = 0
       if (total > 0) {
-        // contiguous global index in sorted-matchId order: range partition
-        // (distributed sort) + per-partition zip with collected offsets —
-        // the batch boundary never funnels through one reducer
-        val indexed = fetched.filter(col("status") === "ok")
-          .select(col("matchId"), col("matchDoc"), col("timelineDoc"))
-          .repartitionByRange(numSlices, col("matchId"))
-          .sortWithinPartitions(col("matchId"))
-          .as[(String, String, String)].rdd.zipWithIndex()
-          .map { case ((id, md, td), i) => (id, md, td, i) }
-          .toDF("matchId", "matchDoc", "timelineDoc", "idx")
-          .cache()
+        val indexed = indexOk(fetched, numSlices).cache()
         try {
           def landKind(docCol: String, kind: String, batchSize: Int): Int = {
-            val nBatches = (total + batchSize - 1) / batchSize
-            var n = 0
-            while (n < nBatches) {
-              val batch = indexed
-                .filter(col("idx") >= n.toLong * batchSize &&
-                  col("idx") < (n + 1).toLong * batchSize)
-                .select(col(docCol)).as[String]
-              land(spark.read.json(batch).withColumn("source", lit(source)),
-                kind, n + 1)
-              n += 1
-            }
-            nBatches
+            // pass 1: schema inference over the kind's ok docs
+            val schema = spark.read.json(indexed.select(col(docCol)).as[String]).schema
+            require(!schema.fieldNames.contains("batch"),
+              s"$kind docs carry a top-level 'batch' field — it would shadow " +
+                "the walk's batch column; use the per-batch land form")
+            // pass 2: parse + batch column + the single landAll action
+            val parsed = indexed
+              .select(from_json(col(docCol), schema).as("_doc"),
+                (floor(col("idx") / batchSize) + 1).cast("int").as("batch"))
+              .select(col("_doc.*"), col("batch"))
+              .withColumn("source", lit(source))
+            landAll(parsed, kind)
+            (total + batchSize - 1) / batchSize
           }
           matchBatches = landKind("matchDoc", "match", matchBatchSize)
           timelineBatches = landKind("timelineDoc", "match_timeline", timelineBatchSize)
@@ -537,7 +633,15 @@ object Crawl {
     * [[walkMatchesDistributed]] under a sliced request budget instead of
     * the driver-sequential [[walkMatches]]. The faithful driver twin
     * stays the default `run` path (the reference IS one container with
-    * one budget); this is the shape a 1000-executor deployment runs. */
+    * one budget); this is the shape a 1000-executor deployment runs.
+    *
+    * Landing: with no custom `land`, batches land through
+    * [[walkMatchesDistributedOnePass]] — one `partitionBy` write per
+    * kind, with the partition directories renamed `batch=<n>` →
+    * `batch_<n>` afterward (driver-side fs renames, no jobs) so the
+    * on-disk layout equals the loop form's `outRoot/<kind>/batch_<n>`.
+    * A custom per-batch `land` callback keeps the loop walk — its
+    * contract is one DataFrame per batch. */
   def runProcessorDistributed(spark: SparkSession, outRoot: String,
       matchlistKey: String, window: Windows.WindowState,
       fetchMatch: String => Resilience.Outcome[String],
@@ -550,10 +654,6 @@ object Crawl {
       land: (org.apache.spark.sql.DataFrame, String, Int) => Unit = null)
       : Option[ProcessorReport] = {
     import spark.implicits._
-    val landFn = Option(land).getOrElse {
-      (df: DataFrame, kind: String, n: Int) =>
-        Writers.jsonDump(df, s"$outRoot/$kind/batch_$n")
-    }
     val driverClock = clockFactory()
     val env = pullEnvelope(spark, outRoot, matchlistKey, driverClock)
       .getOrElse(return None)
@@ -562,11 +662,20 @@ object Crawl {
       if (env.columns.contains("matchlist"))
         env.select(explode(col("matchlist")).as("matchId"))
       else spark.emptyDataset[String].toDF("matchId")
-    val walk = walkMatchesDistributed(ids, fetchMatch, fetchTimeline,
-      limits, numSlices, deadlineEpoch = deadlineEpoch,
-      clockFactory = clockFactory, source = source,
-      matchBatchSize = matchBatchSize, timelineBatchSize = timelineBatchSize,
-      land = landFn)
+    val walk = Option(land) match {
+      case Some(landFn) =>
+        walkMatchesDistributed(ids, fetchMatch, fetchTimeline,
+          limits, numSlices, deadlineEpoch = deadlineEpoch,
+          clockFactory = clockFactory, source = source,
+          matchBatchSize = matchBatchSize, timelineBatchSize = timelineBatchSize,
+          land = landFn)
+      case None =>
+        walkMatchesDistributedOnePass(ids, fetchMatch, fetchTimeline,
+          limits, numSlices, deadlineEpoch = deadlineEpoch,
+          clockFactory = clockFactory, source = source,
+          matchBatchSize = matchBatchSize, timelineBatchSize = timelineBatchSize,
+          landAll = (df, kind) => landBatchedJson(df, s"$outRoot/$kind"))
+    }
     val leftoverKey = if (walk.unprocessed.nonEmpty) {
       val key = s"backfill/leftovers/leftovers_${window.startEpoch}_" +
         s"${window.endEpoch}_${walk.unprocessed.length}_matches"
@@ -576,6 +685,26 @@ object Crawl {
     Writers.deletePath(spark, s"$outRoot/$matchlistKey")
     Some(ProcessorReport(walk.total, walk.noData, walk.matchBatches,
       walk.timelineBatches, leftoverKey, pmKey))
+  }
+
+  /** Default one-pass landing: `partitionBy("batch")` JSON write (ONE
+    * job for every batch of the kind — `batch` is a data column, so the
+    * writer routes rows without an extra shuffle) followed by driver-side
+    * directory renames `batch=<n>` → `batch_<n>` for layout parity with
+    * the per-batch loop form. partitionBy drops the partition column
+    * from file content, so each `batch_<n>`'s rows equal the loop form's
+    * (doc fields + source). */
+  private[graft] def landBatchedJson(df: DataFrame, root: String): Unit = {
+    df.write.mode("overwrite").partitionBy("batch").json(root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch=")) {
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(p, "batch_" + name.stripPrefix("batch=")))
+      }
+    }
   }
 
   /** One leftover file's re-drive outcome. */

@@ -8,6 +8,31 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** Lazy i<j pair cursor shared by the bucket-pair generators: computes
+  * the next passing pair on demand so a guard-ceiling bucket (2^16
+  * members) STREAMS rows into GenerateExec instead of buffering O(b²)
+  * `InternalRow`s on one task's heap. `emit(i, j)` builds the output
+  * row for a pair or returns null to gate it out; the cursor skips
+  * gated pairs without allocating. */
+private[functions] abstract class PairCursor(n: Int) extends Iterator[InternalRow] {
+  protected def emit(i: Int, j: Int): InternalRow
+  private[this] var i = 0
+  private[this] var j = 0
+  private[this] var staged: InternalRow = _
+  private[this] def advance(): Unit = {
+    staged = null
+    while (staged == null) {
+      j += 1
+      if (j >= n) { i += 1; j = i + 1 }
+      if (i >= n - 1) return
+      staged = emit(i, j)
+    }
+  }
+  advance()
+  override def hasNext: Boolean = staged != null
+  override def next(): InternalRow = { val r = staged; advance(); r }
+}
+
 /** Native in-bucket pair expansion for the LSH verification stage:
   * `bucket_pairs_verified(ds, min_equal)` generates one row
   * `(doc_a, doc_b, n_eq)` per i<j pair of a bucket's
@@ -24,19 +49,24 @@ import org.apache.spark.sql.types._
   * pair array (b² structs, each carrying its own allocation) BEFORE the
   * explode; the post-kernel sf100 run still spent its pair-stage time
   * there. As a [[Generator]] the expansion is one JVM loop per bucket
-  * that emits rows directly — no intermediate array, no interpreter —
-  * and the verification gate is applied before a row is ever built, so
-  * sub-threshold pairs (the vast majority at scale: band collisions are
-  * precision-losing by design) cost two array reads and a compare loop.
+  * whose pairs are produced lazily through [[PairCursor]] — no
+  * intermediate array, no interpreter — and the verification gate is
+  * applied before a row is ever built, so sub-threshold pairs (the vast
+  * majority at scale: band collisions are precision-losing by design)
+  * cost two array reads and a compare loop.
   *
   * Semantics pinned by TextOpsSpec/MinhashKernelSpec differentials:
   * iteration follows array order, so feeding it the same
   * `sort_array(collect_set(...))` the HOF chain consumed yields the
   * identical row set; the downstream `distinct()` contract is unchanged.
-  * NULL or sub-2-element input generates nothing. Registered as the SQL
-  * generator function `bucket_pairs_verified` via
-  * [[graft.GraftExtensions]]; the ids-only twin `bucket_pairs`
-  * ([[BucketIdPairs]]) serves the unverified candidate path. */
+  * NULL or sub-2-element input generates nothing; bucket members that
+  * are null, carry a null id, or carry a null/null-holed signature are
+  * skipped (ArrayData.toLongArray ignores the null bitmap, so reading
+  * them would silently produce garbage — the generators are
+  * SQL-registered and user-callable). Registered as the SQL generator
+  * function `bucket_pairs_verified` via [[graft.GraftExtensions]]; the
+  * ids-only twin `bucket_pairs` ([[BucketIdPairs]]) serves the
+  * unverified candidate path. */
 case class VerifiedBucketPairs(left: Expression, right: Expression)
     extends BinaryExpression with Generator with CodegenFallback {
 
@@ -51,10 +81,14 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
     case ArrayType(StructType(Array(
         StructField(_, LongType, _, _),
         StructField(_, ArrayType(LongType, _), _, _))), _) =>
-      if (right.foldable && right.dataType == IntegerType)
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a foldable int min_equal, got ${right.sql}")
+      if (!right.foldable || right.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable int min_equal, got ${right.sql}")
+      else if (right.eval(null) == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-null min_equal (a NULL literal would " +
+            "unbox to 0 and silently disable the verification gate)")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<struct<bigint, array<bigint>>>, got ${t.catalogString}")
   }
@@ -65,34 +99,42 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val ds = left.eval(input).asInstanceOf[ArrayData]
     if (ds == null || ds.numElements() < 2) return Iterator.empty
-    val n = ds.numElements()
-    // unpack once: ids + signatures (k longs each)
-    val ids = new Array[Long](n)
-    val sigs = new Array[Array[Long]](n)
+    val m = ds.numElements()
+    // unpack once (ids + k-long signatures), skipping null members
+    val ids = new Array[Long](m)
+    val sigs = new Array[Array[Long]](m)
+    var n = 0
     var i = 0
-    while (i < n) {
-      val row = ds.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      sigs(i) = row.getArray(1).toLongArray()
+    while (i < m) {
+      if (!ds.isNullAt(i)) {
+        val row = ds.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val sa = row.getArray(1)
+          var hole = false
+          var c = 0
+          while (c < sa.numElements() && !hole) { hole = sa.isNullAt(c); c += 1 }
+          if (!hole) {
+            ids(n) = row.getLong(0)
+            sigs(n) = sa.toLongArray()
+            n += 1
+          }
+        }
+      }
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    i = 0
-    while (i < n - 1) {
-      var j = i + 1
-      while (j < n) {
+    if (n < 2) return Iterator.empty
+    val gate = minEqual
+    new PairCursor(n) {
+      protected def emit(i: Int, j: Int): InternalRow = {
         val a = sigs(i); val b = sigs(j)
         val k = math.min(a.length, b.length)
         var eq = 0
         var c = 0
         while (c < k) { if (a(c) == b(c)) eq += 1; c += 1 }
-        if (eq >= minEqual)
-          out += new GenericInternalRow(Array[Any](ids(i), ids(j), eq))
-        j += 1
+        if (eq >= gate) new GenericInternalRow(Array[Any](ids(i), ids(j), eq))
+        else null
       }
-      i += 1
     }
-    out
   }
 
   override protected def withNewChildrenInternal(
@@ -103,8 +145,9 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
 /** Ids-only in-bucket pair generator: `bucket_pairs(ids)` emits one
   * `(doc_a, doc_b)` row per i<j pair of an `array<bigint>` bucket member
   * set — the unverified candidate path
-  * ([[graft.operators.TextOps.minhashCandidatePairs]]). Same rationale
-  * and iteration order as [[VerifiedBucketPairs]]. */
+  * ([[graft.operators.TextOps.minhashCandidatePairs]]). Same rationale,
+  * lazy emission, iteration order, and null-member skip contract as
+  * [[VerifiedBucketPairs]]. */
 case class BucketIdPairs(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
 
@@ -123,19 +166,19 @@ case class BucketIdPairs(child: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null || arr.numElements() < 2) return Iterator.empty
-    val ids = arr.toLongArray()
-    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
-      ids.length * (ids.length - 1) / 2)
+    val m = arr.numElements()
+    val ids = new Array[Long](m)
+    var n = 0
     var i = 0
-    while (i < ids.length - 1) {
-      var j = i + 1
-      while (j < ids.length) {
-        out += new GenericInternalRow(Array[Any](ids(i), ids(j)))
-        j += 1
-      }
+    while (i < m) {
+      if (!arr.isNullAt(i)) { ids(n) = arr.getLong(i); n += 1 }
       i += 1
     }
-    out
+    if (n < 2) return Iterator.empty
+    new PairCursor(n) {
+      protected def emit(i: Int, j: Int): InternalRow =
+        new GenericInternalRow(Array[Any](ids(i), ids(j)))
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): BucketIdPairs =
@@ -146,8 +189,9 @@ case class BucketIdPairs(child: Expression)
   * path: `bucket_hamming_pairs(ds, max_hamming)` over a bucket's
   * `array<struct<id: bigint, simhash: bigint>>` emits
   * `(doc_a, doc_b, hamming)` for i<j pairs with
-  * `popcount(simhash_a XOR simhash_b) <= max_hamming`. Same rationale
-  * and iteration-order contract as [[VerifiedBucketPairs]]. */
+  * `popcount(simhash_a XOR simhash_b) <= max_hamming`. Same rationale,
+  * lazy emission, iteration-order and null contracts as
+  * [[VerifiedBucketPairs]]. */
 case class HammingBucketPairs(left: Expression, right: Expression)
     extends BinaryExpression with Generator with CodegenFallback {
 
@@ -162,10 +206,14 @@ case class HammingBucketPairs(left: Expression, right: Expression)
     case ArrayType(StructType(Array(
         StructField(_, LongType, _, _),
         StructField(_, LongType, _, _))), _) =>
-      if (right.foldable && right.dataType == IntegerType)
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a foldable int max_hamming, got ${right.sql}")
+      if (!right.foldable || right.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable int max_hamming, got ${right.sql}")
+      else if (right.eval(null) == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-null max_hamming (a NULL literal " +
+            "would unbox to 0 and over-tighten the gate)")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<struct<bigint, bigint>>, got ${t.catalogString}")
   }
@@ -176,29 +224,31 @@ case class HammingBucketPairs(left: Expression, right: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val ds = left.eval(input).asInstanceOf[ArrayData]
     if (ds == null || ds.numElements() < 2) return Iterator.empty
-    val n = ds.numElements()
-    val ids = new Array[Long](n)
-    val hashes = new Array[Long](n)
+    val m = ds.numElements()
+    val ids = new Array[Long](m)
+    val hashes = new Array[Long](m)
+    var n = 0
     var i = 0
-    while (i < n) {
-      val row = ds.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      hashes(i) = row.getLong(1)
-      i += 1
-    }
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    i = 0
-    while (i < n - 1) {
-      var j = i + 1
-      while (j < n) {
-        val h = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
-        if (h <= maxHamming)
-          out += new GenericInternalRow(Array[Any](ids(i), ids(j), h))
-        j += 1
+    while (i < m) {
+      if (!ds.isNullAt(i)) {
+        val row = ds.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ids(n) = row.getLong(0)
+          hashes(n) = row.getLong(1)
+          n += 1
+        }
       }
       i += 1
     }
-    out
+    if (n < 2) return Iterator.empty
+    val gate = maxHamming
+    new PairCursor(n) {
+      protected def emit(i: Int, j: Int): InternalRow = {
+        val h = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+        if (h <= gate) new GenericInternalRow(Array[Any](ids(i), ids(j), h))
+        else null
+      }
+    }
   }
 
   override protected def withNewChildrenInternal(

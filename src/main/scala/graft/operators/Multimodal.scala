@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as per-partition batch
   * transforms.
   *
-  * The decode itself is STUBBED — this environment ships no codec
-  * libraries — with a deterministic fake (rolling byte fingerprint). What
-  * is REAL and tested is the Spark-side contract a production decode
-  * plugs into: the schema, the typed encoders, the mapPartitions batch
+  * HEADER decode is REAL: [[graft.functions.ImageHeader]] parses
+  * format + pixel dimensions from actual PNG/JPEG/GIF byte layouts
+  * (pure JVM, no codec library), exposed both as the `image_meta`
+  * expression (`media_decode` row, oracle-checked against synthesized
+  * real headers) and as the typed [[sniffMeta]] below. PIXEL decode
+  * stays STUBBED — this environment ships no codec libraries — with a
+  * deterministic fake (rolling byte fingerprint). What is also real and
+  * tested: the schema, the typed encoders, the mapPartitions batch
   * shape (codec init once per partition, not per row), and the
   * expression-level paths (resize math, frame slicing) that never leave
   * codegen.
@@ -35,10 +39,31 @@ object Multimodal {
     else if (w >= h) (maxDim, math.max(1, h * maxDim / w))
     else (math.max(1, w * maxDim / h), maxDim)
 
+  /** Header metadata sniffed from the CONTENT BYTES — the typed twin of
+    * the `image_meta` expression: format and dimensions read from the
+    * asset's own PNG/JPEG/GIF byte layout, the stored `meta` struct
+    * ignored (real pipelines trust bytes over upstream metadata); a
+    * corrupt or truncated header lands as the `err` sentinel column,
+    * never an exception. */
+  final case class SniffedMeta(id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int], err: Option[String])
+
+  def sniffMeta(assets: Dataset[Asset]): Dataset[SniffedMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (fmt, w, h, err) = graft.functions.ImageHeader.parse(a.content)
+        SniffedMeta(a.id, Option(fmt), Option(w).map(_.intValue()),
+          Option(h).map(_.intValue()), Option(err))
+      }
+    }
+  }
+
   /** STUB decode + feature extraction — a production build replaces the
     * body of the `map` with the codec call; everything around it (typed
     * Dataset in/out, per-partition init point, batch iteration) is the
-    * real plumbing. */
+    * real plumbing. Header-level metadata no longer needs this seam at
+    * all ([[sniffMeta]] reads it off the bytes). */
   def decodeStub(assets: Dataset[Asset], thumbMax: Int = 64): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>

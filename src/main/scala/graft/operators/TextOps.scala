@@ -358,10 +358,12 @@ object TextOps {
     * projection (same spill rationale as [[minhashSignatures]]; the
     * exploded twin below is the differential oracle). The null filter
     * reproduces the exploded form's row semantics: explode drops
-    * null-token docs entirely. */
+    * null-token docs entirely — trim/split are null-propagating, so
+    * `text IS NOT NULL` is the same predicate without evaluating the
+    * split twice per row (ADVICE r11). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
       useXx: Boolean = false): DataFrame =
-    df.where(tokens(col(textCol)).isNotNull)
+    df.where(col(textCol).isNotNull)
       .select(col(idCol),
         call_function(if (useXx) "simhash_sig_xx" else "simhash_sig",
           tokens(col(textCol))).as("simhash"))

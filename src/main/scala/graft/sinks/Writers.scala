@@ -170,18 +170,25 @@ object Writers {
     * swaps, not single-object moves, that object stores cannot do; cf.
     * [[graft.sources.ArtifactStore]] for the directory-level protocol).
     *
-    * Non-transactional like [[graft.sources.DedupIndex.compact]]:
-    * single-writer discipline is the caller's; a concurrent reader may
-    * see a partially-swapped directory (the same caveat every
-    * non-transactional table format carries).
+    * MUTATOR COORDINATION: the whole discovery→write→swap window runs
+    * under [[graft.sources.ArtifactStore.withRootClaim]] — two
+    * claim-aware mutators (this, [[upsertByKey]], [[compactSmallFiles]],
+    * incl. a cron'd [[graft.Maintain]]) serialize on the root instead of
+    * interleaving their delete phases; a mutator that cannot get the
+    * root within `claimMaxWaitMs` fails fast. Plain READERS never block,
+    * and may still see a partially-swapped directory (the same caveat
+    * every non-transactional table format carries).
     *
     * @param onBeforeDeleteOriginals test seam: runs between the move-in
     *        and the delete phases (crash-injection specs prove the
     *        no-loss ordering) */
   def deleteWhereKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, inListLimit: Int = DeleteInListLimit,
-      onBeforeDeleteOriginals: () => Unit = () => ()): DeleteStats = {
+      onBeforeDeleteOriginals: () => Unit = () => (),
+      claimMaxWaitMs: Long = 10 * 60 * 1000L): DeleteStats = {
     val fs = graft.sources.ArtifactStore.fs(path)
+    graft.sources.ArtifactStore.withRootClaim(fs, path,
+        maxWaitMs = claimMaxWaitMs) {
     val dataDir = new org.apache.hadoop.fs.Path(path)
     val allFiles = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -192,7 +199,7 @@ object Writers {
     }
     val distinctKeys = keys.select(col(kc)).distinct()
     val (affected, inList) = hitFiles(spark, path, keyCol, distinctKeys, inListLimit)
-    if (affected.isEmpty) return DeleteStats(allFiles.length, 0, 0L)
+    if (affected.isEmpty) DeleteStats(allFiles.length, 0, 0L) else {
 
     val affectedDf = spark.read.parquet(affected: _*)
     // mark-and-filter in ONE pass: the deleted count rides on the kept
@@ -229,6 +236,8 @@ object Writers {
     affected.foreach(u => fs.delete(new org.apache.hadoop.fs.Path(u), false))
     fs.delete(tmp, true)
     DeleteStats(allFiles.length, affected.length, deleted)
+    }
+    }
   }
 
   /** Hit-file discovery for [[deleteWhereKeys]]: the file URIs holding at
@@ -289,9 +298,10 @@ object Writers {
     * a crash inside the window duplicates (at-least-once), never loses;
     * exact dedup downstream reclaims duplicates, nothing reclaims a lost
     * row. All I/O through Hadoop FS (object-store URIs work; per-file
-    * moves only, no directory renames). Non-transactional: single-writer
-    * discipline is the caller's, like every flat-parquet mutator here —
-    * evolving-artifact lineages that need racing writers go through
+    * moves only, no directory renames). Mutators serialize on the root
+    * via [[graft.sources.ArtifactStore.withRootClaim]] (see
+    * [[deleteWhereKeys]]' coordination contract); evolving-artifact
+    * lineages that need racing writers go through
     * [[graft.sources.ArtifactStore.commitExclusive]] instead.
     *
     * `updates` must carry exactly the dataset's columns (any order) and
@@ -302,8 +312,11 @@ object Writers {
     *        as in [[deleteWhereKeys]] */
   def upsertByKey(spark: SparkSession, path: String, keyCol: String,
       updates: DataFrame, inListLimit: Int = DeleteInListLimit,
-      onBeforeDeleteOriginals: () => Unit = () => ()): UpsertStats = {
+      onBeforeDeleteOriginals: () => Unit = () => (),
+      claimMaxWaitMs: Long = 10 * 60 * 1000L): UpsertStats = {
     val fs = graft.sources.ArtifactStore.fs(path)
+    graft.sources.ArtifactStore.withRootClaim(fs, path,
+        maxWaitMs = claimMaxWaitMs) {
     val dataDir = new org.apache.hadoop.fs.Path(path)
     val existing = spark.read.parquet(path)
     require(existing.columns.sorted.sameElements(updates.columns.sorted),
@@ -376,6 +389,7 @@ object Writers {
     affected.foreach(u => fs.delete(new org.apache.hadoop.fs.Path(u), false))
     fs.delete(tmp, true)
     UpsertStats(allFiles.length, affected.length, replaced, nBatch - replaced)
+    }
   }
 
   /** Outcome of a [[compactSmallFiles]] pass. */
@@ -398,20 +412,25 @@ object Writers {
     * row order within files may change, content cannot), one write.
     * Swap order as everywhere in this file: compacted files move in
     * first, the originals they absorb are deleted second — crash inside
-    * the window duplicates, never loses.
+    * the window duplicates, never loses. Mutators serialize on the root
+    * via [[graft.sources.ArtifactStore.withRootClaim]] (see
+    * [[deleteWhereKeys]]' coordination contract) — exactly the "cron'd
+    * Maintain racing a nightly upsert" interleave this prevents.
     *
     * @param onBeforeDeleteOriginals test seam, as in [[deleteWhereKeys]] */
   def compactSmallFiles(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20, minBytes: Long = 32L << 20,
-      onBeforeDeleteOriginals: () => Unit = () => ()): CompactStats = {
+      onBeforeDeleteOriginals: () => Unit = () => (),
+      claimMaxWaitMs: Long = 10 * 60 * 1000L): CompactStats = {
     require(minBytes <= targetBytes, s"minBytes $minBytes > targetBytes $targetBytes")
     val fs = graft.sources.ArtifactStore.fs(path)
+    graft.sources.ArtifactStore.withRootClaim(fs, path,
+        maxWaitMs = claimMaxWaitMs) {
     val dataDir = new org.apache.hadoop.fs.Path(path)
     val all = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val small = all.filter(_.getLen < minBytes).sortBy(_.getPath.getName)
-    if (small.length < 2)
-      return CompactStats(all.length, all.length, 0, 0L)
+    if (small.length < 2) CompactStats(all.length, all.length, 0, 0L) else {
     val bytes = small.map(_.getLen).sum
     val bins = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
@@ -431,6 +450,8 @@ object Writers {
     fs.delete(tmp, true)
     CompactStats(all.length, all.length - small.length + moved.length,
       small.length, bytes)
+    }
+    }
   }
 
   /** K7: local debug dump (`save_json`, `S3.py:345-349`). */

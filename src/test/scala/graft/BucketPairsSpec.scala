@@ -101,4 +101,64 @@ class BucketPairsSpec extends SparkSpec {
     val pairs = TextOps.verifiedPairsFromSignatures(sigs, "doc_id").collect()
     assert(pairs.length == 1 && pairs.head.getString(0) == "a")
   }
+
+  test("lazy emission: eval streams pairs through an iterator cursor, no pair buffer (ADVICE r11)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    // a guard-ceiling bucket buffered b(b-1)/2 InternalRows in one task
+    // pre-fix (2^16 members → ~2^31 rows); the cursor holds ONE staged
+    // row — heap is O(bucket members) for the unpacked ids/signatures,
+    // never O(pairs)
+    val ids = Literal.create((1L to 200L).toArray, ArrayType(LongType, containsNull = false))
+    val out = graft.functions.BucketIdPairs(ids).eval(null)
+    assert(out.isInstanceOf[Iterator[_]],
+      s"expected a lazy Iterator, got ${out.getClass.getName}")
+    val it = out.iterator
+    // incremental consumption works: first pairs arrive in (i, j) order
+    // without the rest being materialized
+    assert(it.next().getLong(1) == 2L && it.next().getLong(1) == 3L)
+    assert(it.size == 200 * 199 / 2 - 2) // the remaining pairs stream out
+  }
+
+  test("NULL gate literals are rejected at analysis, not unboxed to 0 (ADVICE r11)") {
+    val buckets = Seq(Seq((1L, sig(1, 2)), (2L, sig(1, 2))))
+      .toDF("raw")
+      .select(transform(col("raw"),
+        r => struct(r.getField("_1").as("i"), r.getField("_2").as("g"))).as("ds"))
+    // a NULL min_equal would unbox to 0 and emit EVERY pair (gate off)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      buckets.select(call_function("bucket_pairs_verified",
+        col("ds"), lit(null).cast("int"))).collect()
+    }
+    assert(e1.getMessage.contains("non-null min_equal"))
+    val hb = Seq(Seq((1L, 0L), (2L, 3L))).toDF("raw")
+      .select(transform(col("raw"),
+        r => struct(r.getField("_1").as("id"), r.getField("_2").as("sh"))).as("ds"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      hb.select(call_function("bucket_hamming_pairs",
+        col("ds"), lit(null).cast("int"))).collect()
+    }
+    assert(e2.getMessage.contains("non-null max_hamming"))
+  }
+
+  test("null bucket members are skipped, not read as garbage (ADVICE r11)") {
+    // bucket_pairs: array<bigint> with a null hole — toLongArray would
+    // silently read 0 for it; the generator must pair only real ids
+    val idPairs = spark.sql(
+      "SELECT bucket_pairs(array(1L, CAST(NULL AS BIGINT), 2L))")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idPairs == Set((1L, 2L)))
+    // bucket_pairs_verified: null struct member, null id, null signature,
+    // and a signature with a null component are all dropped
+    val vp = spark.sql("""
+      SELECT bucket_pairs_verified(array(
+        named_struct('i', 1L, 'g', array(1L, 2L)),
+        CAST(NULL AS STRUCT<i: BIGINT, g: ARRAY<BIGINT>>),
+        named_struct('i', CAST(NULL AS BIGINT), 'g', array(1L, 2L)),
+        named_struct('i', 3L, 'g', CAST(NULL AS ARRAY<BIGINT>)),
+        named_struct('i', 4L, 'g', array(1L, CAST(NULL AS BIGINT))),
+        named_struct('i', 2L, 'g', array(1L, 2L))), 2)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(vp == Set((1L, 2L, 2)))
+  }
 }

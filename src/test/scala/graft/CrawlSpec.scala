@@ -228,6 +228,83 @@ class CrawlSpec extends SparkSpec {
     assert(walk.matchBatches == 1 && walk.timelineBatches == 1)
   }
 
+  test("walkMatchesDistributedOnePass: batches equal the loop form; O(1) jobs regardless of batch count") {
+    val ids = (1 to 30).map(i => f"o$i%02d")
+    val bad = Set("o07", "o21")
+    def doc(id: String) = s"""{"matchId":"$id","k":1}"""
+    def fm(id: String): Resilience.Outcome[String] =
+      if (bad(id)) Resilience.Status(404) else Resilience.Ok(doc(id))
+    def ft(id: String): Resilience.Outcome[String] = Resilience.Ok(doc(id))
+    val nw = Resilience.Clock(() => 0L, _ => (), () => 0.5)
+
+    type Landed = scala.collection.mutable.Map[(String, Int), Set[(String, Long, String)]]
+    def newLanded: Landed = scala.collection.mutable.Map.empty
+
+    // loop-form baseline at cadence (4, 2)
+    val loopLanded = newLanded
+    val loop = Crawl.walkMatchesDistributed(ids.toDF("matchId"), fm, ft,
+      limits = Seq((1000, 1L)), numSlices = 4, clockFactory = () => nw,
+      matchBatchSize = 4, timelineBatchSize = 2,
+      land = (df, kind, n) => {
+        loopLanded((kind, n)) = df.collect()
+          .map(r => (r.getAs[String]("matchId"), r.getAs[Long]("k"),
+            r.getAs[String]("source"))).toSet
+        ()
+      })
+
+    def runOnePass(group: String, mBs: Int, tBs: Int, sink: Landed): Crawl.Walk = {
+      spark.sparkContext.setJobGroup(group, group)
+      try Crawl.walkMatchesDistributedOnePass(ids.toDF("matchId"), fm, ft,
+        limits = Seq((1000, 1L)), numSlices = 4, clockFactory = () => nw,
+        matchBatchSize = mBs, timelineBatchSize = tBs,
+        landAll = (df, kind) => {
+          df.collect().foreach { r =>
+            val key = (kind, r.getAs[Int]("batch"))
+            sink(key) = sink.getOrElse(key, Set.empty) +
+              ((r.getAs[String]("matchId"), r.getAs[Long]("k"),
+                r.getAs[String]("source")))
+          }
+          ()
+        })
+      finally spark.sparkContext.clearJobGroup()
+    }
+
+    val oneLanded = newLanded
+    val one = runOnePass("onepass_a", 4, 2, oneLanded)
+    // report + batch-for-batch landed content equal the loop form
+    assert((one.total, one.noData, one.matchBatches, one.timelineBatches) ==
+      (loop.total, loop.noData, loop.matchBatches, loop.timelineBatches))
+    assert(oneLanded.keySet == loopLanded.keySet)
+    loopLanded.foreach { case (key, rows) =>
+      assert(oneLanded(key) == rows, s"batch $key diverged from the loop form")
+    }
+
+    // O(1)-passes proof: halving both batch sizes DOUBLES the batch count
+    // but must not change the number of scheduled jobs — the loop form
+    // pays one inference + one land job per batch, the one-pass form one
+    // inference + one landAll action per KIND
+    val fineLanded = newLanded
+    val fine = runOnePass("onepass_b", 2, 1, fineLanded)
+    assert(fine.matchBatches == 2 * one.matchBatches &&
+      fine.timelineBatches == 2 * one.timelineBatches)
+    assert(fineLanded.values.flatten.toSet == oneLanded.values.flatten.toSet)
+    def jobs(g: String): Int = {
+      // statusTracker feeds from the async listener bus: poll to settle
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(g).length
+      var tries = 0
+      while (cur != prev && tries < 50) {
+        prev = cur; Thread.sleep(100)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(g).length
+        tries += 1
+      }
+      cur
+    }
+    val (jA, jB) = (jobs("onepass_a"), jobs("onepass_b"))
+    assert(jA > 0 && jA == jB,
+      s"one-pass job count must be independent of batch count: $jA vs $jB")
+  }
+
   test("runProcessorDistributed: same report/player-map/cleanup as the driver processor") {
     val dir = Files.createTempDirectory("graft_proc_dist").toString
     val w = Windows.WindowState(0, 2 * 24 * 3600)
@@ -252,6 +329,32 @@ class CrawlSpec extends SparkSpec {
     assert(rep.leftoverKey.isEmpty)
     assert(spark.read.json(s"$dir/${rep.playerMapKey}").columns.contains("ranked_map"))
     assert(!new java.io.File(s"$dir/$key").exists())
+  }
+
+  test("runProcessorDistributed default landing: one-pass partitionBy, batch_<n> layout parity") {
+    val dir = Files.createTempDirectory("graft_proc_dist_op").toString
+    val w = Windows.WindowState(0, 2 * 24 * 3600)
+    val key = seedEnvelope(dir, w, (1 to 7).map(i => s"m$i"))
+    def doc(id: String) = s"""{"matchId":"$id","k":1}"""
+    def fm(id: String): Resilience.Outcome[String] =
+      if (id == "m3") Resilience.Status(404) else Resilience.Ok(doc(id))
+    def ft(id: String): Resilience.Outcome[String] = Resilience.Ok(doc(id))
+    val nw = Resilience.Clock(() => 0L, _ => (), () => 0.5)
+    val rep = Crawl.runProcessorDistributed(spark, dir, key, w, fm, ft,
+      limits = Seq((1000, 1L)), numSlices = 4, clockFactory = () => nw,
+      matchBatchSize = 4, timelineBatchSize = 2).get
+    assert(rep.total == 6 && rep.matchBatches == 2 && rep.timelineBatches == 3)
+    // layout parity with the loop form: batch_<n> dirs under outRoot/<kind>,
+    // contents = parsed doc fields + source (partitionBy drops batch)
+    val b1 = spark.read.json(s"$dir/match/batch_1")
+    assert(b1.columns.toSet == Set("matchId", "k", "source"))
+    // sorted walk order: ok docs are m1,m2,m4,m5,m6,m7 → batch 1 holds 4
+    assert(b1.select("matchId").as[String].collect().sorted.toSeq ==
+      Seq("m1", "m2", "m4", "m5"))
+    assert(new java.io.File(s"$dir/match/batch_2").isDirectory)
+    assert((1 to 3).forall(n =>
+      new java.io.File(s"$dir/match_timeline/batch_$n").isDirectory))
+    assert(!new java.io.File(s"$dir/match/batch=1").exists())
   }
 
   test("stampedPlayers evolves drifted tier schemas and renames rank (P3/P8)") {

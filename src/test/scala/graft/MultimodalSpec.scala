@@ -43,4 +43,93 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(frames.toSeq == Seq((2L, 0L)))
   }
+
+  // ---- real header decode (hand-built byte layouts, independent of the
+  // media_decode query's SQL synthesis path) -----------------------------
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  /** A minimal real PNG header: signature + IHDR with the given dims. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] =
+    bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 0x0d) ++ "IHDR".getBytes("US-ASCII") ++
+      bytes(w >>> 24, w >>> 16, w >>> 8, w, h >>> 24, h >>> 16, h >>> 8, h) ++
+      bytes(8, 6, 0, 0, 0)
+
+  /** A minimal real JPEG: SOI, an APP0 segment to force the marker walk,
+    * then SOF0 with the dims. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4 (walked over)
+      0xff, 0xc0, 0x00, 0x11, 0x08,       // SOF0, len 17, precision 8
+      h >>> 8, h, w >>> 8, w, 0x03)
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++
+      bytes(w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0) // little-endian dims
+
+  test("ImageHeader.parse reads real PNG/JPEG/GIF byte layouts") {
+    assert(graft.functions.ImageHeader.parse(pngBytes(1920, 1080)) ==
+      (("png", 1920, 1080, null)))
+    assert(graft.functions.ImageHeader.parse(jpegBytes(640, 480)) ==
+      (("jpeg", 640, 480, null)))
+    assert(graft.functions.ImageHeader.parse(gifBytes(320, 200)) ==
+      (("gif", 320, 200, null)))
+    // 2-byte dims exercise both endiannesses past one byte
+    assert(graft.functions.ImageHeader.parse(gifBytes(0x1234, 0x0102)) ==
+      (("gif", 0x1234, 0x0102, null)))
+    assert(graft.functions.ImageHeader.parse(jpegBytes(0x1234, 0x0102)) ==
+      (("jpeg", 0x1234, 0x0102, null)))
+  }
+
+  test("ImageHeader.parse surfaces corruption as the err sentinel, never an exception") {
+    import graft.functions.ImageHeader
+    assert(ImageHeader.parse("not an image".getBytes("UTF-8")) ==
+      ((null, null, null, ImageHeader.Unsupported)))
+    assert(ImageHeader.parse(pngBytes(64, 64).take(10)) ==
+      ((null, null, null, ImageHeader.Truncated)))
+    assert(ImageHeader.parse(jpegBytes(64, 64).take(6)) ==
+      ((null, null, null, ImageHeader.Truncated)))
+    assert(ImageHeader.parse("GIF".getBytes("US-ASCII")) ==
+      ((null, null, null, ImageHeader.Truncated)))
+    assert(ImageHeader.parse("GIF99a0123".getBytes("US-ASCII")) ==
+      ((null, null, null, ImageHeader.Unsupported)))
+    assert(ImageHeader.parse(Array.empty[Byte]) ==
+      ((null, null, null, ImageHeader.Truncated)))
+    // PNG first byte, wrong rest of signature
+    assert(ImageHeader.parse(bytes(0x89, 0x50, 0, 0, 0, 0, 0, 0, 0, 0)) ==
+      ((null, null, null, ImageHeader.Unsupported)))
+    // JPEG whose scan starts before any SOF: dimensions unavailable
+    assert(ImageHeader.parse(bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)) ==
+      ((null, null, null, ImageHeader.Truncated)))
+  }
+
+  test("sniffMeta: typed header decode off the bytes; err rows stay rows") {
+    val mixed = Seq(
+      Asset(1L, pngBytes(800, 600), AssetMeta("claims-jpeg", 1, 1, 0L)),
+      Asset(2L, "garbage".getBytes("UTF-8"), AssetMeta("png", 9, 9, 0L)),
+      Asset(3L, gifBytes(12, 34), AssetMeta("gif", 12, 34, 0L)))
+    val out = Multimodal.sniffMeta(mixed.toDS()).collect().map(m => m.id -> m).toMap
+    // bytes win over the stored meta struct
+    assert(out(1L) == Multimodal.SniffedMeta(1L, Some("png"), Some(800), Some(600), None))
+    assert(out(2L) == Multimodal.SniffedMeta(2L, None, None, None,
+      Some(graft.functions.ImageHeader.Unsupported)))
+    assert(out(3L) == Multimodal.SniffedMeta(3L, Some("gif"), Some(12), Some(34), None))
+  }
+
+  test("image_meta expression: codegen'd struct over a binary column") {
+    val df = Seq(
+      (1L, pngBytes(321, 123)),
+      (2L, "junk".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "content")
+    val out = df.selectExpr("id", "image_meta(content) AS m")
+      .selectExpr("id", "m.format", "m.width", "m.height", "m.err")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) null else r.getInt(2),
+          if (r.isNullAt(3)) null else r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == (("png", 321, 123, null)))
+    assert(out(2L) == ((null, null, null, graft.functions.ImageHeader.Unsupported)))
+    // NULL content → NULL struct (nullSafeEval), so all fields null
+    assert(out(3L) == ((null, null, null, null)))
+  }
 }

@@ -174,6 +174,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_hash: corpus anti-joins a dup-rate-sized drop set as a runtime broadcast (VERDICT r11 #7)") {
+    import org.apache.spark.sql.functions._
+    // the semi form sorted FULL-WIDTH rows against a corpus-sized keeper
+    // set (4.4 GB spill at sf100); the drop-set form's anti join must
+    // resolve to an AQE broadcast — the bodies never shuffle or sort
+    val frame = df("dedup_hash")
+    frame.count() // finalize the adaptive plan
+    val p = frame.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"dedup_hash's drop-set anti join did not become a broadcast:\n$p")
+    // differential vs the keeper-side semi form it replaced
+    val docs = graft.sources.Tables.documents(spark, d)
+    val semi = docs.join(
+      docs.groupBy(sha2(col("text"), 256).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frame.select("doc_id").collect().map(_.getLong(0)).toSet == semi)
+  }
+
   test("dedup drop-lists carry no corpus-proportional broadcast hint (VERDICT r07)") {
     // with size-based broadcast disabled, any surviving BroadcastExchange
     // can only come from a static hint — exactly what finding 1/2 bans

@@ -552,6 +552,64 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(healed.filter($"puuid" === 10L && $"rank" =!= "UPDATED").isEmpty)
   }
 
+  test("mutator coordination: a compaction racing an upsert serializes on the root claim; zero lost rows") {
+    val out = Files.createTempDirectory("graft_race").toString + "/docs"
+    spark.range(200).select(col("id").as("puuid"),
+        concat(lit("r"), col("id")).as("rank"))
+      .repartition(8).write.parquet(out)
+
+    // an upsert PAUSED inside its swap window (replacements moved in,
+    // originals not yet deleted) — the window a racing compaction's
+    // delete phase could corrupt before the root claim existed
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val upsertErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val batch = Seq((10L, "UPDATED"), (9999L, "NEW")).toDF("puuid", "rank")
+    val upsert = new Thread(() => {
+      try graft.sinks.Writers.upsertByKey(spark, out, "puuid", batch,
+        onBeforeDeleteOriginals = () => { inWindow.countDown(); release.await() })
+      catch { case t: Throwable => upsertErr.set(t); inWindow.countDown() }
+    })
+    upsert.start()
+    assert(inWindow.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(upsertErr.get() == null, s"upsert failed: ${upsertErr.get()}")
+
+    // fail-fast contract: a mutator that cannot get the root in its wait
+    // window aborts loudly instead of interleaving
+    val boom = intercept[IllegalStateException] {
+      graft.sinks.Writers.compactSmallFiles(spark, out,
+        targetBytes = 1L << 20, minBytes = 1L << 20, claimMaxWaitMs = 300L)
+    }
+    assert(boom.getMessage.contains("mutator claim"))
+
+    // wait contract: a patient compaction blocks until the upsert
+    // releases the root, then runs to completion — zero lost rows
+    val compacted = new java.util.concurrent.atomic.AtomicReference[
+      graft.sinks.Writers.CompactStats]()
+    val compactErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compact = new Thread(() => {
+      try compacted.set(graft.sinks.Writers.compactSmallFiles(spark, out,
+        targetBytes = 1L << 20, minBytes = 1L << 20, claimMaxWaitMs = 120000L))
+      catch { case t: Throwable => compactErr.set(t) }
+    })
+    compact.start()
+    Thread.sleep(500)
+    assert(compacted.get() == null && compactErr.get() == null,
+      "compaction must not run inside the upsert's claim window")
+    release.countDown()
+    upsert.join(120000); compact.join(120000)
+    assert(upsertErr.get() == null, s"upsert failed: ${upsertErr.get()}")
+    assert(compactErr.get() == null, s"compaction failed: ${compactErr.get()}")
+    assert(compacted.get() != null && compacted.get().filesCompacted >= 2)
+
+    val healed = spark.read.parquet(out)
+    assert(healed.select("puuid").distinct().count() == 201)
+    assert(healed.groupBy($"puuid").count().filter($"count" > 1).isEmpty)
+    assert(healed.filter($"puuid" === 10L).head().getString(1) == "UPDATED")
+    // both mutators released the root: no claim file remains
+    assert(!new java.io.File(out, graft.sources.ArtifactStore.RootClaim).exists())
+  }
+
   test("small-file compaction: merges undersized files, big files byte-identical, content unchanged") {
     val out = Files.createTempDirectory("graft_cmp").toString + "/docs"
     // 16 tiny files + 1 "big" one (forced above the floor by payload width)
