@@ -43,12 +43,20 @@ object TrainingPrep {
       .filter(size(toks) >= minWords)
       .filter(if (minStopRatio > 0) stopRatio >= minStopRatio else lit(true))
 
-    // 2. exact dedup: keep the min id per content hash
+    // 2. exact dedup: keep the min id per content hash — via the
+    // dup-rate-sized DROP set (the dedup_hash shape, VERDICT r11 #7):
+    // the old keeper-set semi join sort-merged FULL-WIDTH rows against a
+    // corpus-sized id set and was the stage behind training_prep's
+    // 4.4 GB sf100 spill. Only (hash, id) pairs ever shuffle; the
+    // dup-hash set broadcasts; the anti join broadcasts.
     val hashed = quality.withColumn("content_hash", sha2(col(textCol), 256))
-    val keepers = hashed.groupBy(col("content_hash"))
-      .agg(min(col(idCol)).as(idCol))
-    val exactDeduped = hashed
-      .join(keepers, Seq("content_hash", idCol), "left_semi")
+    val narrowPairs = hashed.select(col("content_hash"), col(idCol))
+    val dupHashes = narrowPairs.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("_keep"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).drop("_n")
+    val exactDrops = narrowPairs.join(dupHashes, "content_hash")
+      .filter(col(idCol) =!= col("_keep")).select(col(idCol))
+    val exactDeduped = hashed.join(exactDrops, Seq(idCol), "left_anti")
 
     // 3. near-dup removal: verified LSH candidates → clusters → canonical keep
     val pairs = TextOps.verifiedCandidatePairs(exactDeduped, idCol, textCol, useXx)

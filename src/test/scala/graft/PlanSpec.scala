@@ -344,13 +344,16 @@ class PlanSpec extends SparkSpec {
       "codes scan reads the unused label column (pruning lost)")
   }
 
-  test("semdedup: centroid assignment broadcasts; no cartesian outside it; guard in-plan") {
+  test("semdedup: clusters come from the persisted IVF artifact; no cartesian; guard in-plan") {
     val p = plan("semdedup")
-    // nearest-centroid scoring is corpus × broadcast(k centroids) — the
-    // corpus must never shuffle to MEET the centroids (top-1 selection
-    // and the pair join shuffle on their own keys, which is fine)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "centroid assignment lost its broadcast")
+    // round 12: the cluster assignment is READ from ivf_probe's
+    // build-once artifact — no per-run k-means build (the inline build's
+    // BroadcastNestedLoopJoin assignment must be gone) and no
+    // unbroadcast cross join anywhere in the chain
+    assert(p.contains("graft_ivf"),
+      "semdedup no longer reads the persisted IVF assignment")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "an inline centroid-assignment build reappeared in semdedup")
     assert(!p.contains("CartesianProduct"),
       "an unbroadcast cross join appeared in the semdedup chain")
     // the in-cluster pair stage carries the density guard (raise_error
