@@ -7,21 +7,27 @@ import graft.sources.Tables
   * `.explain("formatted")` audit PERF.md's per-round plan reviews are
   * built from) without spark-shell ceremony.
   *
-  * Usage: `runMain graft.Explain <queryName> [sfDir]` — defaults to
-  * sf0.001 (plan SHAPE is scale-independent; PlanSpec pins the claims
-  * that matter, this is for eyes). `all` lists catalog names.
+  * Usage: `runMain graft.Explain <queryName> [sfDir] [exec]` — defaults
+  * to sf0.001 (plan SHAPE is scale-independent; PlanSpec pins the claims
+  * that matter, this is for eyes). `all` lists catalog names. The third
+  * arg `exec` RUNS the query first and prints the FINAL adaptive plan —
+  * what AQE actually chose at this scale (broadcast conversions, skew
+  * splits), which the static explain cannot show; `SPARK_GRAFT_CPUS`
+  * sizes the session like Bench.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("all")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val exec = args.lift(2).contains("exec")
     if (name == "all") {
       SparkEntry.catalog.foreach(q => println(q.name))
       return
     }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
@@ -30,7 +36,19 @@ object Explain {
       System.err.println(s"no catalog query named '$name' (try: runMain graft.Explain all)")
       sys.exit(2)
     }
-    q.run(spark, sfDir).explain("formatted")
+    val df = q.run(spark, sfDir)
+    if (exec) {
+      // drive THIS plan's own RDD (df.count() would compile a separate
+      // count plan and leave this one unexecuted): the action walks AQE
+      // to completion, after which the AdaptiveSparkPlan node prints the
+      // FINAL plan it actually ran
+      val plan = df.queryExecution.executedPlan
+      val t0 = System.nanoTime()
+      val n = plan.execute().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"rows=$n wall=${math.round(secs * 100) / 100.0}s")
+      println(plan.toString)
+    } else df.explain("formatted")
     spark.stop()
   }
 }

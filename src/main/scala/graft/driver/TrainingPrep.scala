@@ -48,12 +48,18 @@ object TrainingPrep {
     // the old keeper-set semi join sort-merged FULL-WIDTH rows against a
     // corpus-sized id set and was the stage behind training_prep's
     // 4.4 GB sf100 spill. Only (hash, id) pairs ever shuffle; the
-    // dup-hash set broadcasts; the anti join broadcasts.
+    // dup-hash set broadcasts; the anti join broadcasts. The round-robin
+    // repartition is the post-filter STAGE BOUNDARY without which AQE
+    // cannot measure the dup-rate-sized frame and the join-back compiles
+    // as an in-stage sort-merge that sorts the corpus-sized pair side
+    // (the dedup_hash fourth-decade lesson — see LlmOps.dedupHash).
     val hashed = quality.withColumn("content_hash", sha2(col(textCol), 256))
     val narrowPairs = hashed.select(col("content_hash"), col(idCol))
     val dupHashes = narrowPairs.groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("_keep"), count(lit(1)).as("_n"))
       .filter(col("_n") > 1).drop("_n")
+      .repartition(hashed.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
     val exactDrops = narrowPairs.join(dupHashes, "content_hash")
       .filter(col(idCol) =!= col("_keep")).select(col(idCol))
     val exactDeduped = hashed.join(exactDrops, Seq(idCol), "left_anti")

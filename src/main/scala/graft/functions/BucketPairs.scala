@@ -33,6 +33,19 @@ private[functions] abstract class PairCursor(n: Int) extends Iterator[InternalRo
   override def next(): InternalRow = { val r = staged; advance(); r }
 }
 
+private[functions] object PairCursor {
+  /** True when any position of the two band-key prefixes matches — the
+    * pair already collided in an earlier band, so the CURRENT bucket is
+    * not its first and must not emit it (first-band dedup: exactly one
+    * bucket in the pair's collision set passes this test). */
+  def prefixCollides(a: Array[Long], b: Array[Long]): Boolean = {
+    val k = math.min(a.length, b.length)
+    var t = 0
+    while (t < k) { if (a(t) == b(t)) return true; t += 1 }
+    false
+  }
+}
+
 /** Native in-bucket pair expansion for the LSH verification stage:
   * `bucket_pairs_verified(ds, min_equal)` generates one row
   * `(doc_a, doc_b, n_eq)` per i<j pair of a bucket's
@@ -58,15 +71,32 @@ private[functions] abstract class PairCursor(n: Int) extends Iterator[InternalRo
   * Semantics pinned by TextOpsSpec/MinhashKernelSpec differentials:
   * iteration follows array order, so feeding it the same
   * `sort_array(collect_set(...))` the HOF chain consumed yields the
-  * identical row set; the downstream `distinct()` contract is unchanged.
+  * identical row set; with two-field members the downstream `distinct()`
+  * contract is unchanged.
+  *
+  * FIRST-BAND form (three-field members): when each member additionally
+  * carries its band-key PREFIX `kp: array<bigint>` — the member's band
+  * keys for every band BEFORE this bucket's band — a pair is emitted
+  * only if no prefix position collides (`kp_a(t) != kp_b(t)` for all t).
+  * A pair whose keys collide in band set B is expanded in every bucket
+  * of B but emitted exactly at min(B), so the generator's global output
+  * is already the DISTINCT pair set and the downstream
+  * `distinct()` — a full shuffle+sort of the cross-band pair multiset,
+  * the last 2×5.6 GB of the round-12 sf100 spill census — is dropped
+  * entirely. The prefix test uses the same band keys the buckets were
+  * built from, so the emitted set is byte-identical to distinct-of-
+  * multiset (hash-collision buckets included). The prefix is short by
+  * construction (band t carries t keys; mean (bands−1)/2 longs).
+  *
   * NULL or sub-2-element input generates nothing; bucket members that
-  * are null, carry a null id, or carry a null/null-holed signature are
-  * skipped (ArrayData.toLongArray ignores the null bitmap, so reading
-  * them would silently produce garbage — the generators are
-  * SQL-registered and user-callable). Registered as the SQL generator
-  * function `bucket_pairs_verified` via [[graft.GraftExtensions]]; the
-  * ids-only twin `bucket_pairs` ([[BucketIdPairs]]) serves the
-  * unverified candidate path. */
+  * are null, carry a null id, or carry a null/null-holed signature (or
+  * a null/null-holed key prefix in the three-field form) are skipped
+  * (ArrayData.toLongArray ignores the null bitmap, so reading them
+  * would silently produce garbage — the generators are SQL-registered
+  * and user-callable). Registered as the SQL generator function
+  * `bucket_pairs_verified` via [[graft.GraftExtensions]]; the ids-only
+  * twin `bucket_pairs` ([[BucketIdPairs]]) serves the unverified
+  * candidate path. */
 case class VerifiedBucketPairs(left: Expression, right: Expression)
     extends BinaryExpression with Generator with CodegenFallback {
 
@@ -78,9 +108,13 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
     StructField("n_eq", IntegerType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(StructType(Array(
-        StructField(_, LongType, _, _),
-        StructField(_, ArrayType(LongType, _), _, _))), _) =>
+    case ArrayType(StructType(fields), _)
+        if (fields.length == 2 || fields.length == 3) &&
+          fields(0).dataType == LongType &&
+          fields.drop(1).forall(_.dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) =>
       if (!right.foldable || right.dataType != IntegerType)
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires a foldable int min_equal, got ${right.sql}")
@@ -90,32 +124,47 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
             "unbox to 0 and silently disable the verification gate)")
       else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<bigint, array<bigint>>>, got ${t.catalogString}")
+      s"$prettyName requires array<struct<bigint, array<bigint>[, array<bigint>]>>, " +
+        s"got ${t.catalogString}")
   }
 
   @transient private lazy val minEqual: Int =
     right.eval(null).asInstanceOf[Int]
 
+  /** 3 in the first-band form (members carry a band-key prefix). */
+  @transient private lazy val memberArity: Int = left.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType].length
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val ds = left.eval(input).asInstanceOf[ArrayData]
     if (ds == null || ds.numElements() < 2) return Iterator.empty
     val m = ds.numElements()
-    // unpack once (ids + k-long signatures), skipping null members
+    val arity = memberArity
+    // unpack once (ids + k-long signatures + optional key prefixes),
+    // skipping null members
     val ids = new Array[Long](m)
     val sigs = new Array[Array[Long]](m)
+    val kps = if (arity == 3) new Array[Array[Long]](m) else null
     var n = 0
     var i = 0
     while (i < m) {
       if (!ds.isNullAt(i)) {
-        val row = ds.getStruct(i, 2)
-        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val row = ds.getStruct(i, arity)
+        if (!row.isNullAt(0) && !row.isNullAt(1) &&
+            (arity == 2 || !row.isNullAt(2))) {
           val sa = row.getArray(1)
           var hole = false
           var c = 0
           while (c < sa.numElements() && !hole) { hole = sa.isNullAt(c); c += 1 }
+          val ka = if (arity == 3) row.getArray(2) else null
+          if (ka != null) {
+            var c2 = 0
+            while (c2 < ka.numElements() && !hole) { hole = ka.isNullAt(c2); c2 += 1 }
+          }
           if (!hole) {
             ids(n) = row.getLong(0)
             sigs(n) = sa.toLongArray()
+            if (kps != null) kps(n) = ka.toLongArray()
             n += 1
           }
         }
@@ -126,6 +175,7 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
     val gate = minEqual
     new PairCursor(n) {
       protected def emit(i: Int, j: Int): InternalRow = {
+        if (kps != null && PairCursor.prefixCollides(kps(i), kps(j))) return null
         val a = sigs(i); val b = sigs(j)
         val k = math.min(a.length, b.length)
         var eq = 0
@@ -147,7 +197,10 @@ case class VerifiedBucketPairs(left: Expression, right: Expression)
   * set — the unverified candidate path
   * ([[graft.operators.TextOps.minhashCandidatePairs]]). Same rationale,
   * lazy emission, iteration order, and null-member skip contract as
-  * [[VerifiedBucketPairs]]. */
+  * [[VerifiedBucketPairs]] — including its FIRST-BAND form: members
+  * given as `array<struct<i: bigint, kp: array<bigint>>>` carry their
+  * band-key prefix, a pair is emitted only in the first band where its
+  * keys collide, and the cross-band `distinct()` is dropped. */
 case class BucketIdPairs(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
 
@@ -159,25 +212,51 @@ case class BucketIdPairs(child: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, ArrayType(LongType, _), _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+      s"$prettyName requires array<bigint> or " +
+        s"array<struct<bigint, array<bigint>>>, got ${t.catalogString}")
   }
+
+  @transient private lazy val structInput: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType]
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null || arr.numElements() < 2) return Iterator.empty
     val m = arr.numElements()
     val ids = new Array[Long](m)
+    val kps = if (structInput) new Array[Array[Long]](m) else null
     var n = 0
     var i = 0
     while (i < m) {
-      if (!arr.isNullAt(i)) { ids(n) = arr.getLong(i); n += 1 }
+      if (!arr.isNullAt(i)) {
+        if (kps == null) { ids(n) = arr.getLong(i); n += 1 }
+        else {
+          val row = arr.getStruct(i, 2)
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val ka = row.getArray(1)
+            var hole = false
+            var c = 0
+            while (c < ka.numElements() && !hole) { hole = ka.isNullAt(c); c += 1 }
+            if (!hole) {
+              ids(n) = row.getLong(0)
+              kps(n) = ka.toLongArray()
+              n += 1
+            }
+          }
+        }
+      }
       i += 1
     }
     if (n < 2) return Iterator.empty
     new PairCursor(n) {
       protected def emit(i: Int, j: Int): InternalRow =
-        new GenericInternalRow(Array[Any](ids(i), ids(j)))
+        if (kps != null && PairCursor.prefixCollides(kps(i), kps(j))) null
+        else new GenericInternalRow(Array[Any](ids(i), ids(j)))
     }
   }
 

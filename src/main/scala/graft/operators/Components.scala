@@ -67,9 +67,20 @@ object Components {
         s"connectedComponents needs integral node ids; '$c' is ${dt.catalogString} " +
           "(map non-numeric ids through a dictionary first)")
     }
+    // the distinct() is a REUSE BARRIER as much as a dedup (CC is
+    // label-stable under duplicate edges): `e` is referenced five times
+    // below (both node legs + both symmetrize legs + the self-loop
+    // union) before the first localCheckpoint materializes, and column
+    // pruning specializes each reference's subtree so an expensive edge
+    // derivation (e.g. the first-band LSH pair generator, whose bucket
+    // aggregation is sort-fallback) would otherwise run once PER
+    // reference inside the one materializing job. An aggregate keyed on
+    // (u, v) cannot be pruned through, so every reference shares its
+    // exchange; on an edge-list-sized frame the barrier costs nothing.
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
+      .distinct()
     // symmetrize AND add a self-loop per node: with (v,v) present, one
     // edge-join + groupBy-min computes min(own label, neighbor labels) in a
     // single shuffle pair — no label∪neighbor union inside the loop

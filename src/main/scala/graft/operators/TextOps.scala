@@ -100,9 +100,9 @@ object TextOps {
     * cryptographic digest per shingle (the `*_xx` bench variants
     * quantify the md5 tax). The band keys use the matching hash. */
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
-      useXx: Boolean = false): DataFrame =
+      useXx: Boolean = false, keepKeyPrefix: Boolean = false): DataFrame =
     bandTableFromSignatures(minhashSignatures(df, idCol, textCol, useXx), idCol,
-      if (useXx) xxhash64(_) else hash60)
+      if (useXx) xxhash64(_) else hash60, keepKeyPrefix = keepKeyPrefix)
 
   /** The k=16 MinHash signature per document, as (idCol, sig: array<long>)
     * — the reusable middle stage of [[minhashBandTable]], exposed so
@@ -185,17 +185,38 @@ object TextOps {
     * one (id, band, band_key) row per band; `keepSig = true` carries the
     * signature array alongside for in-bucket verification (128 B per
     * (doc, band) shuffle row — the cost of verifying WITHOUT a second
-    * shuffle of the signature table against the candidate pairs). */
+    * shuffle of the signature table against the candidate pairs).
+    *
+    * `keepKeyPrefix = true` additionally carries `kp`: the row's band
+    * keys for every band BEFORE its own (band j ⇒ j keys, mean
+    * (bands−1)/2 longs/row) — what the first-band pair generators
+    * ([[graft.functions.VerifiedBucketPairs]]) need to emit each
+    * cross-band-duplicated pair exactly once, replacing the downstream
+    * pair-multiset `distinct()` with a per-pair prefix compare. */
   def bandTableFromSignatures(sigs: DataFrame, idCol: String,
-      hashFn: Column => Column = hash60, keepSig: Boolean = false): DataFrame = {
+      hashFn: Column => Column = hash60, keepSig: Boolean = false,
+      keepKeyPrefix: Boolean = false): DataFrame = {
     val keys = bandKeys(
       (0 until minhashA.size).map(i => element_at(col("sig"), i + 1)), hashFn)
-    val exploded = sigs.select(col(idCol), col("sig"),
-      explode(array(keys.zipWithIndex.map { case (k, j) =>
-        struct(lit(j).as("band"), k.as("band_key"))
+    // the 4 band-key hashes are computed ONCE per doc in this narrow
+    // codegen'd projection; the explode below only INDEXES the array.
+    // Inlining the key expressions into the explode's generator instead
+    // (the first first-band form) re-embedded every key into every
+    // struct's kp slice — ~20 md5 subtrees per row in one generator
+    // expression, past any common-subexpression elimination — and the
+    // sf100 re-measure caught the 2-3× wall regression it caused.
+    val keyed = sigs.select(col(idCol), col("sig"), array(keys: _*).as("_bk"))
+    val exploded = keyed.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map { j =>
+        val base = Seq(lit(j).as("band"),
+          element_at(col("_bk"), j + 1).as("band_key"))
+        struct((if (keepKeyPrefix) base :+ slice(col("_bk"), 1, j).as("kp")
+          else base): _*)
       }: _*)).as("b"))
     val base = Seq(col(idCol), col("b.band").as("band"), col("b.band_key").as("band_key"))
-    exploded.select((if (keepSig) base :+ col("sig") else base): _*)
+    val withSig = if (keepSig) base :+ col("sig") else base
+    val all = if (keepKeyPrefix) withSig :+ col("b.kp").as("kp") else withSig
+    exploded.select(all: _*)
   }
 
   /** Estimator calibration for the verified near-dup gate: every
@@ -208,8 +229,23 @@ object TextOps {
     * (pair, gram hash); never all-pairs. */
   def pairJaccard(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val k = minhashA.size
+    // the distinct() is a deliberate REUSE BARRIER, not a dedup (the
+    // first-band generator already emits each pair exactly once): this
+    // method consumes the pair frame three times (the output frame +
+    // both member-id semi-join sides), and without a pruning-proof
+    // exchange between the generator and the consumers, column pruning
+    // specializes each consumer's subtree so nothing below is shared —
+    // the sort-fallback bucket aggregation re-ran per consumer and
+    // TRIPLED this row's sf100 spill when round 12 first dropped the
+    // distinct. An aggregate keyed on ALL pair columns cannot be pruned
+    // through, so its exchange canonicalizes identically under every
+    // consumer and the whole derivation runs once; on the near-dup-
+    // rate-sized pair set the barrier itself costs nothing. (A
+    // repartition was tried first and measured NOT to restore reuse —
+    // pruning passes through it.)
     val pairs = verifiedPairsFromSignatures(
       minhashSignatures(df, idCol, textCol), idCol)
+      .distinct()
     // ONLY pair members need exact grams: semi-join the corpus down to
     // the verified-pair doc set BEFORE the per-token explosion. Without
     // this the gram distinct + the two intersection joins each shuffle
@@ -260,21 +296,44 @@ object TextOps {
   def verifiedPairsFromSignatures(sigs: DataFrame, idCol: String,
       hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val buckets = bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true)
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("sig").as("g")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ds")) <= m)))
+    val isLong = sigs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
     // long-keyed tables (the catalog, the dedup index) take the native
-    // generator — one JVM loop per bucket, the gate applied before any
-    // row is built; other key types keep the generic HOF expansion
-    // (TextOpsSpec pins the two equal on long keys)
-    val expanded =
-      if (sigs.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
-        buckets.select(
-          call_function("bucket_pairs_verified", col("ds"), lit(minEqual)))
-      else verifiedPairsHof(buckets, minEqual)
-    expanded.distinct()
+    // generator in its FIRST-BAND form: bucket members carry their
+    // band-key prefix and a pair is emitted only in the first band where
+    // its keys collide, so the generator's output is ALREADY the
+    // distinct pair set — no cross-band pair-multiset `distinct()`,
+    // which was the last spilling exchange of the minhash family at
+    // sf100 (2×5.6 GB, round-12 census). The emitted set is
+    // byte-identical to distinct-of-multiset because the prefix test
+    // uses the same band keys the buckets group on.
+    //
+    // The first-band rule needs EVERY bucket of a pair's collision set
+    // present: under a `maxBucketSize` guard a pair whose first band was
+    // guard-excluded would be lost from its surviving later bands, so
+    // guarded calls keep the emit-everywhere + distinct form. Other key
+    // types keep the generic HOF expansion + distinct (TextOpsSpec pins
+    // the forms equal on long keys).
+    if (isLong && maxBucketSize.isEmpty) {
+      bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true,
+          keepKeyPrefix = true)
+        .groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_set(struct(col(idCol).as("i"),
+          col("sig").as("g"), col("kp")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(call_function("bucket_pairs_verified", col("ds"), lit(minEqual)))
+    } else {
+      val buckets = bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true)
+        .groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("sig").as("g")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ds")) <= m)))
+      val expanded =
+        if (isLong)
+          buckets.select(
+            call_function("bucket_pairs_verified", col("ds"), lit(minEqual)))
+        else verifiedPairsHof(buckets, minEqual)
+      expanded.distinct()
+    }
   }
 
   /** The generic HOF form of [[verifiedPairsFromSignatures]]'s in-bucket
@@ -327,17 +386,30 @@ object TextOps {
     * oracle-pinned catalog semantics. */
   def minhashCandidatePairs(bandTable: DataFrame, idCol: String,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val buckets = bandTable
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ids")) <= m)))
-    // native generator on long keys (see [[verifiedPairsFromSignatures]])
-    val expanded =
-      if (bandTable.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
-        buckets.select(call_function("bucket_pairs", col("ids")))
-      else candidatePairsHof(buckets)
-    expanded.distinct()
+    val isLong = bandTable.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    // a band table carrying the `kp` band-key prefix (see
+    // [[bandTableFromSignatures]]) takes the generator's first-band
+    // form: one emission per pair, no cross-band `distinct()` — same
+    // contract and same guard caveat as [[verifiedPairsFromSignatures]]
+    if (isLong && maxBucketSize.isEmpty && bandTable.columns.contains("kp")) {
+      bandTable
+        .groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("kp")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(call_function("bucket_pairs", col("ds")))
+    } else {
+      val buckets = bandTable
+        .groupBy(col("band"), col("band_key"))
+        .agg(sort_array(collect_set(col(idCol))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .transform(b => maxBucketSize.fold(b)(m => b.filter(size(col("ids")) <= m)))
+      // native generator on long keys (see [[verifiedPairsFromSignatures]])
+      val expanded =
+        if (isLong)
+          buckets.select(call_function("bucket_pairs", col("ids")))
+        else candidatePairsHof(buckets)
+      expanded.distinct()
+    }
   }
 
   /** Generic HOF form of [[minhashCandidatePairs]]'s expansion (and its

@@ -97,10 +97,23 @@ object LlmOps {
     // only hashes with >1 member can produce a drop: that set is sized
     // by the dup rate, so the join back to pairs broadcasts — the second
     // pairs pass never shuffles (first measured form joined the FULL
-    // keeper set: a second 300 MB/decade exchange for nothing)
+    // keeper set: a second 300 MB/decade exchange for nothing).
+    // The round-robin repartition is a deliberate STAGE BOUNDARY
+    // (fourth-decade lesson, sf1000 adaptive-plan audit): without it the
+    // aggregate's output partitioning already satisfies the join, the
+    // join compiles into the SAME stage as the aggregate, and AQE never
+    // gets a materialized-stage size with which to demote the
+    // statically-planned sort-merge — so the corpus-sized pairs side
+    // SORTED (20 GB spill at sf1000). A same-key repartition($"_h") gets
+    // elided as redundant; round-robin has a different distribution, so
+    // the boundary survives, AQE measures the dup-rate-sized frame there,
+    // and the join-back plans broadcast. When the dup rate is
+    // pathological the extra exchange is narrow-row and the join degrades
+    // to the same SMJ it replaced.
     val dupHashes = pairs.groupBy($"_h")
       .agg(min($"doc_id").as("_keep"), count(lit(1)).as("_n"))
       .filter($"_n" > 1).drop("_n")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val drops = pairs.join(dupHashes, "_h")
       .filter($"doc_id" =!= $"_keep").select($"doc_id")
     docs.join(drops, Seq("doc_id"), "left_anti")
@@ -160,7 +173,13 @@ object LlmOps {
     * the crafted near-dup fixture in TextOpsSpec exercises the positive
     * path.) */
   val minhashPairs = Q("minhash_pairs", (s, d) => {
-    TextOps.minhashCandidatePairs(minhashBandsDf(s, d), "doc_id")
+    // the kp band-key prefix routes minhashCandidatePairs through the
+    // generator's first-band form — one emission per pair, no cross-band
+    // pair distinct (the oracle's DISTINCT is the same set by the
+    // first-band rule: each pair emits exactly at its first colliding band)
+    TextOps.minhashCandidatePairs(
+      TextOps.minhashBandTable(Tables.documents(s, d), "doc_id", "text",
+        keepKeyPrefix = true), "doc_id")
   }, Some(s"""
     $bandsSqlCte
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

@@ -102,6 +102,86 @@ class BucketPairsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getString(0) == "a")
   }
 
+  test("first-band rule: a pair colliding in several bands emits exactly once, at its first") {
+    // synthetic 16-long signatures: docs 1 and 2 agree on components
+    // 4..11 — bands 1 and 2 collide — and differ in bands 0 and 3.
+    // Emit-everywhere would produce the pair twice (then need distinct);
+    // the first-band form must emit it exactly once, from band 1
+    // (band 2's bucket sees the pair's band-1 keys equal and suppresses).
+    val sigs = Seq(
+      (1L, (0 until 16).map(i => if (i >= 4 && i < 12) i.toLong else 100L + i)),
+      (2L, (0 until 16).map(i => if (i >= 4 && i < 12) i.toLong else 200L + i)))
+      .toDF("doc_id", "sig")
+    val rows = TextOps.verifiedPairsFromSignatures(sigs, "doc_id", minEqual = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 8)),
+      s"expected exactly one emission of the cross-band pair, got ${rows.toSeq}")
+  }
+
+  test("first-band output is globally duplicate-free and set-equal to the distinct twin") {
+    // the rich fixture from TextOpsSpec's differential: 60 random bases +
+    // tweaked clones — 0-tweak clones collide in ALL 4 bands, so the old
+    // path's pre-distinct multiset is strictly larger than the pair set
+    // and any first-band mistake shows as either a duplicate row
+    // (count != distinct count) or a set mismatch vs the twin
+    val rnd = new scala.util.Random(23)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val bases = (1 to 60).map { i =>
+      i.toLong -> Seq.fill(20 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+    }
+    val docs = (bases ++ bases.map { case (i, ws) =>
+      val tweaked = (0 until rnd.nextInt(4)).foldLeft(ws) { (acc, _) =>
+        acc.updated(rnd.nextInt(acc.size), words(rnd.nextInt(words.size)))
+      }
+      (i + 60L) -> tweaked
+    }).map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(docs, "doc_id", "text")
+
+    // verified path: first-band vs HOF + distinct
+    val firstBand = TextOps.verifiedPairsFromSignatures(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(firstBand.length == firstBand.toSet.size,
+      "first-band verified output contains duplicate pair rows")
+    val twinBuckets = TextOps.bandTableFromSignatures(sigs, "doc_id", keepSig = true)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(struct(col("doc_id").as("i"), col("sig").as("g")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val twin = TextOps.verifiedPairsHof(twinBuckets, TextOps.verifyMinEqual)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(firstBand.toSet == twin)
+
+    // candidate path: kp band table (first-band) vs plain band table + distinct
+    val fbCand = TextOps.minhashCandidatePairs(
+      TextOps.bandTableFromSignatures(sigs, "doc_id", keepKeyPrefix = true), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fbCand.length == fbCand.toSet.size,
+      "first-band candidate output contains duplicate pair rows")
+    val legacyCand = TextOps.minhashCandidatePairs(
+      TextOps.bandTableFromSignatures(sigs, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fbCand.toSet == legacyCand)
+    assert(fbCand.nonEmpty)
+  }
+
+  test("struct-form bucket_pairs skips members with null/holed key prefixes") {
+    val got = spark.sql("""
+      SELECT bucket_pairs(array(
+        named_struct('i', 1L, 'kp', array(10L)),
+        CAST(NULL AS STRUCT<i: BIGINT, kp: ARRAY<BIGINT>>),
+        named_struct('i', CAST(NULL AS BIGINT), 'kp', array(11L)),
+        named_struct('i', 3L, 'kp', CAST(NULL AS ARRAY<BIGINT>)),
+        named_struct('i', 4L, 'kp', array(CAST(NULL AS BIGINT))),
+        named_struct('i', 2L, 'kp', array(20L))))""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // an earlier-band key match suppresses the pair entirely
+    val sup = spark.sql("""
+      SELECT bucket_pairs(array(
+        named_struct('i', 1L, 'kp', array(10L, 30L)),
+        named_struct('i', 2L, 'kp', array(20L, 30L))))""").count()
+    assert(sup == 0L)
+  }
+
   test("lazy emission: eval streams pairs through an iterator cursor, no pair buffer (ADVICE r11)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._

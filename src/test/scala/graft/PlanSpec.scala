@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
       "bucket-group pairing shape lost")
   }
 
+  test("minhash pair queries: first-band emission leaves ONE exchange (no pair distinct)") {
+    // the generator's first-band form makes pairs globally unique at
+    // generation, so the only exchange left is the (band, band_key)
+    // bucket group-by — the old pair-multiset distinct was a second
+    // full shuffle of every emitted pair (2×5.6 GB of sf100 spill,
+    // round-12 census)
+    Seq("minhash_pairs", "minhash_pairs_verified").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$q: expected exactly the bucket-group exchange, found $exchanges")
+    }
+  }
+
   test("train_split is a pure narrow map; pivot has one exchange, no domain scan") {
     val split = plan("train_split")
     assert(!split.contains("Exchange"), "train_split gained a shuffle")
@@ -180,11 +194,21 @@ class PlanSpec extends SparkSpec {
     // set (4.4 GB spill at sf100); the drop-set form's anti join must
     // resolve to an AQE broadcast — the bodies never shuffle or sort
     val frame = df("dedup_hash")
-    frame.count() // finalize the adaptive plan
+    // drive THIS plan's own RDD — frame.count() would compile a separate
+    // count plan and leave frame's AdaptiveSparkPlan unexecuted
+    frame.queryExecution.executedPlan.execute().count()
     val p = frame.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"dedup_hash's drop-set anti join did not become a broadcast:\n$p")
+    // the round-robin repartition after the count>1 filter is the stage
+    // boundary that lets AQE MEASURE the dup-rate-sized frame before the
+    // join-back is planned (without it the join compiles into the
+    // aggregate's stage and sort-merges the corpus-sized pair side —
+    // 20 GB of sort spill at sf1000); a same-key repartition is elided,
+    // so its survival in the executed plan is the claim
+    assert(p.contains("RoundRobinPartitioning"),
+      s"dedup_hash's post-filter stage boundary disappeared:\n$p")
     // differential vs the keeper-side semi form it replaced
     val docs = graft.sources.Tables.documents(spark, d)
     val semi = docs.join(
