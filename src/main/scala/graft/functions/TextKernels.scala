@@ -19,28 +19,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * every token OCCURRENCE hashes once (portable md5 [[graft.queries.hash60]],
   * or xxhash64 seed 42 for the `_xx` variant); bit j of the result is set
   * iff Σ over tokens of (±1 by token-hash bit j) is strictly positive,
-  * j ∈ [0, 32). A null token array yields NULL (the exploded form DROPS
-  * null docs at the explode — callers that need row parity filter nulls,
-  * as `TextOps.simhashTable` does).
+  * j ∈ [0, width). Default width 32 (the catalog's `simhash` row); the
+  * Hamming near-dup search (`hamming_neardup`) uses width 60 — every bit
+  * the md5-derived hash60 carries — because a 32-bit fingerprint's
+  * random-collision Hamming distances are statistically indistinguishable
+  * from near-dup distances at corpus scale (measured: PERF.md round-12,
+  * 12.7 G emitted pairs at 50 M docs). A null token array yields NULL
+  * (the exploded form DROPS null docs at the explode — callers that need
+  * row parity filter nulls, as `TextOps.simhashTable` does).
   */
-case class SimhashSig(child: Expression, useXx: Boolean)
+case class SimhashSig(child: Expression, useXx: Boolean, width: Int = 32)
     extends UnaryExpression {
 
   override def prettyName: String = if (useXx) "simhash_sig_xx" else "simhash_sig"
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      if (width < 1 || width > 60) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName width must be in [1, 60] (hash60 carries 60 bits), got $width")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string>, got ${t.catalogString}")
   }
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.simhash(input.asInstanceOf[ArrayData], useXx)
+    TextKernels.simhash(input.asInstanceOf[ArrayData], useXx, width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextKernels.simhash($a, $useXx);")
+      s"${ev.value} = graft.functions.TextKernels.simhash($a, $useXx, $width);")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashSig =
     copy(child = newChild)
@@ -96,22 +104,31 @@ case class RollingFp(child: Expression) extends UnaryExpression {
 }
 
 object SimhashSig {
+  /** Optional 2nd arg is the bit width, a non-null int literal (the
+    * width shapes generated code, so it must be known at plan time). */
+  private def widthOf(children: Seq[Expression], name: String): Int =
+    children.lift(1).map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, IntegerType) => w
+      case other => throw new IllegalArgumentException(
+        s"$name width must be an int literal, got ${other.sql}")
+    }.getOrElse(32)
+
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash_sig"),
     new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"simhash_sig expects 1 argument, got ${children.size}")
-      SimhashSig(children.head, useXx = false)
+      require(children.size == 1 || children.size == 2,
+        s"simhash_sig expects 1-2 arguments, got ${children.size}")
+      SimhashSig(children.head, useXx = false, widthOf(children, "simhash_sig"))
     })
 
   val descriptorXx: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash_sig_xx"),
     new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig_xx"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"simhash_sig_xx expects 1 argument, got ${children.size}")
-      SimhashSig(children.head, useXx = true)
+      require(children.size == 1 || children.size == 2,
+        s"simhash_sig_xx expects 1-2 arguments, got ${children.size}")
+      SimhashSig(children.head, useXx = true, widthOf(children, "simhash_sig_xx"))
     })
 }
 
@@ -137,10 +154,10 @@ object TextKernels {
     if (useXx) XXH64.hashUTF8String(t, 42L)
     else MinhashKernel.md5Hash60(t)
 
-  /** 32-bit SimHash of one document's tokens; every occurrence votes. */
-  def simhash(toks: ArrayData, useXx: Boolean): Long = {
+  /** width-bit SimHash of one document's tokens; every occurrence votes. */
+  def simhash(toks: ArrayData, useXx: Boolean, width: Int): Long = {
     val n = toks.numElements()
-    val balance = new Array[Int](32)
+    val balance = new Array[Int](width)
     var i = 0
     while (i < n) {
       // explode drops nothing within a doc: null elements hash to null in
@@ -148,7 +165,7 @@ object TextKernels {
       if (!toks.isNullAt(i)) {
         val h = hashToken(toks.getUTF8String(i), useXx)
         var j = 0
-        while (j < 32) {
+        while (j < width) {
           balance(j) += (((h >> j) & 1L).toInt * 2 - 1)
           j += 1
         }
@@ -157,7 +174,7 @@ object TextKernels {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < width) {
       if (balance(j) > 0) out |= (1L << j)
       j += 1
     }

@@ -434,11 +434,14 @@ object TextOps {
     * `text IS NOT NULL` is the same predicate without evaluating the
     * split twice per row (ADVICE r11). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-      useXx: Boolean = false): DataFrame =
+      useXx: Boolean = false, width: Int = 32): DataFrame = {
+    val fn = if (useXx) "simhash_sig_xx" else "simhash_sig"
+    val sig =
+      if (width == 32) call_function(fn, tokens(col(textCol)))
+      else call_function(fn, tokens(col(textCol)), lit(width))
     df.where(col(textCol).isNotNull)
-      .select(col(idCol),
-        call_function(if (useXx) "simhash_sig_xx" else "simhash_sig",
-          tokens(col(textCol))).as("simhash"))
+      .select(col(idCol), sig.as("simhash"))
+  }
 
   /** The relational twin of [[simhashTable]]: explode tokens → hash once
     * → 32 codegen'd bit-balance sums per doc → recombine bits. Retained
@@ -446,16 +449,16 @@ object TextOps {
     * MERGES duplicate ids (groupBy) where the kernel form is row-per-row
     * — identical on the catalog's unique-keyed tables. */
   def simhashTableExploded(df: DataFrame, idCol: String, textCol: String,
-      hashFn: Column => Column = hash60): DataFrame = {
+      hashFn: Column => Column = hash60, width: Int = 32): DataFrame = {
     val hashed = df
       .select(col(idCol).as("_sh_id"), explode(tokens(col(textCol))).as("w"))
       .select(col("_sh_id"), hashFn(col("w")).as("h"))
-    val bitAggs = (0 until 32).map { j =>
+    val bitAggs = (0 until width).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
     }
     hashed.groupBy(col("_sh_id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("_sh_id").as(idCol),
-        (0 until 32).map(j =>
+        (0 until width).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
   }
