@@ -8,15 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Pure-JVM image HEADER decode — the real bytes behind the multimodal
-  * seam (VERDICT r11 missing #3): container format + pixel dimensions
-  * parsed from the file's own byte layout, no codec library involved.
-  * Pixel/frame decode stays behind the declared
-  * [[graft.operators.Multimodal]] stub (this environment ships no
-  * codecs), but format sniffing and dimension extraction are metadata
-  * reads every real pipeline does BEFORE deciding to decode — size
-  * filters, aspect filters, format routing — and they only need the
-  * first few dozen bytes.
+/** Pure-JVM image HEADER decode — container format + pixel dimensions
+  * parsed from the file's own byte layout, no codec involved. Full PIXEL
+  * decode lives in [[graft.operators.Multimodal.decodePixels]] (stock JDK
+  * `javax.imageio`); this header path exists because format sniffing and
+  * dimension extraction are metadata reads every real pipeline does
+  * BEFORE deciding to decode — size filters, aspect filters, format
+  * routing — and they only need the first few dozen bytes, never the
+  * codec.
   *
   * Formats (public byte-layout specs):
   *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR

@@ -157,5 +157,55 @@ object Media {
     FROM documents ORDER BY doc_id"""),
     sortCols = Seq("doc_id"))
 
-  val all: Seq[Q] = Seq(multimodalMeta, frameSample, mediaKnn, mediaDecode)
+  /** REAL pixel decode through the stock JDK codec (`javax.imageio`),
+    * oracle-gated end-to-end: the plan SYNTHESIZES complete real PNGs
+    * per doc — pixels follow [[Multimodal.ruleRgb]], a closed-form rule
+    * linear in (doc_id, x, y) mod 256 — plus a truncated-PNG variant
+    * (doc_id % 8 == 7) and a garbage-bytes variant (doc_id % 8 == 3).
+    * [[Multimodal.decodePixels]] then runs `ImageIO.read` and emits
+    * decoded width/height + exact per-channel means (integer pixel sums,
+    * one double division). The DuckDB oracle recomputes the means from
+    * the pixel RULE alone (it never sees PNG bytes), so a hash-green row
+    * means encode → real PNG → codec decode round-tripped every pixel
+    * bit-exactly (PNG is lossless), and the two failure variants landed
+    * as the `err` sentinel (`truncated` / `unsupported_format`) exactly
+    * as [[graft.functions.ImageHeader]] models — rows, not exceptions. */
+  val mediaPixels = Q("media_pixels", (s, d) => {
+    import s.implicits._
+    val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+      .mapPartitions(_.map(Multimodal.synthAsset))
+    Multimodal.decodePixels(assets)
+      .select($"id".as("doc_id"), $"width", $"height",
+        $"rMean".as("r_mean"), $"gMean".as("g_mean"), $"bMean".as("b_mean"),
+        $"err")
+  }, Some("""
+    WITH px AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+             CAST(doc_id % 13 + 1 AS INTEGER) AS h
+      FROM documents),
+    sums AS (
+      SELECT p.doc_id, p.w, p.h,
+        SUM((p.doc_id + 3 * x.i + 7 * y.i) % 256) AS rs,
+        SUM((2 * p.doc_id + 5 * x.i + y.i) % 256) AS gs,
+        SUM((p.doc_id + x.i + 11 * y.i) % 256) AS bs
+      FROM px p, range(0, 16) x(i), range(0, 13) y(i)
+      WHERE x.i < p.w AND y.i < p.h
+      GROUP BY 1, 2, 3)
+    SELECT doc_id,
+      CASE WHEN doc_id % 8 IN (3, 7) THEN NULL ELSE w END AS width,
+      CASE WHEN doc_id % 8 IN (3, 7) THEN NULL ELSE h END AS height,
+      CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+           ELSE CAST(rs AS DOUBLE) / (w * h) END AS r_mean,
+      CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+           ELSE CAST(gs AS DOUBLE) / (w * h) END AS g_mean,
+      CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+           ELSE CAST(bs AS DOUBLE) / (w * h) END AS b_mean,
+      CASE WHEN doc_id % 8 = 7 THEN 'truncated'
+           WHEN doc_id % 8 = 3 THEN 'unsupported_format' ELSE NULL END AS err
+    FROM sums ORDER BY doc_id"""),
+    sortCols = Seq("doc_id"))
+
+  val all: Seq[Q] = Seq(multimodalMeta, frameSample, mediaKnn, mediaDecode,
+    mediaPixels)
 }

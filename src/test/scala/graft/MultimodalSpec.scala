@@ -3,24 +3,68 @@ package graft
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{Asset, AssetMeta}
 
-/** Multimodal plumbing: typed decode stub, thumbnail math, frame slicing. */
+/** Multimodal plumbing: REAL pixel decode (stock JDK codec), thumbnail
+  * math, frame slicing, header sniffing. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private val assets = Seq(
-    Asset(1L, "0123456789abcdef".getBytes("UTF-8"), AssetMeta("png", 1920, 1080, 0L)),
-    Asset(2L, "xyz".getBytes("UTF-8"), AssetMeta("wav", 0, 0, 1500L)),
-    Asset(3L, Array.empty[Byte], AssetMeta("mp4", 640, 480, 2000L)))
+  // ---- real pixel decode (javax.imageio) --------------------------------
 
-  test("decodeStub: typed mapPartitions pipeline with deterministic features") {
-    val out = Multimodal.decodeStub(assets.toDS(), thumbMax = 64)
+  test("decodePixels: real PNG round-trips bit-exactly through the JDK codec") {
+    val ids = Seq(0L, 1L, 2L, 4L, 42L, 100L) // none hit the %8 failure variants
+    val out = Multimodal.decodePixels(ids.map(Multimodal.synthAsset).toDS())
       .collect().map(f => f.id -> f).toMap
-    assert(out(1L).nBytes == 16 && out(1L).format == "png")
-    assert(out(1L).thumbW == 64 && out(1L).thumbH == 36)   // 1920×1080 → 64×36
-    assert(out(2L).nBytes == 3 && out(3L).nBytes == 0)
-    // fingerprint is deterministic across runs
-    val again = Multimodal.decodeStub(assets.toDS()).collect().map(f => f.id -> f.byteFingerprint).toMap
-    assert(out.map { case (k, v) => k -> v.byteFingerprint } == again)
+    ids.foreach { id =>
+      val (w, h) = Multimodal.ruleDims(id)
+      val f = out(id)
+      assert(f.err.isEmpty && f.width.contains(w) && f.height.contains(h))
+      // recompute exact channel sums from the pixel rule — independent of
+      // the codec path entirely
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.ruleRgb(id, x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+      }
+      val n = w.toLong * h
+      assert(f.rMean.contains(rs.toDouble / n), s"r mean for id=$id")
+      assert(f.gMean.contains(gs.toDouble / n), s"g mean for id=$id")
+      assert(f.bMean.contains(bs.toDouble / n), s"b mean for id=$id")
+    }
+  }
+
+  test("decodePixels: corrupt / truncated / empty bytes land as err sentinel rows") {
+    import graft.functions.ImageHeader
+    val png = Multimodal.encodePng(6, 4, (x, y) => Multimodal.ruleRgb(9L, x, y))
+    val cases = Seq(
+      Asset(1L, "BAD!not an image at all".getBytes("US-ASCII"), AssetMeta("?", 0, 0, 0L)),
+      Asset(2L, java.util.Arrays.copyOf(png, 25), AssetMeta("png", 6, 4, 0L)),   // header cut short
+      Asset(3L, java.util.Arrays.copyOf(png, png.length / 2), AssetMeta("png", 6, 4, 0L)), // mid-IDAT
+      Asset(4L, Array.empty[Byte], AssetMeta("mp4", 0, 0, 0L)),
+      Asset(5L, null, AssetMeta("mp4", 0, 0, 0L)),
+      Asset(6L, png, AssetMeta("png", 6, 4, 0L))) // control: decodes fine
+    val out = Multimodal.decodePixels(cases.toDS()).collect().map(f => f.id -> f).toMap
+    assert(out(1L).err.contains(ImageHeader.Unsupported))
+    assert(out(2L).err.contains(ImageHeader.Truncated))
+    assert(out(3L).err.contains(ImageHeader.Truncated))
+    assert(out(4L).err.contains(ImageHeader.Truncated))
+    assert(out(5L).err.contains(ImageHeader.Truncated))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id).width.isEmpty && out(id).rMean.isEmpty && out(id).thumb.isEmpty)
+    }
+    assert(out(6L).err.isEmpty && out(6L).width.contains(6) && out(6L).height.contains(4))
+  }
+
+  test("thumbGray: 2x2 box-downsample means computed from decoded pixels") {
+    // 4x4 image, four uniform quadrants with known grays
+    val quadGray = Array(Array(30, 60), Array(90, 120)) // [cy][cx]
+    val png = Multimodal.encodePng(4, 4, (x, y) => {
+      val g = quadGray(y / 2)(x / 2)
+      (g << 16) | (g << 8) | g
+    })
+    val out = Multimodal.decodePixels(Seq(
+      Asset(7L, png, AssetMeta("png", 4, 4, 0L))).toDS(), thumbGrid = 2)
+      .collect().head
+    assert(out.thumb.contains(Seq(30.0, 60.0, 90.0, 120.0)))
   }
 
   test("thumbDims preserves aspect, never upsizes, never hits zero") {
