@@ -54,6 +54,32 @@ object PlanMetrics {
     read(qe.executedPlan)
   }
 
+  /** Files and bytes actually OPENED by the plan's file scans (summed
+    * `numFiles`/`filesSize` scan metrics) — the partition-pruning
+    * evidence: a pruned probe shows a fraction of the layout's totals
+    * here, a full scan shows all of them (round-14 Bloom A/B). */
+  final case class ScanStats(files: Long, bytes: Long) {
+    def +(o: ScanStats): ScanStats = ScanStats(files + o.files, bytes + o.bytes)
+  }
+
+  /** [[measure]] that also reads scan-level file stats from the same
+    * executed plan. */
+  def measureWithScans(df: DataFrame): (Bytes, ScanStats) = {
+    val qe = df.queryExecution
+    qe.sparkSession.sparkContext.runJob(
+      qe.toRdd, (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        { while (it.hasNext) it.next(); () })
+    (read(qe.executedPlan), scans(qe.executedPlan))
+  }
+
+  /** Sum file-scan metrics across an EXECUTED plan tree. */
+  def scans(plan: SparkPlan): ScanStats =
+    allNodes(plan).map { n =>
+      def m(key: String): Long =
+        n.metrics.get(key).map(_.value).filter(_ > 0).getOrElse(0L)
+      ScanStats(m("numFiles"), m("filesSize"))
+    }.foldLeft(ScanStats(0, 0))(_ + _)
+
   /** Sum shuffle-write and spill SQL metrics across an EXECUTED plan
     * tree, descending through AQE wrappers and materialized query
     * stages. `ReusedExchangeExec` is a pointer to an exchange reached

@@ -586,6 +586,30 @@ object LlmOps {
   }, Some(incrementalDedupSql),
     sortCols = Seq("doc_id"))
 
+  /** [[incrementalDedup]] through the Bloom-DIRECTED partition-pruned
+    * exact gate ([[graft.sources.DedupIndex.dedupBatchBloomPruned]]):
+    * the corpus hash set lives hive-partitioned on `hb = xxhash64(h) mod
+    * 256`, the Bloom sidecar's surviving "maybe" rows name the only
+    * partitions the probe opens, and provably-new rows never touch
+    * corpus storage at all. SAME oracle SQL as `incremental_dedup` — the
+    * layout and the filter route I/O, they never decide rows. At this
+    * fixture's regime (batch ≫ corpus) the pruning cannot bite — the
+    * row pins CORRECTNESS of the pruned path; the ECONOMICS are measured
+    * where they exist, corpus ≫ batch at sf1000 (PERF.md round-14 A/B,
+    * `graft.BloomAB`). */
+  val incrementalDedupPruned = Q("incremental_dedup_pruned", (s, d) => {
+    import s.implicits._
+    val batchDocs = Tables.documents(s, d).filter($"doc_id" >= CorpusBoundaryId)
+      .select($"doc_id", $"source", $"text")
+    graft.sources.DedupIndex.dedupBatchBloomPruned(batchDocs,
+        graft.sources.DedupIndex.corpusHashesPruned(s, d, CorpusBoundaryId),
+        graft.sources.DedupIndex.corpusBands(s, d, CorpusBoundaryId),
+        graft.sources.DedupIndex.corpusBloom(s, d, CorpusBoundaryId),
+        bloomBuckets = graft.sources.DedupIndex.BloomBuckets)
+      .select($"doc_id", $"source")
+  }, Some(incrementalDedupSql),
+    sortCols = Seq("doc_id"))
+
   /** Per-source document-length profile (corpus QA): exact quantiles +
     * max of n_chars per source. Exact `percentile` buffers a per-group
     * value multiset — fine for a bounded source dimension; the 100 TB
@@ -1917,7 +1941,7 @@ object LlmOps {
     docDedup, dedupHash, minhashBands, minhashPairs, minhashPairsVerified, pairJaccard,
     dupClusters, corpusDedup,
     trainSplit, perSourceCap, tokenBudget, lenQuantiles, incrementalDedup,
-    incrementalDedupBloom,
+    incrementalDedupBloom, incrementalDedupPruned,
     corpusDedupProbe, clusterSizes, chunkDocs, packSequences, hybridSearch,
     lenQuantilesApprox, minhashBandsXx, simhashXx,
     ngramJaccard, simhash, simhashNeardup, docFingerprint, textStats,

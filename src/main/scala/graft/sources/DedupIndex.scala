@@ -393,6 +393,97 @@ object DedupIndex {
       Seq(idCol), "left_anti").drop("_h", "_maybe")
   }
 
+  /** Hive-partition count of the PRUNED corpus-hash layout
+    * ([[corpusHashesPruned]]). Build and probe derive the partition key
+    * from this value, so it is embedded in the artifact stamp — a
+    * mismatched probe would silently miss matches (false "new"), the
+    * one failure mode the gate must never have. Production sizes this
+    * to corpus/target-file-size (thousands at 100 TB); the constant
+    * keeps the test-SF artifact's directory count sane. */
+  val PrunedParts = 256
+
+  /** The corpus hash set laid out for PARTITION-PRUNED point probes:
+    * hive-partitioned on `hb = xxhash64(h) mod parts`, one file per
+    * partition. This is the layout where the Bloom sidecar finally has
+    * something to prune: the gate's surviving "maybe" rows name the only
+    * `hb` partitions a probe must read, and every other corpus partition
+    * is never opened — point-lookup economics against an index that
+    * dwarfs memory, vs the bucketed-SMJ layout ([[corpusHashes]]) whose
+    * probe always scans the full corpus side regardless of batch size. */
+  def corpusHashesPruned(s: SparkSession, d: String, boundary: Long,
+      parts: Int = PrunedParts): DataFrame = {
+    val stamp = BuildOnce.stampOf(s"$d/documents.parquet",
+      s"${algoToken(boundary)}|pruned-v1|parts=$parts")
+    val base = BuildOnce.dir("graft_pruned", stamp,
+      b => ArtifactStore.exists(s"$b/hashes/_SUCCESS")) { tmp =>
+      Tables.documents(s, d).filter(col("doc_id") < boundary)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+        .withColumn("hb", pmod(xxhash64(col("h")), lit(parts.toLong)).cast("int"))
+        .repartition(col("hb")) // one writer task per partition dir
+        .write.partitionBy("hb").parquet(s"$tmp/hashes")
+    }
+    s.read.parquet(s"$base/hashes")
+  }
+
+  /** The exact gate with Bloom-DIRECTED partition pruning — the regime
+    * where the sidecar earns its bytes. [[dedupBatchBloom]] can only
+    * trim the BATCH side of the anti-join, but the probe's dominant cost
+    * is reading the corpus side, which it pays in full either way (and
+    * when the corpus is small enough to broadcast, the plain gate is
+    * already partition-local, so the filter is pure overhead — the
+    * measured three-decade loss). Here the filter's output drives the
+    * CORPUS read instead: the distinct `hb` partitions of the maybe rows
+    * — a bounded driver action, ≤ `parts` ints, same class as
+    * [[HashBloom.widthOf]] — become a partition filter on the pruned
+    * layout, so a small batch against a huge corpus opens only the
+    * handful of partitions its maybe rows can possibly match. Rows the
+    * filter rejects never touch storage at all (no false negatives).
+    * Output is identical to [[dedupBatch]] — `incremental_dedup_pruned`
+    * shares `incremental_dedup`'s oracle SQL verbatim.
+    *
+    * Degradation is graceful and honest: a batch large enough to hit
+    * every partition reads the whole corpus again (the filter prunes
+    * nothing — the catalog regime), and the crossover is measured, not
+    * asserted (PERF.md round-14 A/B at sf1000). */
+  def dedupBatchBloomPruned(batch: DataFrame, corpusHashesPruned: DataFrame,
+      corpusBands: DataFrame, bloom: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minEq: Int = TextOps.verifyMinEqual,
+      bloomBuckets: Int = -1, parts: Int = PrunedParts): DataFrame = {
+    val keep = exactNewPruned(batch.withColumn("_h", sha2(col(textCol), 256)),
+      corpusHashesPruned, bloom, bloomBuckets, parts)
+    keep.join(nearDupIds(batch, corpusBands, idCol, textCol, minEq),
+      Seq(idCol), "left_anti").drop("_h", "_maybe")
+  }
+
+  /** The exact-gate core of [[dedupBatchBloomPruned]], exposed so the
+    * scale A/B ([[graft.BloomAB]]) can time it in isolation (the near-dup
+    * gate is identical across all exact-gate forms and would wash out
+    * the comparison). `hashed` must carry `_h`. */
+  def exactNewPruned(hashed: DataFrame, corpusHashesPruned: DataFrame,
+      bloom: DataFrame, bloomBuckets: Int = -1,
+      parts: Int = PrunedParts): DataFrame = {
+    val b = if (bloomBuckets > 0) bloomBuckets else HashBloom.bucketsOf(bloom)
+    val probed = HashBloom.withMaybe(hashed, bloom, "_h", b)
+    val definiteNew = probed.filter(!col("_maybe"))
+    val maybe = probed.filter(col("_maybe"))
+      .withColumn("_hb", pmod(xxhash64(col("_h")), lit(parts.toLong)).cast("int"))
+    // the bounded driver action that buys the pruning: distinct partition
+    // keys of the maybe rows (≤ parts ints). The batch subtree runs once
+    // here and once in the plan — deliberate, same trade as
+    // [[dedupBatchBloom]]'s two branches, and the batch is the small side
+    // by contract in this regime.
+    val hitParts = maybe.select(col("_hb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val checkedNew =
+      if (hitParts.isEmpty) maybe.drop("_hb") // nothing can match: all new
+      else {
+        val pruned = corpusHashesPruned.filter(col("hb").isin(hitParts: _*))
+        maybe.join(pruned, maybe("_h") === pruned("h"), "left_anti").drop("_hb")
+      }
+    definiteNew.unionByName(checkedNew)
+  }
+
   /** [[dedupBatch]] against a registered [[Index]]. */
   def dedupBatch(s: SparkSession, idx: Index, batch: DataFrame): DataFrame =
     dedupBatch(batch, s.table(idx.hashes), s.table(idx.bands))

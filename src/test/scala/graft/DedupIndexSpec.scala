@@ -400,4 +400,83 @@ class DedupIndexSpec extends SparkSpec {
       .filter(!col("_maybe")).isEmpty,
       "lockstep-maintained filter must have no false negatives")
   }
+
+  test("pruned exact gate: equals the plain gate; the probe opens only maybe partitions") {
+    import graft.sources.HashBloom
+    import org.apache.spark.sql.functions._
+    val parts = 64
+    // corpus layout: 3000 content hashes hive-partitioned on hb
+    val corpusTexts = (0 until 3000).map(i => s"landed corpus document body $i")
+    val corpusH = corpusTexts.toDF("text").select(sha2($"text", 256).as("h"))
+    val dir = Files.createTempDirectory("graft_pruned_spec").toString
+    corpusH.withColumn("hb", pmod(xxhash64($"h"), lit(parts.toLong)).cast("int"))
+      .repartition(col("hb")).write.partitionBy("hb").parquet(s"$dir/hashes")
+    val layout = spark.read.parquet(s"$dir/hashes")
+    val totalFiles = layout.inputFiles.length
+    val bloom = HashBloom.build(corpusH, "h", DedupIndex.BloomBuckets)
+
+    // batch: 5 redelivered duplicates + 40 fresh docs
+    val batch = ((0 until 5).map(i => (1000L + i, s"landed corpus document body $i")) ++
+      (0 until 40).map(i => (2000L + i, s"entirely fresh submission $i")))
+      .toDF("doc_id", "text")
+    val hashed = batch.withColumn("_h", sha2($"text", 256))
+    val keptDf = DedupIndex.exactNewPruned(hashed, layout, bloom,
+      DedupIndex.BloomBuckets, parts)
+
+    // identity vs the plain anti-join
+    val plain = hashed.join(corpusH, hashed("_h") === corpusH("h"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val (_, scans) = graft.plans.PlanMetrics.measureWithScans(keptDf)
+    val kept = keptDf.select("doc_id").as[Long].collect().toSet
+    assert(kept == plain, s"onlyPruned=${kept -- plain} onlyPlain=${plain -- kept}")
+    assert((1000L until 1005L).forall(!kept.contains(_)), "dups must drop")
+    assert((2000L until 2040L).forall(kept.contains), "fresh docs must survive")
+
+    // the pruning evidence: maybe rows (5 dups + ~1% fp of 40) can hit at
+    // most a handful of the 64 partitions — the probe must have OPENED
+    // only those, not the whole layout
+    assert(scans.files < totalFiles / 2,
+      s"probe opened ${scans.files} of $totalFiles layout files — no pruning happened")
+
+    // empty-maybe edge: an all-fresh batch whose rows all probe false
+    // skips the corpus entirely (hitParts empty → no isin, no join)
+    val allFresh = (0 until 10).map(i => (3000L + i, s"never seen text $i"))
+      .toDF("doc_id", "text").withColumn("_h", sha2($"text", 256))
+    val freshMaybe = HashBloom.withMaybe(allFresh, bloom, "_h",
+      DedupIndex.BloomBuckets).filter(col("_maybe")).count()
+    val freshKept = DedupIndex.exactNewPruned(allFresh, layout, bloom,
+      DedupIndex.BloomBuckets, parts).select("doc_id").as[Long].collect().toSet
+    assert(freshKept == (3000L until 3010L).toSet,
+      s"all-fresh batch must pass whole (maybe=$freshMaybe)")
+  }
+
+  test("dedupBatchBloomPruned: full gate (exact + near-dup) equals dedupBatch") {
+    import graft.sources.HashBloom
+    import org.apache.spark.sql.functions._
+    val corpus = (0 until 40).map(i => (i.toLong,
+      s"corpus document number $i with enough words to shingle " +
+        "reliably across the minhash window")).toDF("doc_id", "text")
+    val batch = ((0 until 10).map(i => (100L + i,
+      s"corpus document number $i with enough words to shingle " +
+        "reliably across the minhash window")) ++
+      (0 until 10).map(i => (300L + i,
+        s"wholly fresh batch document $i sharing no phrasing at all " +
+          "with anything the corpus has ever landed"))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_idx_pruned").toString + "/idx"
+    val idx = DedupIndex.create(spark, corpus, dir, buckets = 4)
+    val cH = spark.table(idx.hashes)
+    val cB = spark.table(idx.bands)
+    val parts = 16
+    cH.withColumn("hb", pmod(xxhash64(col("h")), lit(parts.toLong)).cast("int"))
+      .repartition(col("hb")).write.partitionBy("hb").parquet(s"$dir/pruned")
+    val layout = spark.read.parquet(s"$dir/pruned")
+    val cBloom = HashBloom.build(cH, "h", DedupIndex.BloomBuckets)
+    val viaPruned = DedupIndex.dedupBatchBloomPruned(batch, layout, cB, cBloom,
+      bloomBuckets = DedupIndex.BloomBuckets, parts = parts)
+      .select("doc_id").as[Long].collect().toSet
+    val viaExact = DedupIndex.dedupBatch(batch, cH, cB)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPruned == viaExact,
+      s"onlyPruned=${viaPruned -- viaExact} onlyExact=${viaExact -- viaPruned}")
+  }
 }
