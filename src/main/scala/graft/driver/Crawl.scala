@@ -589,6 +589,7 @@ object Crawl {
       clockFactory: () => Resilience.Clock = () => Resilience.Clock.system,
       source: String = "crawl",
       matchBatchSize: Int = 200, timelineBatchSize: Int = 50,
+      inferenceSampleN: Int = DefaultInferenceSample,
       landAll: (DataFrame, String) => Unit): Walk = {
     val spark = ids.sparkSession
     import spark.implicits._
@@ -605,8 +606,13 @@ object Crawl {
         val indexed = indexOk(fetched, numSlices).cache()
         try {
           def landKind(docCol: String, kind: String, batchSize: Int): Int = {
-            // pass 1: schema inference over the kind's ok docs
-            val schema = spark.read.json(indexed.select(col(docCol)).as[String]).schema
+            // pass 1: schema inference — SAMPLED by default (first-N +
+            // top-level drift escalation, [[inferDocSchema]]); 0 = the
+            // faithful full-read inference
+            val docStrings = indexed.select(col(docCol)).as[String]
+            val schema =
+              if (inferenceSampleN > 0) inferDocSchema(docStrings, inferenceSampleN)
+              else spark.read.json(docStrings).schema
             require(!schema.fieldNames.contains("batch"),
               s"$kind docs carry a top-level 'batch' field — it would shadow " +
                 "the walk's batch column; use the per-batch land form")
@@ -625,6 +631,52 @@ object Crawl {
       }
       Walk(total, noData, matchBatches, timelineBatches, unprocessed)
     } finally fetched.unpersist()
+  }
+
+  /** Default sample size for one-pass landing's schema inference. */
+  val DefaultInferenceSample = 1024
+
+  /** JSON schema of a doc column from a BOUNDED sample, with top-level
+    * drift escalation (VERDICT r12 #6: the one-pass landing full-read
+    * every ok doc TWICE per kind — once to infer, once to parse; the
+    * inference pass only needs enough docs to see the schema).
+    *
+    * Shape: (1) infer over the first `sampleN` docs — a `limit` job that
+    * reads partitions until the sample fills, never the whole set;
+    * (2) one cheap canary pass over ALL docs comparing each doc's
+    * TOP-LEVEL key set (`json_object_keys` — no nested parse, no type
+    * inference) against the sampled schema; (3) only if some doc carries
+    * an unseen top-level key or fails the key scan entirely (malformed —
+    * `json_object_keys` = null) does a second inference run, over the
+    * sample PLUS the flagged docs, so drift costs exactly what drifted.
+    *
+    * Residual, stated honestly: drift NESTED under a top-level field the
+    * sample already saw (e.g. a new leaf inside `info`) does not trip a
+    * top-level canary — those leaves parse as absent (null) under the
+    * sampled schema. A deployment expecting nested drift passes
+    * `inferenceSampleN = 0` (faithful full inference) or declares the
+    * schema outright; the reference itself full-parses every doc
+    * (`EC2/processor.py:146-174`), which is what the 0 setting
+    * reproduces. Malformed docs keep their existing landing behavior
+    * (PERMISSIVE parse → null fields — rows, not exceptions) because
+    * flagged docs join the inference input, where the json reader
+    * surfaces them as a `_corrupt_record` column exactly as a full
+    * inference would. */
+  def inferDocSchema(docs: org.apache.spark.sql.Dataset[String],
+      sampleN: Int): org.apache.spark.sql.types.StructType = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sample = docs.limit(sampleN)
+    val sampled = spark.read.json(sample).schema
+    val known =
+      if (sampled.fieldNames.isEmpty) array().cast("array<string>")
+      else array(sampled.fieldNames.toSeq.map(lit): _*)
+    val keys = json_object_keys(col("value"))
+    val flagged = docs.toDF("value")
+      .filter(keys.isNull || size(array_except(keys, known)) > 0)
+      .as[String]
+    if (flagged.isEmpty) sampled
+    else spark.read.json(sample.union(flagged)).schema
   }
 
   /** [[runProcessor]] with the heavy walk on executors: same envelope

@@ -1212,12 +1212,17 @@ object LlmOps {
     * pairs come from RP-LSH band collisions (16 planes × 4 bands, the
     * `rplsh_knn` geometry) instead of exhaustive in-cluster pairing —
     * candidate volume scales with collision rate, not cluster-size².
-    * Declared bench-only (no oracle): LSH recall < 1 means a missed
-    * collision is a missed drop, so the output is a certified SUBSET of
-    * the exhaustive verdicts — VectorsSpec pins exactly that
-    * (`dropped_ann ⊆ dropped_exhaustive`; fixture recall 0.905 with the
-    * Hamming-1 multi-probe, 0.476 without, floor 0.8) the way
-    * `quant_recall` audits the int8 shortlist.
+    * Oracle-gated (VERDICT r13 #8): the DuckDB twin re-derives the
+    * RP-LSH keys from the shared constants ([[rplshKeysSqlCtes]] — the
+    * same derivation `rplsh_probe`'s oracle pins equal to the persisted
+    * artifact), enumerates the same Hamming-1 probe-mask literals, and
+    * replays the centroid gate + cosine verdict, so the ANN verdict set
+    * itself is hash-checked. Its RELATION to the exhaustive row stays
+    * spec-pinned: LSH recall < 1 means a missed collision is a missed
+    * drop, so the output is a certified SUBSET of the exhaustive
+    * verdicts (VectorsSpec: `dropped_ann ⊆ dropped_exhaustive`; fixture
+    * recall 0.905 with the Hamming-1 multi-probe, 0.476 without, floor
+    * 0.8) the way `quant_recall` audits the int8 shortlist.
     *
     * The corpus key table comes from the PERSISTED [[rplshIndex]]
     * artifact (`rplsh_probe`'s build-once table, identical geometry and
@@ -1259,7 +1264,34 @@ object LlmOps {
       .join(dropped.withColumn("_dup", lit(true)), Seq("vec_id"), "left_outer")
       .select($"vec_id", $"centroid_id",
         coalesce($"_dup", lit(false)).as("dropped"))
-  }, None, sortCols = Seq("vec_id"))
+  }, Some(s"""
+    WITH ${ivfSqlCtes(2)},
+    ${rplshKeysSqlCtes("rk_")},
+    aprobe AS (
+      SELECT k.vec_id AS vec_a, k.band, xor(k.band_key, m.mask) AS band_key
+      FROM rk_keys k
+      CROSS JOIN (SELECT unnest([${RpLshProbeMasks.mkString(", ")}]) AS mask) m),
+    cpairs AS (
+      SELECT DISTINCT a.vec_a, c.vec_id AS vec_b
+      FROM aprobe a JOIN rk_keys c
+        ON a.band = c.band AND a.band_key = c.band_key
+      WHERE a.vec_a < c.vec_id),
+    sd_ann AS (
+      SELECT p.vec_b
+      FROM cpairs p
+      JOIN assign1 aa ON aa.vec_id = p.vec_a
+      JOIN assign1 ab ON ab.vec_id = p.vec_b AND ab.centroid_id = aa.centroid_id
+      JOIN vn a ON a.vec_id = p.vec_a
+      JOIN vn b ON b.vec_id = p.vec_b
+      WHERE list_sum(list_transform(list_zip(a.e, b.e),
+          pp -> round(pp[1] * pp[2] * 1e12))) / sqrt(a.n2 * b.n2) >= 0.4),
+    ann_dropped AS (SELECT DISTINCT vec_b FROM sd_ann)
+    SELECT vn.vec_id, CAST(a1.centroid_id AS INTEGER) AS centroid_id,
+           (d.vec_b IS NOT NULL) AS dropped
+    FROM vn JOIN assign1 a1 ON a1.vec_id = vn.vec_id
+    LEFT JOIN ann_dropped d ON d.vec_b = vn.vec_id
+    ORDER BY vn.vec_id"""),
+    sortCols = Seq("vec_id"))
 
   /** Bucketed ANN (brief: "IVF or LSH-bucketed variant as the scale
     * path"): candidates restricted to the query's coarse partition (the
@@ -1334,7 +1366,9 @@ object LlmOps {
     * 100 TB, where the index dominates storage and queries are the
     * small side. Probes exist ONLY on the broadcast query side; the
     * corpus key table is untouched. */
-  private val RpLshProbeMasks: Seq[Long] = 0L +: (0 until 4).map(j => 1L << j)
+  // lazy: referenced during `semDedupAnn`'s oracle-string construction,
+  // which runs at object init BEFORE this declaration line
+  private lazy val RpLshProbeMasks: Seq[Long] = 0L +: (0 until 4).map(j => 1L << j)
 
   private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) =
     rplshKnnFrom(s, d,
@@ -1397,23 +1431,32 @@ object LlmOps {
     ORDER BY qid, rank"""),
     sortCols = Seq("qid", "rank"))
 
-  /** The rplsh oracle's CTE chain (ends in `r` = ranked in-bucket exact
-    * cosines), shared by `rplsh_knn` and `rplsh_recall`. */
-  private lazy val rplshSqlCtes: String = s"""dims AS (
+  /** The RP-LSH KEY-derivation CTEs (dims → contrib → bits → keys),
+    * name-prefixed so composites that also splice the ivf chain (which
+    * has its own `dims`) can carry both without collisions. This is the
+    * "shared constants" twin the `semdedup_ann` oracle re-derives keys
+    * from: same plane-sign hash (md5 60-bit), same 1e7 scaling, same
+    * 4-bit bands — `rplsh_probe`'s oracle pins this derivation equal to
+    * the persisted key artifact bit-for-bit. */
+  private def rplshKeysSqlCtes(pfx: String): String = s"""${pfx}dims AS (
       SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS dim
       FROM embeddings),
-    contrib AS (
+    ${pfx}contrib AS (
       SELECT d.vec_id, p.plane,
         CASE WHEN (CAST(('0x' || substr(md5('rp' || p.plane || ':' || d.dim), 1, 15)) AS BIGINT) % 2) = 0
              THEN CAST(round(CAST(d.x AS DOUBLE) * 1e7) AS BIGINT)
              ELSE -CAST(round(CAST(d.x AS DOUBLE) * 1e7) AS BIGINT) END AS sx
-      FROM dims d CROSS JOIN (SELECT unnest(range(16)) AS plane) p),
-    bits AS (
-      SELECT vec_id, plane, SUM(sx) > 0 AS bit FROM contrib GROUP BY 1, 2),
-    keys AS (
+      FROM ${pfx}dims d CROSS JOIN (SELECT unnest(range(16)) AS plane) p),
+    ${pfx}bits AS (
+      SELECT vec_id, plane, SUM(sx) > 0 AS bit FROM ${pfx}contrib GROUP BY 1, 2),
+    ${pfx}keys AS (
       SELECT vec_id, CAST(plane // 4 AS INTEGER) AS band,
              SUM(CASE WHEN bit THEN CAST(pow(2, plane % 4) AS BIGINT) ELSE 0 END) AS band_key
-      FROM bits GROUP BY 1, 2),
+      FROM ${pfx}bits GROUP BY 1, 2)"""
+
+  /** The rplsh oracle's CTE chain (ends in `r` = ranked in-bucket exact
+    * cosines), shared by `rplsh_knn` and `rplsh_recall`. */
+  private lazy val rplshSqlCtes: String = s"""${rplshKeysSqlCtes("")},
     probes AS (
       SELECT k.vec_id AS qid, k.band, xor(k.band_key, m.mask) AS band_key
       FROM keys k CROSS JOIN (SELECT unnest([${RpLshProbeMasks.mkString(", ")}]) AS mask) m

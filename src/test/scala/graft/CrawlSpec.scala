@@ -630,6 +630,46 @@ class CrawlSpec extends SparkSpec {
     // state persisted only after the fetcher succeeded
     assert(graft.sinks.Writers.readState(statePath).contains((2 * day, 4 * day)))
   }
+
+  test("inferDocSchema: bounded sample, top-level drift escalates, late docs never parsed") {
+    import spark.implicits._
+    // 400 docs: homogeneous {"a": i} except — key drift at #300 (new
+    // top-level field), malformed at #350, TYPE drift at #399
+    val raw = (0 until 400).map { i =>
+      if (i == 300) s"""{"a":$i,"late":"drifted"}"""
+      else if (i == 350) "not json at all"
+      else if (i == 399) """{"a":"type-drifted"}"""
+      else s"""{"a":$i}"""
+    }
+    val docs = spark.createDataset(raw)
+    val schema = Crawl.inferDocSchema(docs, sampleN = 16)
+    // the canary caught the new top-level key (#300, far past the
+    // sample window) and handed the malformed doc (#350) to the json
+    // reader, which surfaces it as _corrupt_record — full-inference
+    // behavior for exactly the docs that needed it
+    assert(schema.fieldNames.toSet == Set("a", "late", "_corrupt_record"),
+      schema.treeString)
+    // the BOUNDEDNESS proof, behavioral not asserted-on-internals:
+    // doc #399 types `a` as a string, so a full inference would widen
+    // `a` to StringType. The sampled schema keeps LongType — the only
+    // way that happens is if #399 (same top-level keys, so never
+    // flagged) was never fed to type inference at all.
+    assert(schema("a").dataType == org.apache.spark.sql.types.LongType,
+      s"late docs leaked into inference: ${schema("a").dataType}")
+    // the full-read twin DOES widen — the documented difference the
+    // sampleN = 0 setting exists for
+    assert(spark.read.json(docs).schema("a").dataType ==
+      org.apache.spark.sql.types.StringType)
+
+    // no drift → the sample alone decides, second inference never runs
+    val clean = spark.createDataset((0 until 200).map(i => s"""{"a":$i}"""))
+    assert(Crawl.inferDocSchema(clean, sampleN = 16).fieldNames.toSeq == Seq("a"))
+
+    // all-malformed and empty inputs stay total (no exceptions)
+    val junk = spark.createDataset(Seq("x", "y"))
+    assert(Crawl.inferDocSchema(junk, 4).fieldNames.toSet == Set("_corrupt_record"))
+    assert(Crawl.inferDocSchema(spark.emptyDataset[String], 4).isEmpty)
+  }
 }
 
 /** Static page-evaluation counter (see FanoutProbe for why an object:
