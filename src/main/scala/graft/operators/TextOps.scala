@@ -258,23 +258,33 @@ object TextOps {
     val pairDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
     val pairMembers = df.join(pairDocs, Seq(idCol), "left_semi")
-    val grams = ngramHashRows(pairMembers, idCol, textCol, n = 3,
-      hashFn = h => pmod(hash60(h), lit(P))).distinct()
-    val sz = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val ga = grams.select(col(idCol).as("doc_a"), col("gram_hash").as("gh"))
-    val gb = grams.select(col(idCol).as("doc_b"), col("gram_hash").as("gh"))
-    val inter = pairs.join(ga, Seq("doc_a")).join(gb, Seq("doc_b", "gh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    val ni = coalesce(col("n_inter"), lit(0L))
+    // per-doc DISTINCT gram set as ONE sorted array row (collect_set =
+    // the distinct; ~8 B per distinct gram, so a doc's row is KBs). The
+    // intersection then joins pairs to two doc-keyed array frames and
+    // counts `array_intersect` INSIDE the row — no (doc, gram) exploded
+    // join anywhere. The previous shape joined the pair frame to the
+    // exploded gram rows (one row per member TOKEN, replicated per pair
+    // membership) and sort-merge-grouped that: linear like this form,
+    // but with a token-count constant — at sf1000 its sort stages
+    // needed more spill disk than the whole box had free (round-14
+    // PERF.md), while the array form's per-pair state is two bounded
+    // arrays. Union/intersection semantics are unchanged
+    // (distinct hashed grams), so the DuckDB oracle is untouched.
+    val gramArr = ngramHashRows(pairMembers, idCol, textCol, n = 3,
+      hashFn = h => pmod(hash60(h), lit(P)))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("gram_hash"))).as("ghs"))
+    val ni = size(array_intersect(col("_ga"), col("_gb"))).cast("long")
+    val na = size(col("_ga")).cast("long")
+    val nb = size(col("_gb")).cast("long")
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sz.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sz.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(gramArr.select(col(idCol).as("doc_a"), col("ghs").as("_ga")), Seq("doc_a"))
+      .join(gramArr.select(col(idCol).as("doc_b"), col("ghs").as("_gb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_eq"),
         (col("n_eq").cast("double") / k).as("est_jaccard"),
         ni.as("n_inter"),
-        (col("na") + col("nb") - ni).as("n_union"),
-        (ni.cast("double") / (col("na") + col("nb") - ni)).as("exact_jaccard"))
+        (na + nb - ni).as("n_union"),
+        (ni.cast("double") / (na + nb - ni)).as("exact_jaccard"))
   }
 
   /** Estimated signature agreement between two k-element MinHash signature
