@@ -302,9 +302,25 @@ object Bench {
     // is the 100 TB warning timing alone can't give. Skipped via
     // SPARK_GRAFT_METRICS=0 (and for errored queries).
     val wantMetrics = sys.env.getOrElse("SPARK_GRAFT_METRICS", "1") != "0"
+    // Storage left behind by a completed execution (cached frames,
+    // localCheckpoint blocks from iterative operators) is dead weight for
+    // every execution that follows in this JVM, but the ContextCleaner
+    // frees it only when GC collects the owning references — which a big
+    // heap defers long enough that the round-14 sf1000 dup_clusters
+    // metrics pass OOM'd on blocks its own timed rep no longer needed.
+    // Drop it all eagerly between executions: every re-execution builds
+    // its plan fresh from the catalog, so nothing dropped here is ever
+    // read again.
+    def dropStorage(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val planBytes: Map[String, graft.plans.PlanMetrics.Bytes] =
       if (!wantMetrics) Map.empty
       else qs.flatMap { q =>
+        dropStorage()
         try Some(q.name -> graft.plans.PlanMetrics.measure(q.run(spark, sfDir)))
         catch { case _: Throwable => None }
       }.toMap

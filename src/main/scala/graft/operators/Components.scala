@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * sides). Lineage is cut with eager `localCheckpoint`s per round —
   * without them the iterated plan doubles each round and the optimizer
   * chokes long before the data does (production would use a reliable
-  * `checkpoint` dir instead; same shape). A giant component makes its
+  * `checkpoint` dir instead; same shape). Superseded rounds' checkpoint
+  * blocks are unpersisted explicitly as soon as the next frame is
+  * materialized, so live storage is bounded by ~two round-sized frames
+  * however many rounds run (see bookkeeping comment in the body). A giant component makes its
   * label a hot PROBE-side join key in the jump step; the build side stays
   * one row per key, and because both jump sides read a materialized frame
   * through dedicated shuffles, AQE's skew-join split bounds the hot
@@ -81,15 +84,39 @@ object Components {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // Checkpoint-block bookkeeping: each round checkpoints two frames,
+    // and on a big graph the ContextCleaner's reference-triggered
+    // cleanup lags the heap's GC badly enough that EVERY round's blocks
+    // coexist — R rounds × (propagated + jumped) + sym held at once is
+    // what ran the 1e10-span corpus-dedup run out of an 8 GB heap in
+    // round 14. Blocks are therefore freed EXPLICITLY the moment no
+    // future computation can touch them (localCheckpoint truncates
+    // lineage, so a block must only be dropped once every frame built
+    // on it is itself materialized — eager checkpointing makes "created
+    // downstream frame" equal "safe to drop"). Live storage is then
+    // bounded by TWO round-sized frames regardless of round count.
+    // localCheckpoint persists at the RDD layer (not the cacheManager),
+    // so the handle for freeing is the persistent-RDD id delta around
+    // each checkpoint call.
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // symmetrize AND add a self-loop per node: with (v,v) present, one
     // edge-join + groupBy-min computes min(own label, neighbor labels) in a
     // single shuffle pair — no label∪neighbor union inside the loop
     val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct()
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .union(nodes.select(col("n").as("u"), col("n").as("v")))
-      .distinct().localCheckpoint()
+    val (sym, symIds) = checkpointTracked(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .union(nodes.select(col("n").as("u"), col("n").as("v")))
+        .distinct())
 
-    var labels = nodes.select(col("n").as("id"), col("n").as("comp")).localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      nodes.select(col("n").as("id"), col("n").as("comp")))
     // exact (wrap-proof) label sum — see scaladoc on fixpoint detection
     def labelSum(l: DataFrame): java.math.BigDecimal =
       Option(l.agg(sum(col("comp")
@@ -105,24 +132,30 @@ object Components {
       // the join side sits on a dedicated shuffle stage — fused onto the
       // aggregate output, the giant component's hot label key would be
       // read whole by one task (ScaleTechniquesSpec pins the split)
-      val propagated = sym.join(labels, sym("u") === labels("id"))
-        .select(sym("v").as("id"), labels("comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val (propagated, propIds) = checkpointTracked(
+        sym.join(labels, sym("u") === labels("id"))
+          .select(sym("v").as("id"), labels("comp"))
+          .groupBy("id").agg(min("comp").as("comp")))
       // pointer jump: comp ← comp's own label (comp values are node ids,
       // and every node has a label row, so the inner join is total)
-      val jumped = propagated.as("a")
-        .join(propagated.as("b"), col("a.comp") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.comp").as("comp"))
-        .localCheckpoint()
+      val (jumped, jumpIds) = checkpointTracked(
+        propagated.as("a")
+          .join(propagated.as("b"), col("a.comp") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.comp").as("comp")))
       // fixpoint = the exact label sum stopped decreasing (labels are
       // monotone non-increasing; decimal(38,0) cannot wrap — scaladoc)
       val s = labelSum(jumped)
+      // jumped is materialized (eager checkpoint) — this round's inputs
+      // can never be read again; free them now, not at ContextCleaner's
+      // leisure
+      drop(labelIds); drop(propIds)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped
+      labelIds = jumpIds
       round += 1
     }
+    drop(symIds)
     // pointer jumping halves label-chain depth per round, so the default
     // budget covers diameters past 2^20; running out means something is
     // structurally wrong (or a pathological maxRounds override) — wrong

@@ -56,6 +56,23 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("checkpoint storage is bounded: superseded rounds are unpersisted") {
+    // a long path forces several propagate/jump rounds; without the
+    // explicit unpersist every round's TWO checkpoints would pile up in
+    // getPersistentRDDs until GC ran (the round-14 sf1000 OOM). Bound:
+    // only the RETURNED labels frame (1 checkpoint) may survive the call
+    // beyond whatever was persisted before it.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val path = (0L until 63L).map(i => (i + 1, i))
+    val labels = Components.connectedComponents(path.toDF("a", "b"), "a", "b")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected at most the final labels checkpoint to survive, found ${leaked.size}")
+    // and the survivor is the live result, not garbage: still readable
+    assert(labels.count() == 64)
+  }
+
   test("labels are invariant under edge order and input partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
