@@ -296,41 +296,74 @@ object TextOps {
     size(filter(zip_with(a, b, (x, y) => x === y), v => v))
 
   /** VERIFIED near-dup pairs from a signature frame: LSH band-colliding
-    * candidates gated by [[sigAgreement]] ≥ `minEqual`. Same one-pass
-    * bucket-local shape as [[minhashCandidatePairs]] (group per bucket,
-    * in-bucket pair expansion — state bounded by bucket size, never
-    * all-pairs), with the signatures riding along in the bucket rows so
-    * verification adds NO extra join or shuffle. `maxBucketSize` is the
-    * template-flood guard (see [[minhashCandidatePairs]]). Output:
-    * (doc_a, doc_b, n_eq) with doc_a < doc_b, distinct. */
+    * candidates gated by [[sigAgreement]] ≥ `minEqual`. Long-keyed
+    * unguarded calls (the catalog, the dedup index) take the SIG-JOIN
+    * form: candidates come from the light first-band generator over
+    * (id, kp)-only bucket rows, and verification joins the signature
+    * frame back on each member id. `maxBucketSize` is the
+    * template-flood guard (see [[minhashCandidatePairs]]); guarded and
+    * non-long-key calls keep the bucket-carried one-pass form
+    * ([[verifiedPairsOnePass]]). Output: (doc_a, doc_b, n_eq) with
+    * doc_a < doc_b, distinct. */
   def verifiedPairsFromSignatures(sigs: DataFrame, idCol: String,
       hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val isLong = sigs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
-    // long-keyed tables (the catalog, the dedup index) take the native
-    // generator in its FIRST-BAND form: bucket members carry their
-    // band-key prefix and a pair is emitted only in the first band where
-    // its keys collide, so the generator's output is ALREADY the
-    // distinct pair set — no cross-band pair-multiset `distinct()`,
-    // which was the last spilling exchange of the minhash family at
-    // sf100 (2×5.6 GB, round-12 census). The emitted set is
-    // byte-identical to distinct-of-multiset because the prefix test
-    // uses the same band keys the buckets group on.
+    // long-keyed tables take candidates from the FIRST-BAND generator
+    // (one emission per pair, no cross-band distinct — the r12b form)
+    // over bucket rows that carry ONLY (id, kp), and verify by joining
+    // the signature frame back per member. The previous one-pass form
+    // rode the 16-long signature along in every bucket row instead; that
+    // put 4 copies of every signature through the (band, band_key)
+    // exchange and made the sort-based bucket grouping's external sort
+    // linear in SIGNATURE bytes — 8.7 GB of local spill per heavy pair
+    // row at sf100, ~85 GB at sf1000, which is more local disk than the
+    // measurement box has (round-14 PERF.md). This form pays the
+    // signature weight through the network exactly ONCE — the (id, sig)
+    // aggregate below — and the bucket grouping sorts 12 B/row of kp
+    // instead of 128 B/row of signature (the minhash_pairs shape, whose
+    // spill was ZERO at sf100).
+    //
+    // The verify sides share ONE barriered (id, sig) frame (the r12b
+    // lesson: multi-consumed expensive frames need an aggregate, not a
+    // repartition): its exchange + broadcast materialize once and both
+    // joins reuse them. The verify joins themselves carry the
+    // near-dup-rate-sized pair frame — AQE broadcasts it while small and
+    // degrades to doc-keyed shuffled joins when it isn't; either way
+    // per-pair state is two bounded arrays, never a bucket-wide sort.
     //
     // The first-band rule needs EVERY bucket of a pair's collision set
     // present: under a `maxBucketSize` guard a pair whose first band was
     // guard-excluded would be lost from its surviving later bands, so
     // guarded calls keep the emit-everywhere + distinct form. Other key
-    // types keep the generic HOF expansion + distinct (TextOpsSpec pins
-    // the forms equal on long keys).
+    // types keep the generic HOF expansion + distinct (TextOpsSpec and
+    // BucketPairsSpec pin all forms set-equal on long keys).
     if (isLong && maxBucketSize.isEmpty) {
-      bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true,
-          keepKeyPrefix = true)
-        .groupBy(col("band"), col("band_key"))
-        .agg(sort_array(collect_set(struct(col(idCol).as("i"),
-          col("sig").as("g"), col("kp")))).as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(call_function("bucket_pairs_verified", col("ds"), lit(minEqual)))
+      // candidates straight from `sigs` — the band (band, band_key)
+      // exchange is the only shuffle on that path and its rows carry
+      // 12 B of kp, not 128 B of signature. The verify joins read from
+      // a SEPARATE barriered copy: distinct(), not
+      // groupBy(id).agg(first(sig)) — First over an array type has no
+      // fixed-width aggregate buffer, compiles to SortAggregate, and
+      // full-sorts the corpus per consumer; a grouping-only aggregate
+      // carries no buffer, stays HashAggregateExec, and its exchange +
+      // broadcast are materialized once and REUSED by both join sides
+      // (exec-plan verified: one BroadcastExchange, the second side a
+      // ReusedExchange). Net corpus cost: two scans + kernel passes
+      // (band path, join path), one light band exchange, one (id, sig)
+      // exchange — vs the one-pass form's single scan but 4× signature
+      // weight through the band exchange and a signature-wide external
+      // sort in the grouping.
+      val sigsB = sigs.distinct()
+      val cand = minhashCandidatePairs(
+        bandTableFromSignatures(sigs, idCol, hashFn, keepKeyPrefix = true),
+        idCol)
+      cand
+        .join(sigsB.select(col(idCol).as("doc_a"), col("sig").as("_sa")), Seq("doc_a"))
+        .join(sigsB.select(col(idCol).as("doc_b"), col("sig").as("_sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          sigAgreement(col("_sa"), col("_sb")).as("n_eq"))
+        .filter(col("n_eq") >= minEqual)
     } else {
       val buckets = bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true)
         .groupBy(col("band"), col("band_key"))
@@ -345,6 +378,27 @@ object TextOps {
       expanded.distinct()
     }
   }
+
+  /** The pre-round-14 ONE-PASS long-key form of
+    * [[verifiedPairsFromSignatures]]: signatures ride along in the
+    * bucket rows (4 copies of every signature through the band
+    * exchange) and verification happens inside the
+    * `bucket_pairs_verified` generator — no verify join, but the
+    * sort-based bucket grouping's external sort is linear in signature
+    * bytes (8.7 GB local spill per heavy pair row at sf100, ~10× that
+    * at sf1000 — past the measurement box's free disk, which is why the
+    * sig-join form replaced it as the default). Kept callable for the
+    * differential spec and the PERF.md A/B. */
+  private[graft] def verifiedPairsOnePass(sigs: DataFrame, idCol: String,
+      hashFn: Column => Column = hash60,
+      minEqual: Int = verifyMinEqual): DataFrame =
+    bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true,
+        keepKeyPrefix = true)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(struct(col(idCol).as("i"),
+        col("sig").as("g"), col("kp")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(call_function("bucket_pairs_verified", col("ds"), lit(minEqual)))
 
   /** The generic HOF form of [[verifiedPairsFromSignatures]]'s in-bucket
     * expansion (also its differential twin on long keys): materialize

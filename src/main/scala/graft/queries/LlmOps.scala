@@ -190,11 +190,16 @@ object LlmOps {
 
   /** VERIFIED near-dup pairs (VERDICT r06 finding 1): band-colliding
     * candidates gated by minhash-signature agreement ≥ 8/16 (`n_eq/16`
-    * estimates Jaccard, so the gate ≈ J ≥ 0.5). The signatures ride
-    * along in the bucket rows ([[TextOps.verifiedPairsFromSignatures]]),
-    * so verification adds no join or shuffle over the candidate stage —
-    * one extra 128 B column per (doc, band) row buys not deleting
-    * genuinely distinct documents on routine band collisions. */
+    * estimates Jaccard, so the gate ≈ J ≥ 0.5). Candidates come from
+    * the light (id, kp)-only bucket rows — the `minhash_pairs` shape,
+    * spill-free through sf100 — and verification joins the barriered
+    * (id, sig) frame back per member
+    * ([[TextOps.verifiedPairsFromSignatures]]): the signature bytes
+    * cross the network exactly once instead of four band copies, and
+    * the bucket grouping never sorts signature-wide rows (the round-14
+    * structural fix — the previous bucket-carried form's grouping spill
+    * was linear in signature bytes and outgrew the measurement box's
+    * disk one decade after it outgrew its memory). */
   val minhashPairsVerified = Q("minhash_pairs_verified", (s, d) => {
     TextOps.verifiedPairsFromSignatures(
       TextOps.minhashSignatures(Tables.documents(s, d), "doc_id", "text"), "doc_id")

@@ -92,6 +92,36 @@ class BucketPairsSpec extends SparkSpec {
     assert(viaGen.exists(p => p._1 == 1L && p._2 == 4L && p._3 == TextOps.minhashA.size))
   }
 
+  test("sig-join default equals the bucket-carried one-pass form (pairs AND n_eq)") {
+    // round-14: the default long-key path verifies via joins against the
+    // barriered (id, sig) frame; the pre-round-14 one-pass form carried
+    // signatures in the bucket rows and verified inside the generator.
+    // Same rich fixture as the distinct-twin test: 0-tweak clones
+    // collide in all 4 bands (first-band suppression exercised), tweaked
+    // clones land near the 8/16 gate (gate edges exercised).
+    val rnd = new scala.util.Random(41)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val bases = (1 to 60).map { i =>
+      i.toLong -> Seq.fill(20 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+    }
+    val docs = (bases ++ bases.map { case (i, ws) =>
+      val tweaked = (0 until rnd.nextInt(4)).foldLeft(ws) { (acc, _) =>
+        acc.updated(rnd.nextInt(acc.size), words(rnd.nextInt(words.size)))
+      }
+      (i + 60L) -> tweaked
+    }).map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(docs, "doc_id", "text")
+    val sigJoin = TextOps.verifiedPairsFromSignatures(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sigJoin.length == sigJoin.toSet.size,
+      "sig-join output contains duplicate pair rows")
+    val onePass = TextOps.verifiedPairsOnePass(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sigJoin.toSet == onePass,
+      "sig-join verified pairs diverge from the one-pass bucket-carried form")
+    assert(sigJoin.nonEmpty, "fixture produced no verified pairs — twin test is vacuous")
+  }
+
   test("string-keyed tables fall back to the HOF path and still pair") {
     val docs = Seq(
       ("a", (0 until 40).map(i => s"w$i").mkString(" ")),

@@ -110,18 +110,41 @@ class PlanSpec extends SparkSpec {
       "bucket-group pairing shape lost")
   }
 
-  test("minhash pair queries: first-band emission leaves ONE exchange (no pair distinct)") {
+  test("minhash_pairs: first-band emission leaves ONE exchange (no pair distinct)") {
     // the generator's first-band form makes pairs globally unique at
     // generation, so the only exchange left is the (band, band_key)
     // bucket group-by — the old pair-multiset distinct was a second
     // full shuffle of every emitted pair (2×5.6 GB of sf100 spill,
     // round-12 census)
-    Seq("minhash_pairs", "minhash_pairs_verified").foreach { q =>
-      val p = plan(q)
-      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-      assert(exchanges == 1,
-        s"$q: expected exactly the bucket-group exchange, found $exchanges")
-    }
+    val p = plan("minhash_pairs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"minhash_pairs: expected exactly the bucket-group exchange, found $exchanges")
+  }
+
+  test("minhash_pairs_verified: sig-join form — light buckets, no pair-keyed or sig-wide shuffle") {
+    // round-14 shape: candidates come from (id, kp)-only bucket rows
+    // (the minhash_pairs grouping, zero spill through sf100) and
+    // verification joins the barriered (id, sig) frame per member. The
+    // shuffles are exactly: the band bucket group-by plus the sig
+    // barrier under each verify-join side (materialized once, reused at
+    // runtime — the exec plan shows one ReusedExchange + one shared
+    // BroadcastExchange). What must NEVER return: a pair-keyed exchange
+    // (the old cross-band distinct) or the signature riding in the
+    // bucket rows (the one-pass form whose grouping sort was linear in
+    // sig bytes — 8.7 GB local spill at sf100, past the box's disk one
+    // decade up).
+    val p = plan("minhash_pairs_verified")
+    assert(!"hashpartitioning\\(doc_a#\\d+L?, doc_b#".r.unanchored.matches(p),
+      "pair-keyed exchange returned (cross-band distinct shape)")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 3,
+      s"expected band exchange + one sig barrier per join side, found $exchanges")
+    // the bucket rows must not carry the signature: the collect_set
+    // struct is (i, kp) only
+    assert(!"collect_set\\(struct\\([^)]*sig".r.unanchored.matches(p) &&
+      !"collect_set\\(struct\\(i, [^,]+, g,".r.unanchored.matches(p),
+      "bucket grouping carries the signature again (one-pass shape)")
   }
 
   test("train_split is a pure narrow map; pivot has one exchange, no domain scan") {
