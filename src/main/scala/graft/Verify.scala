@@ -23,7 +23,13 @@ object Verify {
     // r07 finding 4) — a drifted fixture must fail loudly here rather
     // than let calibrated rows pass vacuously
     graft.queries.FixtureGuards.check(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev affordance: SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump to
+    // named queries (their oracle entries included) for single-row
+    // iteration; the driver never sets it, so its gate always runs all
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def keep(name: String) = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +48,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

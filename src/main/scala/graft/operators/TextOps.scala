@@ -304,7 +304,17 @@ object TextOps {
     * template-flood guard (see [[minhashCandidatePairs]]); guarded and
     * non-long-key calls keep the bucket-carried one-pass form
     * ([[verifiedPairsOnePass]]). Output: (doc_a, doc_b, n_eq) with
-    * doc_a < doc_b, distinct. */
+    * doc_a < doc_b, distinct.
+    *
+    * Input contract: `sigs` rows are (id, complete non-null `sig`) —
+    * [[minhashSignatures]] guarantees both. On degenerate inputs the
+    * two long-key forms diverge: the one-pass kernel SKIPS bucket
+    * members whose signature has null holes, while this form's
+    * [[sigAgreement]] treats a null component as non-equal and can
+    * still emit the pair if enough other components agree; and
+    * duplicate ids with differing sigs multiply the verify joins. The
+    * forms are set-equal only under the contract (TextOpsSpec pins the
+    * production inputs). */
   def verifiedPairsFromSignatures(sigs: DataFrame, idCol: String,
       hashFn: Column => Column = hash60, minEqual: Int = verifyMinEqual,
       maxBucketSize: Option[Int] = None): DataFrame = {
@@ -317,12 +327,17 @@ object TextOps {
     // put 4 copies of every signature through the (band, band_key)
     // exchange and made the sort-based bucket grouping's external sort
     // linear in SIGNATURE bytes — 8.7 GB of local spill per heavy pair
-    // row at sf100, ~85 GB at sf1000, which is more local disk than the
-    // measurement box has (round-14 PERF.md). This form pays the
-    // signature weight through the network exactly ONCE — the (id, sig)
-    // aggregate below — and the bucket grouping sorts 12 B/row of kp
-    // instead of 128 B/row of signature (the minhash_pairs shape, whose
-    // spill was ZERO at sf100).
+    // row at sf100 (PERF.md round-15 pair-family table; the sf1000
+    // projection of that shape, ~10×, exceeds the measurement box's
+    // free disk). This form pays the signature weight through ONE
+    // (id, sig) barrier exchange in the broadcast-verify regime; when
+    // AQE degrades the verify joins to shuffled joins, hashpartitioning
+    // on (id, sig) does not satisfy the doc_a/doc_b keys, so each
+    // degraded side re-shuffles the signature frame once more on top of
+    // the barrier (still kp-only through the BAND exchange either way —
+    // the bucket grouping sorts 12 B/row of kp instead of 128 B/row of
+    // signature, the minhash_pairs shape, whose spill was ZERO at
+    // sf100).
     //
     // The verify sides share ONE barriered (id, sig) frame (the r12b
     // lesson: multi-consumed expensive frames need an aggregate, not a
@@ -354,7 +369,10 @@ object TextOps {
       // exchange — vs the one-pass form's single scan but 4× signature
       // weight through the band exchange and a signature-wide external
       // sort in the grouping.
-      val sigsB = sigs.distinct()
+      // narrow FIRST: the barrier's distinct must see exactly (id, sig)
+      // — distinct over a wider caller frame would multiply verify-join
+      // rows per extra-column combination (ADVICE r14)
+      val sigsB = sigs.select(col(idCol), col("sig")).distinct()
       val cand = minhashCandidatePairs(
         bandTableFromSignatures(sigs, idCol, hashFn, keepKeyPrefix = true),
         idCol)
@@ -388,7 +406,10 @@ object TextOps {
     * bytes (8.7 GB local spill per heavy pair row at sf100, ~10× that
     * at sf1000 — past the measurement box's free disk, which is why the
     * sig-join form replaced it as the default). Kept callable for the
-    * differential spec and the PERF.md A/B. */
+    * differential spec and the PERF.md A/B. Degenerate-input caveat:
+    * the kernel skips bucket members with null-holed signatures, so on
+    * such inputs this form is NOT set-equal to the sig-join form (see
+    * [[verifiedPairsFromSignatures]]'s input contract). */
   private[graft] def verifiedPairsOnePass(sigs: DataFrame, idCol: String,
       hashFn: Column => Column = hash60,
       minEqual: Int = verifyMinEqual): DataFrame =

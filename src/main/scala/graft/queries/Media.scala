@@ -52,39 +52,69 @@ object Media {
     ORDER BY doc_id, frame_idx"""),
     sortCols = Seq("doc_id", "frame_idx"))
 
-  /** Multimodal → similarity composition: binary content → STUB feature
-    * extractor → brute cosine top-5 media-to-media neighbors. The feature
-    * step is the environment-imposed stub (deterministic content-derived
-    * pseudo-features: salted portable hash of the content digest per
-    * dimension — a real extractor would drop in at exactly this column);
-    * everything around it is the real production plumbing: 8-dim double
-    * vectors, scaled-integer norms/dots ([[graft.operators.Vectors]],
-    * codegen'd `scaled_dot`), broadcast query side, two-phase top-k. The
-    * oracle pins the whole chain bit-for-bit. */
+  /** Multimodal → similarity composition: binary content → REAL pixel
+    * feature extractor → brute cosine top-5 media-to-media neighbors.
+    * Features come from [[Multimodal.decodePixels]] (stock JDK codec)
+    * over in-plan synthesized real PNGs ([[Multimodal.synthAsset]], the
+    * `media_pixels` fixture): per-channel means, the 2×2 mean-gray
+    * thumbnail cells, and decoded area — an 8-dim double vector per
+    * successfully decoded asset (the two failure variants are
+    * quarantined upstream by the `err` sentinel, exactly what a real
+    * pipeline does before similarity). Everything downstream is the
+    * production plumbing: scaled-integer norms/dots
+    * ([[graft.operators.Vectors]], codegen'd `scaled_dot`), broadcast
+    * query side, two-phase top-k. The DuckDB oracle recomputes the
+    * features from the pixel RULE alone (it never sees PNG bytes), so a
+    * hash-green row pins codec → features → similarity end-to-end. */
   val mediaKnn = Q("media_knn", (s, d) => {
     import s.implicits._
     import graft.operators.Vectors
-    val dims = 8
-    def featsOf(bin: org.apache.spark.sql.Column) = array((0 until dims).map { k =>
-      pmod(hash60(concat(lit(s"mfeat$k:"), sha2(bin, 256))), lit(1000L))
-        .cast("double") / lit(100.0)
-    }: _*)
-    val assets = Tables.documents(s, d)
-      .select($"doc_id", featsOf($"text".cast("binary")).as("f"))
+    val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+      .mapPartitions(_.map(Multimodal.synthAsset))
+    val feats = Multimodal.decodePixels(assets)
+      .filter($"err".isNull)
+      .select($"id".as("doc_id"),
+        array($"rMean", $"gMean", $"bMean",
+          element_at($"thumb", 1), element_at($"thumb", 2),
+          element_at($"thumb", 3), element_at($"thumb", 4),
+          ($"width" * $"height").cast("double")).as("f"))
       .withColumn("n2", Vectors.normScaled($"f"))
-    val queries = assets.filter($"doc_id" < 10)
+    val queries = feats.filter($"doc_id" < 10)
       .select($"doc_id".as("qid"), $"f".as("qf"), $"n2".as("qn2"))
-    val scored = assets.join(broadcast(queries), $"qid" =!= $"doc_id")
+    val scored = feats.join(broadcast(queries), $"qid" =!= $"doc_id")
       .select($"qid", $"doc_id".as("cand_id"),
         Vectors.cosine(Vectors.dotScaled($"qf", $"f"), $"qn2", $"n2").as("cos_sim"))
     Vectors.topKPerKey(scored, $"qid", $"cos_sim", $"cand_id", 5)
       .select($"qid", $"cand_id", $"rank", $"cos_sim")
-  }, Some {
-    val feats = (0 until 8).map(k =>
-      s"CAST(${hash60Sql(s"'mfeat$k:' || sha256(text)")} % 1000 AS DOUBLE) / 100.0")
-      .mkString("list_value(", ", ", ")")
-    s"""
-    WITH f AS (SELECT doc_id, $feats AS f FROM documents),
+  }, Some("""
+    WITH px AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+             CAST(doc_id % 13 + 1 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 8 NOT IN (3, 7)),
+    cells AS (
+      SELECT p.doc_id, p.w, p.h,
+        least(1, (2 * x.i) // p.w) AS cx, least(1, (2 * y.i) // p.h) AS cy,
+        (p.doc_id + 3 * x.i + 7 * y.i) % 256 AS r,
+        (2 * p.doc_id + 5 * x.i + y.i) % 256 AS g,
+        (p.doc_id + x.i + 11 * y.i) % 256 AS b
+      FROM px p, range(0, 16) x(i), range(0, 13) y(i)
+      WHERE x.i < p.w AND y.i < p.h),
+    f AS (
+      SELECT doc_id, list_value(
+        CAST(SUM(r) AS DOUBLE) / (w * h),
+        CAST(SUM(g) AS DOUBLE) / (w * h),
+        CAST(SUM(b) AS DOUBLE) / (w * h),
+        COALESCE(CAST(SUM(CASE WHEN cx = 0 AND cy = 0 THEN r + g + b END) AS DOUBLE)
+          / (3.0 * NULLIF(COUNT(CASE WHEN cx = 0 AND cy = 0 THEN 1 END), 0)), 0.0),
+        COALESCE(CAST(SUM(CASE WHEN cx = 1 AND cy = 0 THEN r + g + b END) AS DOUBLE)
+          / (3.0 * NULLIF(COUNT(CASE WHEN cx = 1 AND cy = 0 THEN 1 END), 0)), 0.0),
+        COALESCE(CAST(SUM(CASE WHEN cx = 0 AND cy = 1 THEN r + g + b END) AS DOUBLE)
+          / (3.0 * NULLIF(COUNT(CASE WHEN cx = 0 AND cy = 1 THEN 1 END), 0)), 0.0),
+        COALESCE(CAST(SUM(CASE WHEN cx = 1 AND cy = 1 THEN r + g + b END) AS DOUBLE)
+          / (3.0 * NULLIF(COUNT(CASE WHEN cx = 1 AND cy = 1 THEN 1 END), 0)), 0.0),
+        CAST(w * h AS DOUBLE)) AS f
+      FROM cells GROUP BY doc_id, w, h),
     vn AS (SELECT doc_id, f,
         list_sum(list_transform(f, x -> round(x * x * 1e12))) AS n2 FROM f),
     q AS (SELECT doc_id AS qid, f AS qf, n2 AS qn2 FROM vn WHERE doc_id < 10),
@@ -98,8 +128,7 @@ object Media {
           AS INTEGER) AS rank
       FROM sims)
     SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 5
-    ORDER BY qid, rank"""
-  },
+    ORDER BY qid, rank"""),
     sortCols = Seq("qid", "rank"))
 
   /** REAL header decode over real byte layouts (VERDICT r11 missing #3):

@@ -137,9 +137,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("minhash_pairs_verified")
     assert(!"hashpartitioning\\(doc_a#\\d+L?, doc_b#".r.unanchored.matches(p),
       "pair-keyed exchange returned (cross-band distinct shape)")
+    // exchange-count band, not an exact pin (ADVICE r14): 3 = band
+    // exchange + one sig barrier per verify side in the initial
+    // broadcast-verify plan; a stats flip to sort-merge verify adds
+    // doc-keyed exchanges without regressing the two guarded shapes, so
+    // the hard pins are the negative asserts and the band stays ≤ 3
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 3,
-      s"expected band exchange + one sig barrier per join side, found $exchanges")
+    assert(exchanges <= 3,
+      s"expected ≤ band exchange + one sig barrier per join side, found $exchanges")
     // the bucket rows must not carry the signature: the collect_set
     // struct is (i, kp) only
     assert(!"collect_set\\(struct\\([^)]*sig".r.unanchored.matches(p) &&
