@@ -48,6 +48,34 @@ object Explain {
       val secs = (System.nanoTime() - t0) / 1e9
       println(s"rows=$n wall=${math.round(secs * 100) / 100.0}s")
       println(plan.toString)
+      // per-node hot-spot table: every node whose executed metrics show
+      // bytes spilled / shuffled / broadcast — the "WHICH operator paid"
+      // answer a whole-query spill total (Bench's spill_mb) cannot give
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case o => o.children
+        }
+        p +: kids.flatMap(nodes)
+      }
+      println("\n-- node metrics (nonzero spill/shuffle/broadcast bytes) --")
+      nodes(plan).foreach { nd =>
+        val hot = nd.metrics.toSeq.filter { case (k, m) =>
+          val lk = k.toLowerCase
+          m.value > 0 && (lk.contains("spill") || lk.contains("bytes written") ||
+            lk.contains("shuffle bytes") || lk.contains("data size") ||
+            lk == "shufflebyteswritten" || lk == "datasize" || lk.contains("spilled"))
+        }
+        if (hot.nonEmpty) {
+          val mb = hot.map { case (k, m) => f"$k=${m.value / 1048576.0}%.0fMB" }
+          println(s"${nd.simpleString(100)}\n    ${mb.mkString("  ")}")
+        }
+      }
     } else df.explain("formatted")
     spark.stop()
   }

@@ -94,8 +94,13 @@ object Multimodal {
     * enumerate every pixel, varied enough to exercise non-square shapes. */
   def ruleDims(id: Long): (Int, Int) = (((id % 16) + 1).toInt, ((id % 13) + 1).toInt)
 
-  /** Encode a REAL PNG (stock JDK writer) whose pixels follow `rgb`. */
-  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+  /** Encode a REAL image through any stock-JDK writer (`png`, `gif`,
+    * `bmp`, `jpg`, ...) whose pixels follow `rgb`. Losslessness is
+    * format-dependent: PNG and 24-bit BMP round-trip any rule bit-exact;
+    * GIF is exact only when the image holds ≤ 256 distinct colors (the
+    * writer's palette can then represent every pixel); JPEG is lossy by
+    * design, so only dimensions and approximate means survive. */
+  def encodeImage(fmt: String, w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -104,9 +109,13 @@ object Multimodal {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    require(ImageIO.write(img, fmt, bos), s"no JDK writer for format '$fmt'")
     bos.toByteArray
   }
+
+  /** Encode a REAL PNG (stock JDK writer) whose pixels follow `rgb`. */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    encodeImage("png", w, h, rgb)
 
   /** In-plan synthesized asset for the `media_pixels` oracle row:
     * `id % 8 == 7` → a PNG cut off mid-header (decode must land

@@ -443,8 +443,8 @@ object DedupIndex {
     *
     * Degradation is graceful and honest: a batch large enough to hit
     * every partition reads the whole corpus again (the filter prunes
-    * nothing — the catalog regime), and the crossover is measured, not
-    * asserted (PERF.md round-14 A/B at sf1000). */
+    * nothing — the catalog regime); the crossover claim is measured by
+    * [[graft.BloomAB]] (PERF.md round-15 Bloom A/B table at sf1000). */
   def dedupBatchBloomPruned(batch: DataFrame, corpusHashesPruned: DataFrame,
       corpusBands: DataFrame, bloom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",

@@ -54,6 +54,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L).err.isEmpty && out(6L).width.contains(6) && out(6L).height.contains(4))
   }
 
+  test("decodePixels: real GIF and BMP bytes decode losslessly; JPEG dims exact, means near") {
+    // gray rule (r = g = b): ≤ 256 distinct colors, so the GIF writer's
+    // palette represents every pixel exactly; 24-bit BMP is lossless for
+    // any rule. Expected means recomputed from the rule, independent of
+    // every codec path.
+    def gray(x: Int, y: Int): Int = {
+      val v = ((5L + 3L * x + 7L * y) % 256).toInt
+      (v << 16) | (v << 8) | v
+    }
+    val (w, h) = (11, 7)
+    val exp = (for (y <- 0 until h; x <- 0 until w) yield (gray(x, y) & 0xff).toLong)
+      .sum.toDouble / (w * h)
+    for (fmt <- Seq("gif", "bmp")) {
+      val bytes = Multimodal.encodeImage(fmt, w, h, gray)
+      val f = Multimodal.decodePixels(
+        Seq(Asset(1L, bytes, AssetMeta(fmt, w, h, 0L))).toDS()).collect().head
+      assert(f.err.isEmpty, s"$fmt decode errored: ${f.err}")
+      assert(f.width.contains(w) && f.height.contains(h), s"$fmt dims")
+      assert(f.rMean.contains(exp) && f.gMean.contains(exp) && f.bMean.contains(exp),
+        s"$fmt means: got (${f.rMean}, ${f.gMean}, ${f.bMean}), want $exp")
+    }
+    // JPEG: lossy by contract — dimensions are exact, channel means land
+    // within a small codec tolerance of the rule (gray ramps compress
+    // benignly), and no err sentinel fires on a well-formed stream
+    val jb = Multimodal.encodeImage("jpg", 16, 12, gray)
+    val jexp = (for (y <- 0 until 12; x <- 0 until 16) yield (gray(x, y) & 0xff).toLong)
+      .sum.toDouble / (16 * 12)
+    val jf = Multimodal.decodePixels(
+      Seq(Asset(2L, jb, AssetMeta("jpeg", 16, 12, 0L))).toDS()).collect().head
+    assert(jf.err.isEmpty && jf.width.contains(16) && jf.height.contains(12))
+    Seq(jf.rMean, jf.gMean, jf.bMean).foreach { m =>
+      assert(m.exists(v => math.abs(v - jexp) <= 8.0),
+        s"jpeg mean $m strayed > 8 from rule mean $jexp")
+    }
+  }
+
   test("thumbGray: 2x2 box-downsample means computed from decoded pixels") {
     // 4x4 image, four uniform quadrants with known grays
     val quadGray = Array(Array(30, 60), Array(90, 120)) // [cy][cx]
