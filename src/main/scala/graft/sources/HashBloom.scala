@@ -130,6 +130,15 @@ object HashBloom {
     val h = col(hashCol)
     val idx = explode(array((0 until k).map(i =>
       bitIdx(h, i, lit(m))): _*)).as("idx")
+    // dense assembly, LINEAR in filter width: the per-bucket (word, w)
+    // pairs are collected SORTED and walked once, each pair emitting the
+    // zero-run from the previous pair's word plus its own word — O(1)
+    // try_element_at array probes, O(words) total. The previous form
+    // built a per-bucket MAP and probed it once per index; element_at on
+    // a Catalyst map is a linear key scan, so assembly was O(words²) per
+    // bucket — invisible at sf0.1 (~300 words/bucket), ~10¹¹ comparisons
+    // per bucket at sf1000 (488 k words), where the round-15 A/B build
+    // sat for 45 minutes in one task before being killed (PERF.md r15).
     val built = hashes
       .select(bucketOf(h, buckets).as("bucket"), idx)
       .select(col("bucket"), (col("idx") / 64).cast("int").as("word"),
@@ -137,10 +146,20 @@ object HashBloom {
       .groupBy(col("bucket"), col("word"))
       .agg(bit_or(col("bit")).as("w"))
       .groupBy(col("bucket"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("w")))).as("wm"))
-      .select(col("bucket"),
-        transform(sequence(lit(0), lit(words - 1)),
-          wi => coalesce(element_at(col("wm"), wi), lit(0L))).as("bits"))
+      .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("ps"))
+      .select(col("bucket"), {
+        val ps = col("ps")
+        def prevWord(i: Column) = when(i === 0, lit(-1))
+          .otherwise(try_element_at(ps, i).getField("word"))
+        val body = flatten(transform(ps, (p, i) =>
+          concat(
+            array_repeat(lit(0L), p.getField("word") - prevWord(i) - lit(1)),
+            array(p.getField("w")))))
+        val lastWord =
+          coalesce(try_element_at(ps, size(ps)).getField("word"), lit(-1))
+        concat(body,
+          array_repeat(lit(0L), lit(words) - lastWord - lit(1))).as("bits")
+      })
     // skeleton join: EVERY bucket gets a row, elements or not — an empty
     // or sparse build yields all-zero bitsets (probe = provably absent,
     // correct for an empty set) instead of missing rows that crash
