@@ -171,9 +171,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default shuffle partitions = cores (the committed-record setting).
+    // SPARK_GRAFT_SHUFFLE overrides for scale experiments: a local box
+    // emulates a big cluster's per-task memory share by raising the
+    // partition count (sort-agg spill is per-partition rows × row width;
+    // a 1000-executor cluster runs the same plan at 100× the partition
+    // count). Records taken with an override are still stamped subset.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
