@@ -28,7 +28,17 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     // native Catalyst functions (scaled_dot) — see graft.GraftExtensions
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    // let AQE convert a sort-merge join to a shuffled-hash join when the
+    // measured per-partition build side fits a local map (64 MB). Off by
+    // default in Spark (threshold 0); without it, a join whose small
+    // side outgrows the BROADCAST threshold degrades all the way to SMJ
+    // and external-sorts the BIG side — the round-15 sf1000 diagnosis
+    // found the two verified-pairs verify joins sorting the 8 GB
+    // signature frame (~14 GB of the 70 GB spill) for a pair side of
+    // 13 MB/partition. Bounded by construction: AQE converts only when
+    // the build side's runtime size fits the threshold.
+    "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold" -> "67108864")
 
   /** One driver table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
