@@ -25,9 +25,12 @@ object Explain {
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same scale-experiment override as Bench: emulate a bigger cluster's
+    // partition count without changing the local core count
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

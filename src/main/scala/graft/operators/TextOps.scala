@@ -251,13 +251,18 @@ object TextOps {
     // this the gram distinct + the two intersection joins each shuffle
     // one row per corpus TOKEN — at the r11 sf100 run that was 11 GB of
     // shuffle spilling 140 GB, for grams of docs no pair references.
-    // No broadcast hint: the pair-doc set scales with the near-dup rate,
-    // not the corpus, but it is still corpus-derived — the r07 rule. AQE
-    // converts the semi-join to a broadcast at runtime when the measured
-    // side is small, and degrades to a shuffled join when it isn't.
+    // SHUFFLE_HASH, not broadcast and not unhinted (r15): the pair-doc
+    // set scales with the near-dup rate, not the corpus, but it is
+    // corpus-derived (the r07 no-broadcast-hint rule) — and at the
+    // fourth decade it crosses the 10 MB AQE broadcast threshold, so
+    // the unhinted plan degraded to a sort-merge join that SORTED the
+    // full-text corpus rows: sort width = the document payload, the
+    // pair family's recurring anti-pattern, and the bulk of
+    // pair_jaccard's 238 GB sf1000 spill (PERF.md round-15 diagnosis).
+    // The hash join streams the corpus and builds only the id set.
     val pairDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
-    val pairMembers = df.join(pairDocs, Seq(idCol), "left_semi")
+    val pairMembers = df.join(pairDocs.hint("shuffle_hash"), Seq(idCol), "left_semi")
     // per-doc DISTINCT gram set as ONE sorted array row (collect_set =
     // the distinct; ~8 B per distinct gram, so a doc's row is KBs). The
     // intersection then joins pairs to two doc-keyed array frames and
@@ -369,21 +374,44 @@ object TextOps {
       // exchange — vs the one-pass form's single scan but 4× signature
       // weight through the band exchange and a signature-wide external
       // sort in the grouping.
-      // narrow FIRST: the barrier's distinct must see exactly (id, sig)
-      // — distinct over a wider caller frame would multiply verify-join
-      // rows per extra-column combination (ADVICE r14)
-      val sigsB = sigs.select(col(idCol), col("sig")).distinct()
       val cand = minhashCandidatePairs(
         bandTableFromSignatures(sigs, idCol, hashFn, keepKeyPrefix = true),
         idCol)
-      cand
+      // candidate-pair REUSE BARRIER (the pairJaccard precedent): the
+      // frame is now consumed three times — the verify chain plus the
+      // two member-id projections below — and the first-band generator
+      // emits each pair exactly once, so distinct() dedups nothing; it
+      // only pins one shared derivation of the candidate pipeline.
+      val candB = cand.distinct()
+      // ONLY pair members need signatures in the verify joins: the r15
+      // fourth-decade diagnosis (PERF.md) showed the corpus-wide
+      // (id, sig) barrier cost 10.3 GB of distinct-aggregate spill plus
+      // 14 GB of verify-join SMJ sorts at sf1000 — for 50 M signatures
+      // of which ~2 M belong to any candidate pair. Semi-join the
+      // signature frame down to candidate members FIRST (SHUFFLE_HASH:
+      // the member-id set is near-dup-rate-sized but over the 10 MB AQE
+      // broadcast threshold at the fourth decade, and an unhinted plan
+      // degrades to sorting the corpus-wide signature frame), then
+      // barrier the near-dup-rate-sized remainder.
+      val memberIds = candB.select(col("doc_a").as(idCol))
+        .union(candB.select(col("doc_b").as(idCol))).distinct()
+      // narrow FIRST: the barrier's distinct must see exactly (id, sig)
+      // — distinct over a wider caller frame would multiply verify-join
+      // rows per extra-column combination (ADVICE r14)
+      val sigsB = sigs.select(col(idCol), col("sig"))
+        .join(memberIds.hint("shuffle_hash"), Seq(idCol), "left_semi")
+        .distinct()
+      candB
         .join(sigsB.select(col(idCol).as("doc_a"), col("sig").as("_sa")), Seq("doc_a"))
         .join(sigsB.select(col(idCol).as("doc_b"), col("sig").as("_sb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           sigAgreement(col("_sa"), col("_sb")).as("n_eq"))
         .filter(col("n_eq") >= minEqual)
     } else {
-      val buckets = bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true)
+      // singleton buckets pruned here too: the census is even more
+      // valuable when the bucket rows carry 128 B signatures
+      val buckets = pruneSingletonBuckets(
+          bandTableFromSignatures(sigs, idCol, hashFn, keepSig = true))
         .groupBy(col("band"), col("band_key"))
         .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("sig").as("g")))).as("ds"))
         .filter(size(col("ds")) > 1)
@@ -472,18 +500,19 @@ object TextOps {
   def minhashCandidatePairs(bandTable: DataFrame, idCol: String,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val isLong = bandTable.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val pruned = pruneSingletonBuckets(bandTable)
     // a band table carrying the `kp` band-key prefix (see
     // [[bandTableFromSignatures]]) takes the generator's first-band
     // form: one emission per pair, no cross-band `distinct()` — same
     // contract and same guard caveat as [[verifiedPairsFromSignatures]]
     if (isLong && maxBucketSize.isEmpty && bandTable.columns.contains("kp")) {
-      bandTable
+      pruned
         .groupBy(col("band"), col("band_key"))
         .agg(sort_array(collect_set(struct(col(idCol).as("i"), col("kp")))).as("ds"))
         .filter(size(col("ds")) > 1)
         .select(call_function("bucket_pairs", col("ds")))
     } else {
-      val buckets = bandTable
+      val buckets = pruned
         .groupBy(col("band"), col("band_key"))
         .agg(sort_array(collect_set(col(idCol))).as("ids"))
         .filter(size(col("ids")) > 1)
@@ -495,6 +524,41 @@ object TextOps {
         else candidatePairsHof(buckets)
       expanded.distinct()
     }
+  }
+
+  /** Drops band rows whose (band, band_key) bucket has a single member —
+    * rows that can never emit a pair — BEFORE any bucket-materializing
+    * aggregate sees them. This is the round-15 fix for the fourth-decade
+    * pair-family spill (PERF.md): LSH buckets are near-all singletons
+    * (sf1000: 2.5 M pairs from 200 M band rows), yet every row used to
+    * enter the `collect_set` ObjectHashAggregate, whose 128-group
+    * sort-based fallback externally sorted the FULL band stream twice —
+    * 46 GB of the 70 GB `minhash_pairs_verified` spill.
+    *
+    * The census is a fixed-width `count` HashAggregate over the 12 B
+    * (band, band_key) keys — `UnsafeFixedWidthAggregationMap`, no object
+    * buffers, spill-efficient sorted-run merge — and row-count ≥ 2 is a
+    * NECESSARY condition for distinct-member-count ≥ 2, so the
+    * downstream `size(ds) > 1` filters keep the semantics bit-identical
+    * on any input (BucketPairsSpec / TextOpsSpec differentials pin it).
+    * The semi-join takes the SHUFFLE_HASH hint: the multi-bucket key set
+    * is near-dup-rate-sized but corpus-DERIVED, so above the 10 MB AQE
+    * broadcast threshold at the fourth decade — unhinted, the planner
+    * degrades to a sort-merge join that re-sorts the band stream, which
+    * is the exact spill this helper exists to remove. SHJ shuffles both
+    * sides on (band, band_key) — the partitioning the downstream bucket
+    * aggregate needs anyway, so the probe-side exchange replaces, not
+    * adds to, the aggregate's — and builds only the small key set.
+    * Cost: the band table (scan + minhash kernel) is computed twice
+    * (census + probe); at the fourth decade that CPU re-spend bought
+    * 46 GB of per-query scratch disk (PERF.md round-15 before/after). */
+  private[graft] def pruneSingletonBuckets(bandTable: DataFrame): DataFrame = {
+    val multi = bandTable
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("band"), col("band_key"))
+    bandTable.join(multi.hint("shuffle_hash"), Seq("band", "band_key"), "left_semi")
   }
 
   /** Generic HOF form of [[minhashCandidatePairs]]'s expansion (and its

@@ -12,6 +12,18 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     df(name).queryExecution.executedPlan.toString
 
+  /** The FINAL adaptive plan (initial-plan section stripped): runs the
+    * query (sf0.001 — cheap) so runtime exchange reuse is visible.
+    * Static text replicates shared subtrees that AQE's stage cache
+    * dedups, so reuse claims can only be pinned here. */
+  private def finalPlan(name: String): String = {
+    val frame = df(name)
+    frame.collect() // same QueryExecution — a write would plan a fresh one
+    val s = frame.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
   /** Build `body` with the given confs set, restoring previous values. */
   private def withConfs[A](confs: (String, String)*)(body: => A): A = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -110,41 +122,61 @@ class PlanSpec extends SparkSpec {
       "bucket-group pairing shape lost")
   }
 
-  test("minhash_pairs: first-band emission leaves ONE exchange (no pair distinct)") {
+  test("minhash_pairs: first-band emission + singleton census leave TWO exchanges") {
     // the generator's first-band form makes pairs globally unique at
-    // generation, so the only exchange left is the (band, band_key)
-    // bucket group-by — the old pair-multiset distinct was a second
-    // full shuffle of every emitted pair (2×5.6 GB of sf100 spill,
-    // round-12 census)
+    // generation (no pair-multiset distinct — that was 2×5.6 GB of
+    // sf100 spill, round-12 census), and the round-15 singleton-bucket
+    // census adds exactly ONE more exchange: the fixed-width
+    // (band, band_key) count whose surviving keys semi-join the band
+    // stream before the collect_set aggregate (46 GB of the sf1000
+    // spill — PERF.md round-15 diagnosis). The semi-join must be the
+    // hinted hash join: a sort-merge semi would re-sort the band
+    // stream, which is the spill the census exists to remove.
     val p = plan("minhash_pairs")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1,
-      s"minhash_pairs: expected exactly the bucket-group exchange, found $exchanges")
+    assert(exchanges == 2,
+      s"minhash_pairs: expected bucket-group + census exchanges, found $exchanges")
+    assert("ShuffledHashJoin.*LeftSemi".r.unanchored.matches(p) ||
+      "LeftSemi, BuildRight".r.unanchored.matches(p),
+      "singleton-bucket census semi-join lost or degraded from hash join")
+    assert("count\\(1\\)".r.unanchored.matches(p),
+      "census count aggregate missing")
+    assert(!"hashpartitioning\\(doc_a#\\d+L?, doc_b#".r.unanchored.matches(p),
+      "pair-keyed exchange returned (cross-band distinct shape)")
   }
 
   test("minhash_pairs_verified: sig-join form — light buckets, no pair-keyed or sig-wide shuffle") {
-    // round-14 shape: candidates come from (id, kp)-only bucket rows
-    // (the minhash_pairs grouping, zero spill through sf100) and
-    // verification joins the barriered (id, sig) frame per member. The
-    // shuffles are exactly: the band bucket group-by plus the sig
-    // barrier under each verify-join side (materialized once, reused at
-    // runtime — the exec plan shows one ReusedExchange + one shared
-    // BroadcastExchange). What must NEVER return: a pair-keyed exchange
-    // (the old cross-band distinct) or the signature riding in the
-    // bucket rows (the one-pass form whose grouping sort was linear in
-    // sig bytes — 8.7 GB local spill at sf100, past the box's disk one
-    // decade up).
-    val p = plan("minhash_pairs_verified")
-    assert(!"hashpartitioning\\(doc_a#\\d+L?, doc_b#".r.unanchored.matches(p),
-      "pair-keyed exchange returned (cross-band distinct shape)")
-    // exchange-count band, not an exact pin (ADVICE r14): 3 = band
-    // exchange + one sig barrier per verify side in the initial
-    // broadcast-verify plan; a stats flip to sort-merge verify adds
-    // doc-keyed exchanges without regressing the two guarded shapes, so
-    // the hard pins are the negative asserts and the band stays ≤ 3
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3,
-      s"expected ≤ band exchange + one sig barrier per join side, found $exchanges")
+    // round-15 shape: candidates come from (id, kp)-only bucket rows
+    // census-pruned of singleton buckets, barriered ONCE (the
+    // candidate distinct — its exchange is reused by both member-id
+    // subtrees), and verification joins a signature frame that is
+    // semi-pruned to candidate members BEFORE its (id, sig) distinct
+    // (the corpus-wide barrier cost 10.3 GB of aggregate spill plus
+    // 14 GB of verify SMJ sorts at sf1000 — PERF.md round-15). What
+    // must NEVER return: the signature riding in the bucket rows (the
+    // one-pass form whose grouping sort was linear in sig bytes), a
+    // second pair-keyed exchange (the old cross-band distinct ON TOP
+    // of the barrier), or an unpruned corpus-wide sig distinct.
+    val p = finalPlan("minhash_pairs_verified")
+    // exactly ONE materialized pair-keyed exchange: the candidate reuse
+    // barrier — every other consumer is a runtime ReusedExchange (whose
+    // line NAMES the reused exchange, so count lines, not substrings)
+    val pairKeyed = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_a") && !l.contains("ReusedExchange"))
+    assert(pairKeyed == 1,
+      s"expected exactly the candidate barrier exchange, found $pairKeyed")
+    assert("ReusedExchange \\[doc_a#".r.unanchored.matches(p),
+      "candidate barrier not reused by the member-id subtrees")
+    // the sig frame is semi-pruned to candidate members before distinct
+    assert("LeftSemi".r.unanchored.matches(p),
+      "member-id semi-prune of the signature frame lost")
+    // materialized doc_id-keyed exchanges: the signature scan + the
+    // member-id distinct, each built once and reused by the second
+    // verify side
+    val sigExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id") && !l.contains("ReusedExchange"))
+    assert(sigExchanges <= 2,
+      s"signature/member-id exchanges multiplied, found $sigExchanges")
     // the bucket rows must not carry the signature: the collect_set
     // struct is (i, kp) only
     assert(!"collect_set\\(struct\\([^)]*sig".r.unanchored.matches(p) &&
