@@ -324,13 +324,36 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    val planBytes: Map[String, graft.plans.PlanMetrics.Bytes] =
+    // Two meters per query: the executed-plan read (comparable across
+    // every prior round's record) and a scoped task-level listener that
+    // ALSO counts jobs driven during DataFrame construction — the
+    // iterative operators (dup_clusters' connected-components rounds)
+    // whose shuffles the plan read reports as 0 (the r15 sf1000
+    // campaign's empty dup_clusters byte maps).
+    val measured: Map[String, (graft.plans.PlanMetrics.Bytes,
+        graft.plans.PlanMetrics.Bytes)] =
       if (!wantMetrics) Map.empty
       else qs.flatMap { q =>
         dropStorage()
-        try Some(q.name -> graft.plans.PlanMetrics.measure(q.run(spark, sfDir)))
-        catch { case _: Throwable => None }
+        val (planB, taskB) = graft.plans.PlanMetrics.measureTasks(spark) {
+          try Some(graft.plans.PlanMetrics.measure(q.run(spark, sfDir)))
+          catch { case _: Throwable => None }
+        }
+        planB.map(b => q.name -> (b, taskB))
       }.toMap
+    val planBytes: Map[String, graft.plans.PlanMetrics.Bytes] =
+      measured.view.mapValues(_._1).toMap
+    // task-level totals, recorded only where they materially exceed the
+    // plan read (>20 % and >100 MB) — i.e. where construction-time jobs
+    // would otherwise go unmeasured
+    val taskBytes: Map[String, graft.plans.PlanMetrics.Bytes] =
+      measured.collect {
+        case (k, (p, t))
+            if (t.shuffleWrite > p.shuffleWrite * 1.2 &&
+              t.shuffleWrite - p.shuffleWrite > (100L << 20)) ||
+              (t.spill > p.spill * 1.2 && t.spill - p.spill > (100L << 20)) =>
+          k -> t
+      }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -421,7 +444,21 @@ object Bench {
           planBytes.get(k).filter(_.spill > 0).map(b => s"${jstr(k)}:${mb(b.spill)}")
         }
         val spJson = if (spills.isEmpty) "" else s""","spill_mb":${spills.mkString("{", ",", "}")}"""
-        s""","shuffle_mb":$sh$spJson"""
+        // task-level totals for queries whose construction-time jobs the
+        // plan read missed (see taskBytes above): "all" = every task the
+        // query's execution ran, iterations included
+        val shAll = results.flatMap { case (k, _, _, _) =>
+          taskBytes.get(k).map(b => s"${jstr(k)}:${mb(b.shuffleWrite)}")
+        }
+        val spAll = results.flatMap { case (k, _, _, _) =>
+          taskBytes.get(k).filter(_.spill > 0).map(b => s"${jstr(k)}:${mb(b.spill)}")
+        }
+        val allJson =
+          (if (shAll.isEmpty) ""
+           else s""","shuffle_all_mb":${shAll.mkString("{", ",", "}")}""") +
+            (if (spAll.isEmpty) ""
+             else s""","spill_all_mb":${spAll.mkString("{", ",", "}")}""")
+        s""","shuffle_mb":$sh$spJson$allJson"""
       }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$load,"calib_sec":${r3(

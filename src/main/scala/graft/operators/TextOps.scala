@@ -334,23 +334,24 @@ object TextOps {
     // linear in SIGNATURE bytes — 8.7 GB of local spill per heavy pair
     // row at sf100 (PERF.md round-15 pair-family table; the sf1000
     // projection of that shape, ~10×, exceeds the measurement box's
-    // free disk). This form pays the signature weight through ONE
-    // (id, sig) barrier exchange in the broadcast-verify regime; when
-    // AQE degrades the verify joins to shuffled joins, hashpartitioning
-    // on (id, sig) does not satisfy the doc_a/doc_b keys, so each
-    // degraded side re-shuffles the signature frame once more on top of
-    // the barrier (still kp-only through the BAND exchange either way —
-    // the bucket grouping sorts 12 B/row of kp instead of 128 B/row of
-    // signature, the minhash_pairs shape, whose spill was ZERO at
-    // sf100).
+    // free disk). The signature frame crosses the network exactly once
+    // on its doc-id-keyed member-prune exchange — and because that
+    // exchange IS doc-keyed, it satisfies the verify joins' doc_a/doc_b
+    // requirements directly, so even when AQE degrades the verify joins
+    // from broadcast to shuffled, the signature side needs no further
+    // exchange (this closes the r14 degraded-mode caveat the ADVICE
+    // flagged: the old barrier hashed on (id, sig), which satisfied
+    // neither join). The band path stays kp-only either way — the
+    // bucket grouping sorts 12 B/row of kp, never 128 B of signature.
     //
-    // The verify sides share ONE barriered (id, sig) frame (the r12b
-    // lesson: multi-consumed expensive frames need an aggregate, not a
-    // repartition): its exchange + broadcast materialize once and both
-    // joins reuse them. The verify joins themselves carry the
-    // near-dup-rate-sized pair frame — AQE broadcasts it while small and
-    // degrades to doc-keyed shuffled joins when it isn't; either way
-    // per-pair state is two bounded arrays, never a bucket-wide sort.
+    // The verify sides share ONE barriered, member-pruned (id, sig)
+    // frame (the r12b lesson: multi-consumed expensive frames need an
+    // aggregate, not a repartition): its exchange + broadcast
+    // materialize once and both joins reuse them. The verify joins
+    // themselves carry the near-dup-rate-sized pair frame — AQE
+    // broadcasts it while small and degrades to doc-keyed shuffled
+    // joins when it isn't; either way per-pair state is two bounded
+    // arrays, never a bucket-wide sort.
     //
     // The first-band rule needs EVERY bucket of a pair's collision set
     // present: under a `maxBucketSize` guard a pair whose first band was
@@ -359,21 +360,20 @@ object TextOps {
     // types keep the generic HOF expansion + distinct (TextOpsSpec and
     // BucketPairsSpec pin all forms set-equal on long keys).
     if (isLong && maxBucketSize.isEmpty) {
-      // candidates straight from `sigs` — the band (band, band_key)
-      // exchange is the only shuffle on that path and its rows carry
-      // 12 B of kp, not 128 B of signature. The verify joins read from
-      // a SEPARATE barriered copy: distinct(), not
+      // candidates straight from `sigs` — census-pruned band rows
+      // carrying 12 B of kp, not 128 B of signature. The verify joins
+      // read from a SEPARATE barriered copy: distinct(), not
       // groupBy(id).agg(first(sig)) — First over an array type has no
       // fixed-width aggregate buffer, compiles to SortAggregate, and
       // full-sorts the corpus per consumer; a grouping-only aggregate
       // carries no buffer, stays HashAggregateExec, and its exchange +
       // broadcast are materialized once and REUSED by both join sides
       // (exec-plan verified: one BroadcastExchange, the second side a
-      // ReusedExchange). Net corpus cost: two scans + kernel passes
-      // (band path, join path), one light band exchange, one (id, sig)
-      // exchange — vs the one-pass form's single scan but 4× signature
-      // weight through the band exchange and a signature-wide external
-      // sort in the grouping.
+      // ReusedExchange). Net corpus cost: three scans + kernel passes
+      // (census, band probe, sig path), one light band exchange, one
+      // doc-keyed sig exchange — extra CPU passes vs the one-pass
+      // form's single scan, bought back at scale by removing every
+      // corpus-volume external sort (PERF.md round-15 before/after).
       val cand = minhashCandidatePairs(
         bandTableFromSignatures(sigs, idCol, hashFn, keepKeyPrefix = true),
         idCol)

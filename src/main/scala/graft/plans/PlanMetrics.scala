@@ -102,4 +102,55 @@ object PlanMetrics {
     (p +: kids.flatMap(allNodes)) ++
       p.subqueries.flatMap(allNodes) // scalar/IN subqueries shuffle too
   }
+
+  /** Task-level byte totals for EVERYTHING the session runs inside
+    * `body`, via a scoped [[org.apache.spark.scheduler.SparkListener]].
+    * Complements [[measure]]'s executed-plan read, which by design sees
+    * only the final plan's metrics: a query that drives eager jobs
+    * while CONSTRUCTING its DataFrame (the iterative
+    * connected-components rounds localCheckpoint per iteration) reports
+    * those jobs' shuffles as 0 there — the round-15 sf1000 campaign
+    * recorded `dup_clusters` with empty byte maps for exactly this
+    * reason. Here the listener sums `shuffleWriteMetrics.bytesWritten`
+    * and `memoryBytesSpilled` (the same in-memory-size semantics as the
+    * SQL `spillSize` metric) across every completed task.
+    *
+    * Listener-bus delivery is asynchronous, so after `body` returns the
+    * totals are polled to quiescence (no new task-end event for 3
+    * consecutive 50 ms polls, bounded at 10 s) before being read —
+    * callers run queries serially (the Bench metrics pass), so
+    * attribution is by construction, not by tag. */
+  def measureTasks[A](spark: org.apache.spark.sql.SparkSession)(
+      body: => A): (A, Bytes) = {
+    import java.util.concurrent.atomic.AtomicLong
+    val sc = spark.sparkContext
+    val shuffle = new AtomicLong
+    val spill = new AtomicLong
+    val events = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.memoryBytesSpilled)
+        }
+        events.incrementAndGet()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val a = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        val now = events.get
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(50)
+        waited += 50
+      }
+      (a, Bytes(shuffle.get, spill.get))
+    } finally sc.removeSparkListener(listener)
+  }
 }

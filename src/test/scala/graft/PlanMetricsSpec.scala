@@ -78,4 +78,22 @@ class PlanMetricsSpec extends SparkSpec {
       assert(b.spill > 0, "forced window spill not measured")
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("measureTasks counts construction-time jobs the plan read misses") {
+    // the dup_clusters shape in miniature: an eager shuffling job runs
+    // while the frame is CONSTRUCTED (here: a localCheckpoint of an
+    // aggregate, as the connected-components rounds do), then the
+    // returned frame itself is narrow. The executed-plan read sees only
+    // the final narrow plan (shuffle 0); the task-level listener must
+    // see the construction shuffle too.
+    val df = spark.range(100000).select((col("id") % 1013).as("k"), col("id").as("v"))
+    val (planB, taskB) = PlanMetrics.measureTasks(spark) {
+      val landed = df.groupBy("k").sum("v").localCheckpoint()
+      PlanMetrics.measure(landed.select((col("k") * 2).as("k2")))
+    }
+    assert(planB.shuffleWrite == 0,
+      s"fixture broke: final plan should be narrow, saw ${planB.shuffleWrite} B")
+    assert(taskB.shuffleWrite > 0,
+      "construction-time shuffle invisible to the task listener")
+  }
 }
