@@ -535,30 +535,32 @@ object TextOps {
     * sort-based fallback externally sorted the FULL band stream twice —
     * 46 GB of the 70 GB `minhash_pairs_verified` spill.
     *
-    * The census is a fixed-width `count` HashAggregate over the 12 B
-    * (band, band_key) keys — `UnsafeFixedWidthAggregationMap`, no object
-    * buffers, spill-efficient sorted-run merge — and row-count ≥ 2 is a
+    * Shape matters more than operator choice here, and the first
+    * attempt proved it: a separate fixed-width `count` aggregate +
+    * semi-join census REPLACED the 46 GB with 34 GB of its own spill
+    * (partial 16.4 + final 17.7 GB, measured at sf1000 — PERF.md), plus
+    * a second scan + kernel pass, because ANY full-stream aggregate
+    * over ~200 M near-unique keys externally sorts ~the stream under a
+    * per-task memory share, and partial aggregation — which reduces
+    * nothing when keys are near-unique — pays that sort twice. The
+    * floor is ONE grouping pass, so the census is a window count over
+    * the bucket key: one exchange (the same partitioning the downstream
+    * bucket aggregate needs — it follows exchange-free), ONE sort of
+    * the band stream (the only full-stream operation; its width is the
+    * bounded ≤3-long kp prefix, never a text/signature payload), a
+    * streaming per-bucket count, and the singleton filter inside the
+    * same pass. The surviving multi-bucket rows (near-dup-rate-sized)
+    * are all the object aggregate ever sees. Row-count ≥ 2 is a
     * NECESSARY condition for distinct-member-count ≥ 2, so the
-    * downstream `size(ds) > 1` filters keep the semantics bit-identical
-    * on any input (BucketPairsSpec / TextOpsSpec differentials pin it).
-    * The semi-join takes the SHUFFLE_HASH hint: the multi-bucket key set
-    * is near-dup-rate-sized but corpus-DERIVED, so above the 10 MB AQE
-    * broadcast threshold at the fourth decade — unhinted, the planner
-    * degrades to a sort-merge join that re-sorts the band stream, which
-    * is the exact spill this helper exists to remove. SHJ shuffles both
-    * sides on (band, band_key) — the partitioning the downstream bucket
-    * aggregate needs anyway, so the probe-side exchange replaces, not
-    * adds to, the aggregate's — and builds only the small key set.
-    * Cost: the band table (scan + minhash kernel) is computed twice
-    * (census + probe); at the fourth decade that CPU re-spend bought
-    * 46 GB of per-query scratch disk (PERF.md round-15 before/after). */
+    * downstream `size(ds) > 1` filters keep semantics bit-identical on
+    * any input (BucketPairsSpec / TextOpsSpec differentials pin it). */
   private[graft] def pruneSingletonBuckets(bandTable: DataFrame): DataFrame = {
-    val multi = bandTable
-      .groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1)
-      .select(col("band"), col("band_key"))
-    bandTable.join(multi.hint("shuffle_hash"), Seq("band", "band_key"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    bandTable
+      .withColumn("_bn", count(lit(1)).over(w))
+      .filter(col("_bn") > 1)
+      .drop("_bn")
   }
 
   /** Generic HOF form of [[minhashCandidatePairs]]'s expansion (and its

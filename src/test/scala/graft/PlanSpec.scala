@@ -122,25 +122,22 @@ class PlanSpec extends SparkSpec {
       "bucket-group pairing shape lost")
   }
 
-  test("minhash_pairs: first-band emission + singleton census leave TWO exchanges") {
+  test("minhash_pairs: first-band emission + in-sort singleton census, ONE exchange") {
     // the generator's first-band form makes pairs globally unique at
     // generation (no pair-multiset distinct — that was 2×5.6 GB of
     // sf100 spill, round-12 census), and the round-15 singleton-bucket
-    // census adds exactly ONE more exchange: the fixed-width
-    // (band, band_key) count whose surviving keys semi-join the band
-    // stream before the collect_set aggregate (46 GB of the sf1000
-    // spill — PERF.md round-15 diagnosis). The semi-join must be the
-    // hinted hash join: a sort-merge semi would re-sort the band
-    // stream, which is the spill the census exists to remove.
+    // census is a WINDOW count inside the bucket exchange's sort — the
+    // only exchange in the plan, whose partitioning the downstream
+    // collect_set aggregate then rides exchange-free. What must not
+    // return: a second full-stream aggregate (the count+semi-join
+    // census form re-spilled 34 GB at sf1000 — PERF.md round-15), or a
+    // pair-keyed exchange (the old cross-band distinct).
     val p = plan("minhash_pairs")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 2,
-      s"minhash_pairs: expected bucket-group + census exchanges, found $exchanges")
-    assert("ShuffledHashJoin.*LeftSemi".r.unanchored.matches(p) ||
-      "LeftSemi, BuildRight".r.unanchored.matches(p),
-      "singleton-bucket census semi-join lost or degraded from hash join")
-    assert("count\\(1\\)".r.unanchored.matches(p),
-      "census count aggregate missing")
+    assert(exchanges == 1,
+      s"minhash_pairs: expected only the bucket exchange, found $exchanges")
+    assert("Window \\[count".r.unanchored.matches(p),
+      "in-sort singleton census window lost")
     assert(!"hashpartitioning\\(doc_a#\\d+L?, doc_b#".r.unanchored.matches(p),
       "pair-keyed exchange returned (cross-band distinct shape)")
   }
