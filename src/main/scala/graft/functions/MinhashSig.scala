@@ -100,6 +100,63 @@ object MinhashSig {
     })
 }
 
+/** Per-row sorted DISTINCT 3-shingle hash set — the exact per-doc gram
+  * array `pairJaccard` previously built as
+  * `ngramHashRows → collect_set → sort_array`: one codegen'd call per
+  * row, no shingle explosion, no aggregate, no shuffle. The aggregate
+  * form was the last full-stream spiller in the pair family at the
+  * fourth decade (PERF.md round-15: ObjectHashAggregate's 128-group
+  * fallback sorts the exploded member-gram stream twice — the same
+  * near-unique-key partial-aggregation tax the window census removed
+  * from the bucket stage). Hash domain, shingle shape (3-word,
+  * whole-doc collapse for short docs, null-token skip), sort order,
+  * and distinctness are bit-identical to the exploded form
+  * (GramSetSpec differential), so the DuckDB oracle is untouched.
+  * Registered as `gram_set` (md5) and `gram_set_xx` (xxhash64). */
+case class GramSet(child: Expression, useXx: Boolean)
+    extends UnaryExpression {
+
+  override def prettyName: String = if (useXx) "gram_set_xx" else "gram_set"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.gramSet(input.asInstanceOf[ArrayData], useXx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinhashKernel.gramSet($a, $useXx);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramSet =
+    copy(child = newChild)
+}
+
+object GramSet {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram_set"),
+    new ExpressionInfo(classOf[GramSet].getName, "gram_set"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"gram_set expects 1 argument, got ${children.size}")
+      GramSet(children.head, useXx = false)
+    })
+
+  val descriptorXx: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram_set_xx"),
+    new ExpressionInfo(classOf[GramSet].getName, "gram_set_xx"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"gram_set_xx expects 1 argument, got ${children.size}")
+      GramSet(children.head, useXx = true)
+    })
+}
+
 /** The per-row loop behind [[MinhashSig]] — kept as plain JVM code
   * (called once per row from generated code) rather than inlined Janino
   * so the md5 path can use `java.security.MessageDigest` directly. */
@@ -132,6 +189,27 @@ object MinhashKernel {
       fold(mins, hashShingle(toks, 0, n, useXx))
     }
     new GenericArrayData(mins)
+  }
+
+  /** Sorted distinct shingle-hash array for one document's token array
+    * (see [[GramSet]]); same shingle walk as [[sig]], collected instead
+    * of folded through the permutations. */
+  def gramSet(toks: ArrayData, useXx: Boolean): ArrayData = {
+    val n = toks.numElements()
+    val m = if (n >= 3) n - 2 else 1
+    val hs = new Array[Long](m)
+    if (n >= 3) {
+      var i = 0
+      while (i <= n - 3) { hs(i) = hashShingle(toks, i, 3, useXx); i += 1 }
+    } else hs(0) = hashShingle(toks, 0, n, useXx)
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
   }
 
   /** h = hash(join of toks[start, start+len) with single spaces) mod P.

@@ -263,22 +263,25 @@ object TextOps {
     val pairDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
     val pairMembers = df.join(pairDocs.hint("shuffle_hash"), Seq(idCol), "left_semi")
-    // per-doc DISTINCT gram set as ONE sorted array row (collect_set =
-    // the distinct; ~8 B per distinct gram, so a doc's row is KBs). The
-    // intersection then joins pairs to two doc-keyed array frames and
+    // per-doc DISTINCT gram set as ONE sorted array row, computed by
+    // the per-row [[graft.functions.GramSet]] kernel: a narrow
+    // zero-exchange projection — no gram explosion, no aggregate. The
+    // r14 form built the same array with ngramHashRows → collect_set →
+    // sort_array, and at sf1000 that aggregate was the family's last
+    // full-stream spiller (PERF.md round-15: the object aggregate's
+    // 128-group fallback sorts the exploded member-gram stream twice).
+    // The intersection joins pairs to two doc-keyed array frames and
     // counts `array_intersect` INSIDE the row — no (doc, gram) exploded
-    // join anywhere. The previous shape joined the pair frame to the
-    // exploded gram rows (one row per member TOKEN, replicated per pair
-    // membership) and sort-merge-grouped that: linear like this form,
-    // but with a token-count constant — at sf1000 its sort stages
-    // needed more spill disk than the whole box had free (round-14
-    // PERF.md), while the array form's per-pair state is two bounded
-    // arrays. Union/intersection semantics are unchanged
-    // (distinct hashed grams), so the DuckDB oracle is untouched.
-    val gramArr = ngramHashRows(pairMembers, idCol, textCol, n = 3,
-      hashFn = h => pmod(hash60(h), lit(P)))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("gram_hash"))).as("ghs"))
+    // join anywhere; per-pair state is two bounded arrays. Hash domain
+    // and shingle shape are bit-identical to the exploded form
+    // (GramSetSpec differential), so the DuckDB oracle is untouched.
+    // The coalesce reproduces the exploded form's null-text behavior
+    // (one whole-doc empty-string gram, same as minhashSignatures);
+    // like the kernel simhash, duplicate ids stay row-per-row where
+    // groupBy merged them — identical on unique-keyed tables.
+    val gramArr = pairMembers.select(col(idCol),
+      call_function("gram_set",
+        coalesce(tokens(col(textCol)), array(lit("")))).as("ghs"))
     val ni = size(array_intersect(col("_ga"), col("_gb"))).cast("long")
     val na = size(col("_ga")).cast("long")
     val nb = size(col("_gb")).cast("long")

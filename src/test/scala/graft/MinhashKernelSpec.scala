@@ -86,4 +86,44 @@ class MinhashKernelSpec extends SparkSpec {
       .orderBy($"doc_id", $"band").collect().toSeq
     assert(viaKernel == viaExploded)
   }
+
+  test("gram_set kernel == exploded collect_set form on edge shapes + corpus") {
+    // the pairJaccard gram stage's differential: the per-row kernel
+    // must reproduce ngramHashRows → collect_set → sort_array exactly —
+    // hash domain (pmod(hash60, P)), 3-shingle walk, whole-doc collapse,
+    // within-doc dedup, ascending order — including the null-text row
+    // (exploded form hashes the "" gram via its otherwise-branch; the
+    // kernel path reaches the same "" through the coalesce in
+    // pairJaccard, reproduced here)
+    val rnd = new scala.util.Random(13L)
+    val words = Vector("the", "of", "spark", "data", "dup", "hash")
+    val corpus = (100L to 250L).map { id =>
+      (id, Seq.fill(rnd.nextInt(60))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = (edge ++ corpus).toDF("doc_id", "text").repartition(5)
+    val viaKernel = df.select(col("doc_id"),
+        call_function("gram_set",
+          coalesce(TextOps.tokens(col("text")), array(lit("")))).as("ghs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExploded = TextOps.ngramHashRows(df, "doc_id", "text", n = 3,
+        hashFn = h => pmod(graft.queries.hash60(h), lit(TextOps.P)))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("gram_hash"))).as("ghs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel.keySet == viaExploded.keySet)
+    for ((id, ghs) <- viaExploded) assert(viaKernel(id) == ghs, s"doc $id")
+  }
+
+  test("gram-array build is a narrow zero-exchange projection") {
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("tok"), col("id").cast("string"),
+        lit("alpha beta gamma delta")).as("text"))
+    val plan = df.select(col("doc_id"),
+        call_function("gram_set",
+          coalesce(TextOps.tokens(col("text")), array(lit("")))).as("ghs"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "gram-array build shuffles")
+    assert(!plan.contains("Aggregate"), "gram-array build aggregates")
+    assert(plan.contains("*(1) Project"), s"not codegen-fused:\n$plan")
+  }
 }
