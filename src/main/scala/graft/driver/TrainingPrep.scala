@@ -60,25 +60,48 @@ object TrainingPrep {
       .filter(col("_n") > 1).drop("_n")
       .repartition(hashed.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
-    val exactDrops = narrowPairs.join(dupHashes, "content_hash")
-      .filter(col(idCol) =!= col("_keep")).select(col(idCol))
-    val exactDeduped = hashed.join(exactDrops, Seq(idCol), "left_anti")
+    // the dup-rate-sized drop set is MATERIALIZED (the r15 sf1000 job
+    // attribution: `exactDeduped` is consumed by two separate actions —
+    // the near-dup pipeline's internal checkpoint and the final stamped
+    // plan — and un-checkpointed, the 50 M-key dedup aggregate ran once
+    // per action). Only bare ids persist, never the corpus; the blocks
+    // live as long as the returned frame (same contract as the
+    // clustering labels below).
+    val sc = docs.sparkSession.sparkContext
+    def landed(desc: String, df: DataFrame): DataFrame = {
+      sc.setJobDescription(desc)
+      try df.localCheckpoint() finally sc.setJobDescription(null)
+    }
+    val exactDrops = landed("tp:exactDrops",
+      narrowPairs.join(dupHashes, "content_hash")
+        .filter(col(idCol) =!= col("_keep")).select(col(idCol)))
+    // anti joins ship bare ids on the build side and NEVER sort the
+    // document side: the drop set is corpus-proportional (no static
+    // broadcast — VERDICT r07 finding 2), and an unhinted shuffled plan
+    // degrades to a sort-merge anti that externally sorts the full-text
+    // rows — the family's recurring sort-width-is-payload anti-pattern,
+    // 2 × ~20 GB of the flagship row's 65 GB final-plan spill at sf1000.
+    // SHUFFLE_HASH builds the id-set map per partition instead.
+    val exactDeduped = hashed.join(
+      exactDrops.hint("shuffle_hash"), Seq(idCol), "left_anti")
 
     // 3. near-dup removal: verified LSH candidates → clusters → canonical keep
     val pairs = TextOps.verifiedCandidatePairs(exactDeduped, idCol, textCol, useXx)
     val clusters = graft.operators.Components
       .connectedComponents(pairs, "doc_a", "doc_b")
-    // the drop list is corpus-proportional (dedup removes 20–50% of a web
-    // corpus), so NO static broadcast hint (VERDICT r07 finding 2): AQE
-    // broadcasts only when the measured size allows, else this is a
-    // shuffled anti-join shipping bare ids
     val dropIds = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    val nearDeduped = exactDeduped.join(dropIds, Seq(idCol), "left_anti")
+    // ONE anti join over the corpus for both drop families (exact ∪
+    // near): set algebra (hashed ∖ A) ∖ B = hashed ∖ (A ∪ B) — the near
+    // pipeline still GENERATES pairs from the exact-deduped view above,
+    // but the wide rows only cross one probe on the way out
+    val allDrops = exactDrops.union(dropIds)
+    val deduped = hashed.join(
+      allDrops.hint("shuffle_hash"), Seq(idCol), "left_anti")
 
     // 4. feature stamps (lang_pred, not lang: never silently replace a
     // source-provided label column)
-    nearDeduped
+    deduped
       .withColumn("n_tokens", size(toks))
       .withColumn("lang_pred", TextOps.langId(toks))
       .withColumn("fingerprint", TextOps.fingerprint(toks))

@@ -70,20 +70,6 @@ object Components {
         s"connectedComponents needs integral node ids; '$c' is ${dt.catalogString} " +
           "(map non-numeric ids through a dictionary first)")
     }
-    // the distinct() is a REUSE BARRIER as much as a dedup (CC is
-    // label-stable under duplicate edges): `e` is referenced five times
-    // below (both node legs + both symmetrize legs + the self-loop
-    // union) before the first localCheckpoint materializes, and column
-    // pruning specializes each reference's subtree so an expensive edge
-    // derivation (e.g. the first-band LSH pair generator, whose bucket
-    // aggregation is sort-fallback) would otherwise run once PER
-    // reference inside the one materializing job. An aggregate keyed on
-    // (u, v) cannot be pruned through, so every reference shares its
-    // exchange; on an edge-list-sized frame the barrier costs nothing.
-    val e = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
     // Checkpoint-block bookkeeping: each round checkpoints two frames,
     // and on a big graph the ContextCleaner's reference-triggered
     // cleanup lags the heap's GC badly enough that EVERY round's blocks
@@ -99,30 +85,66 @@ object Components {
     // so the handle for freeing is the persistent-RDD id delta around
     // each checkpoint call.
     val sc = edges.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    // each materializing action is labeled so [[graft.plans.PlanMetrics
+    // .measureJobs]] (and the Spark UI) can attribute task-level bytes to
+    // the construction step that paid them
+    def checkpointTracked(desc: String, df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
+      sc.setJobDescription(desc)
+      val out = try df.localCheckpoint() finally sc.setJobDescription(null)
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // The caller's edge frame is materialized FIRST — untouched, before
+    // this function's own select/filter/distinct is stacked on it — for
+    // two reasons, both measured on dup_clusters at sf1000 (per-job
+    // attribution: r15m/sf1000_ccfix/dup_clusters_jobs):
+    //  1. it is consumed by TWO separate materializing actions (the
+    //     `sym` checkpoint and the initial `labels` checkpoint), and
+    //     exchange reuse is per-execution — un-checkpointed, the second
+    //     action re-ran the entire verified-pairs pipeline (~137 s /
+    //     12 GB spill) from scratch;
+    //  2. the self-loop filter below, if planned in the SAME query as
+    //     the caller's pipeline, is pushed down INTO it and splits its
+    //     internally-shared candidate frame into two canonical variants
+    //     (one with the pushed NOT(u=v), one without, feeding the
+    //     member-id projections) — variants cannot reuse each other's
+    //     exchanges, so the LSH census pipeline executed twice per
+    //     query (two 12 GB sort stages in the job profile). The
+    //     checkpoint is an optimizer boundary: nothing of CC's plan can
+    //     reach into the caller's.
+    // The select/filter/distinct then run over materialized edge-sized
+    // blocks — cheap enough to re-derive inside each consuming job (the
+    // in-job references share their exchange via reuse as before).
+    val (edgesRaw, rawIds) = checkpointTracked("cc:edges", edges)
+    val e = edgesRaw
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
     // symmetrize AND add a self-loop per node: with (v,v) present, one
     // edge-join + groupBy-min computes min(own label, neighbor labels) in a
     // single shuffle pair — no label∪neighbor union inside the loop
     val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct()
-    val (sym, symIds) = checkpointTracked(
+    val (sym, symIds) = checkpointTracked("cc:sym",
       e.union(e.select(col("v").as("u"), col("u").as("v")))
         .union(nodes.select(col("n").as("u"), col("n").as("v")))
         .distinct())
 
-    var (labels, labelIds) = checkpointTracked(
+    var (labels, labelIds) = checkpointTracked("cc:labels0",
       nodes.select(col("n").as("id"), col("n").as("comp")))
+    // both consumers of the raw edges (sym, labels) are materialized —
+    // free the caller's blocks now
+    drop(rawIds)
     // exact (wrap-proof) label sum — see scaladoc on fixpoint detection
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      Option(l.agg(sum(col("comp")
+    def labelSum(desc: String, l: DataFrame): java.math.BigDecimal = {
+      sc.setJobDescription(desc)
+      try Option(l.agg(sum(col("comp")
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+      finally sc.setJobDescription(null)
+    }
+    var prevSum = labelSum("cc:labelSum0", labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -132,19 +154,19 @@ object Components {
       // the join side sits on a dedicated shuffle stage — fused onto the
       // aggregate output, the giant component's hot label key would be
       // read whole by one task (ScaleTechniquesSpec pins the split)
-      val (propagated, propIds) = checkpointTracked(
+      val (propagated, propIds) = checkpointTracked(s"cc:round$round:propagate",
         sym.join(labels, sym("u") === labels("id"))
           .select(sym("v").as("id"), labels("comp"))
           .groupBy("id").agg(min("comp").as("comp")))
       // pointer jump: comp ← comp's own label (comp values are node ids,
       // and every node has a label row, so the inner join is total)
-      val (jumped, jumpIds) = checkpointTracked(
+      val (jumped, jumpIds) = checkpointTracked(s"cc:round$round:jump",
         propagated.as("a")
           .join(propagated.as("b"), col("a.comp") === col("b.id"))
           .select(col("a.id").as("id"), col("b.comp").as("comp")))
       // fixpoint = the exact label sum stopped decreasing (labels are
       // monotone non-increasing; decimal(38,0) cannot wrap — scaladoc)
-      val s = labelSum(jumped)
+      val s = labelSum(s"cc:round$round:labelSum", jumped)
       // jumped is materialized (eager checkpoint) — this round's inputs
       // can never be read again; free them now, not at ContextCleaner's
       // leisure

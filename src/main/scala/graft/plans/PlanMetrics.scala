@@ -153,4 +153,92 @@ object PlanMetrics {
       (a, Bytes(shuffle.get, spill.get))
     } finally sc.removeSparkListener(listener)
   }
+
+  /** One row of [[measureJobs]] output: a Spark job's identity, the
+    * description the driver set for it (`sc.setJobDescription`, else
+    * the call site), its task count and wall span, and its task-level
+    * shuffle-write/spill bytes. */
+  final case class JobBytes(jobId: Int, desc: String, tasks: Long,
+      wallMs: Long, bytes: Bytes)
+
+  /** Per-JOB task-byte attribution — [[measureTasks]] split by job.
+    *
+    * [[measureTasks]] answers "what did this whole query cost at the
+    * task level"; for ITERATIVE queries (connected components, the
+    * index-absorb loop) whose cost is spread over many driver-dispatched
+    * actions, the follow-up question is "WHICH action pays". This runs
+    * `body` under a listener that maps each stage to its job
+    * (`onJobStart` carries the job's stage ids) and accumulates
+    * task-level bytes per job, labeled by the job description the
+    * driver set. Same drain discipline as [[measureTasks]]: waits for
+    * the listener-bus event count to go quiet before reading.
+    *
+    * Jobs are returned in jobId (submission) order, one row per job —
+    * including zero-byte jobs, so row counts line up with the driver's
+    * action sequence. */
+  def measureJobs[A](spark: org.apache.spark.sql.SparkSession)(
+      body: => A): (A, Seq[JobBytes]) = {
+    import java.util.concurrent.atomic.AtomicLong
+    import scala.collection.concurrent.TrieMap
+    val sc = spark.sparkContext
+    final class Acc {
+      val shuffle = new AtomicLong
+      val spill = new AtomicLong
+      val tasks = new AtomicLong
+      @volatile var desc = ""
+      @volatile var started = 0L
+      @volatile var ended = 0L
+    }
+    val jobs = new TrieMap[Int, Acc]
+    val stageToJob = new TrieMap[Int, Int]
+    val events = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val acc = jobs.getOrElseUpdate(e.jobId, new Acc)
+        acc.started = e.time
+        acc.desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
+        events.incrementAndGet()
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.get(e.jobId).foreach(_.ended = e.time)
+        events.incrementAndGet()
+      }
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) stageToJob.get(e.stageId).flatMap(jobs.get).foreach { acc =>
+          acc.shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          acc.spill.addAndGet(m.memoryBytesSpilled)
+          acc.tasks.incrementAndGet()
+        }
+        events.incrementAndGet()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val a = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        val now = events.get
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(50)
+        waited += 50
+      }
+      val rows = jobs.toSeq.sortBy(_._1).map { case (id, acc) =>
+        JobBytes(id, acc.desc, acc.tasks.get,
+          math.max(0L, acc.ended - acc.started),
+          Bytes(acc.shuffle.get, acc.spill.get))
+      }
+      (a, rows)
+    } finally sc.removeSparkListener(listener)
+  }
 }

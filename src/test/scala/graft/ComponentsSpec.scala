@@ -73,6 +73,34 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.count() == 64)
   }
 
+  test("the caller's edge pipeline is materialized exactly once") {
+    // the round-15 dup_clusters find, pinned: CC consumes its edges frame
+    // from several materializing actions (sym, labels0), and its own
+    // self-loop filter used to push down INTO the caller's plan, splitting
+    // a multi-consumed subtree into canonical variants that defeat
+    // exchange reuse — at sf1000 the verified-pairs pipeline (and its
+    // 12 GB census sort) executed twice to four times per query. With the
+    // raw-edges checkpoint in place, the caller's pipeline must run ONCE:
+    // total file bytes read across every job of the call stays ~1× the
+    // backing parquet (re-reads would step it to 2×+).
+    // the caller pipeline's executions are counted directly: an
+    // accumulator-marking projection evaluates once per row per
+    // materialization, so N edge rows seen ≈ one pass. (A UDF in a TEST
+    // as an execution counter — the library itself stays UDF-free.)
+    val evals = spark.sparkContext.longAccumulator("cc_edge_evals")
+    val mark = org.apache.spark.sql.functions.udf { (x: Long) =>
+      evals.add(1); x
+    }.asNondeterministic() // keep the optimizer from collapsing/cloning it
+    val edges = spark.range(10000)
+      .selectExpr("(2 * id) AS a0", "(2 * id + 1) AS b")
+      .select(mark(col("a0")).as("a"), col("b"))
+    val n = Components.connectedComponents(edges, "a", "b").count()
+    assert(n == 20000)
+    assert(evals.value <= 15000,
+      s"caller pipeline evaluated ${evals.value} marked rows for a " +
+        "10000-row edge list — it re-executed instead of being checkpointed once")
+  }
+
   test("labels are invariant under edge order and input partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

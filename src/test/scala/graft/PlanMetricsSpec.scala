@@ -96,4 +96,27 @@ class PlanMetricsSpec extends SparkSpec {
     assert(taskB.shuffleWrite > 0,
       "construction-time shuffle invisible to the task listener")
   }
+
+  test("measureJobs attributes bytes to the job that paid them, by description") {
+    // two labeled actions: one shuffling aggregate, one narrow scan. The
+    // per-job rows must carry the driver-set descriptions, the aggregate
+    // job must own all the shuffle bytes, and the per-job sum must agree
+    // with the whole-body measureTasks view (same listener discipline).
+    val sc = spark.sparkContext
+    val df = spark.range(100000).select((col("id") % 1013).as("k"), col("id").as("v"))
+    val (_, jobs) = PlanMetrics.measureJobs(spark) {
+      sc.setJobDescription("spec:agg")
+      df.groupBy("k").sum("v").localCheckpoint()
+      sc.setJobDescription("spec:narrow")
+      try df.select(col("v") * 2).foreach(_ => ()) finally sc.setJobDescription(null)
+    }
+    val byDesc = jobs.groupBy(_.desc)
+    assert(byDesc.contains("spec:agg") && byDesc.contains("spec:narrow"),
+      s"descriptions lost: ${jobs.map(j => s"${j.jobId}:${j.desc}").mkString(", ")}")
+    val aggBytes = byDesc("spec:agg").map(_.bytes.shuffleWrite).sum
+    val narrowBytes = byDesc("spec:narrow").map(_.bytes.shuffleWrite).sum
+    assert(aggBytes > 0, "aggregate job's shuffle not attributed")
+    assert(narrowBytes == 0, s"narrow job claims $narrowBytes shuffle bytes")
+    assert(jobs.forall(_.tasks > 0), "job rows with zero tasks recorded")
+  }
 }
