@@ -334,12 +334,20 @@ object Bench {
         graft.plans.PlanMetrics.Bytes)] =
       if (!wantMetrics) Map.empty
       else qs.flatMap { q =>
-        dropStorage()
-        val (planB, taskB) = graft.plans.PlanMetrics.measureTasks(spark) {
-          try Some(graft.plans.PlanMetrics.measure(q.run(spark, sfDir)))
-          catch { case _: Throwable => None }
-        }
-        planB.map(b => q.name -> (b, taskB))
+        // a fatal executor failure (e.g. an OOM at a scale experiment)
+        // can STOP the context mid-pass; the per-query catch below can't
+        // help then — addSparkListener on a dead context throws and the
+        // whole record (timed reps included) used to be lost (the r15
+        // sf1000 ivf-family run). Record what was measured and move on.
+        if (spark.sparkContext.isStopped) None
+        else scala.util.Try {
+          dropStorage()
+          val (planB, taskB) = graft.plans.PlanMetrics.measureTasks(spark) {
+            try Some(graft.plans.PlanMetrics.measure(q.run(spark, sfDir)))
+            catch { case _: Throwable => None }
+          }
+          planB.map(b => q.name -> (b, taskB))
+        }.toOption.flatten
       }.toMap
     val planBytes: Map[String, graft.plans.PlanMetrics.Bytes] =
       measured.view.mapValues(_._1).toMap

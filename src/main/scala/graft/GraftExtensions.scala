@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.MinhashSig.descriptorXx)
     extensions.injectFunction(graft.functions.GramSet.descriptor)
     extensions.injectFunction(graft.functions.GramSet.descriptorXx)
+    extensions.injectFunction(graft.functions.RpLshKeys.descriptor)
     extensions.injectFunction(graft.functions.SimhashSig.descriptor)
     extensions.injectFunction(graft.functions.SimhashSig.descriptorXx)
     extensions.injectFunction(graft.functions.RollingFp.descriptor)

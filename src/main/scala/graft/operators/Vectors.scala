@@ -60,7 +60,13 @@ object Vectors {
       .select(col(idCol).cast("int").as("centroid_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
     val assigned = ivfAssign(v, idCol, vecCol, seeds)
-    val sums = v.join(assigned, idCol)
+    // SHUFFLE_HASH: `assigned` is the narrow (id, centroid) frame; an
+    // unhinted plan sort-merges this join and externally sorts the
+    // VECTOR side — sort width = the embedding payload (8 GB of
+    // float arrays at 20 M × 96-dim), the recurring anti-pattern. The
+    // hash build is per-partition small (12 B/row) and the vector side
+    // streams.
+    val sums = v.join(assigned.hint("shuffle_hash"), idCol)
       .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(sum(round(col("x").cast("double") * 1e7)).as("sx"), count(lit(1)).as("n"))
@@ -188,13 +194,31 @@ object Vectors {
     * at least one whole band with high probability). Returns one row per
     * (id, band) with the band's bucket key.
     *
-    * Scale + determinism: posexplode dims → broadcast the 8-row plane
-    * table → per-(vector, plane) grouped sum of ±round(x·1e7) longs
-    * (exact integer sums, order-independent) → sign bits → band keys.
-    * One partial-agg shuffle on (id, plane); everything codegen'd; the
-    * whole derivation is reproducible in DuckDB SQL, so LSH-bucketed ANN
-    * is oracle-checkable end to end. */
+    * Scale + determinism: the whole derivation is a per-ROW kernel
+    * ([[graft.functions.RpLshKeys]] — every dimension of a vector sits
+    * inside its own row, so the signature never needed an explode or an
+    * aggregate): one codegen'd call per vector, zero exchanges, exact
+    * integer ±round(x·1e7) sums, signs from the portable (plane, dim)
+    * hash. The former relational derivation (posexplode dims →
+    * broadcast sign join → (id, plane) grouped sum → band keys) is kept
+    * as [[rpLshBandsExploded]] for the differential spec: at the r15
+    * fourth decade its (id, plane) aggregate — 320 M in-flight groups
+    * over 20 M vectors — was `rplsh_knn`'s dominant spiller, the same
+    * near-unique-key partial-aggregation tax `minhash_sig`/`gram_set`
+    * removed from the text family. Bit-identical output
+    * (RpLshKernelSpec), so the DuckDB oracle CTEs are untouched. */
   def rpLshBands(v: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, bands: Int = 2): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
+    v.select(col(idCol),
+        posexplode(call_function("rplsh_keys", col(vecCol), lit(planes), lit(bands)))
+          .as(Seq("band", "band_key")))
+  }
+
+  /** The pre-r15 relational derivation of [[rpLshBands]], kept callable
+    * for the kernel differential (RpLshKernelSpec pins bit-equality on
+    * fixture embeddings plus null/empty/negative-half edge vectors). */
+  private[graft] def rpLshBandsExploded(v: DataFrame, idCol: String, vecCol: String,
       planes: Int = 8, bands: Int = 2): DataFrame = {
     require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
     val spark = v.sparkSession
@@ -203,8 +227,7 @@ object Vectors {
     val exploded = v.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
     // the hyperplane sign depends only on (plane, dim): evaluate the hash
     // once per (plane, dim) in a tiny broadcast table (planes × dims rows),
-    // not once per (vector, plane, dim) contribution — at 100 TB that is
-    // the difference between 512 digests and one digest per cell
+    // not once per (vector, plane, dim) contribution
     val signTable = exploded.select(col("dim")).distinct()
       .crossJoin(planesDf)
       .select(col("plane"), col("dim"),

@@ -1422,20 +1422,42 @@ object LlmOps {
   // which runs at object init BEFORE this declaration line
   private lazy val RpLshProbeMasks: Seq[Long] = 0L +: (0 until 4).map(j => 1L << j)
 
-  private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** BENCH-ONLY geometry override for the inline rplsh build
+    * (`SPARK_GRAFT_RPLSH_GEOM=planes,bands`): the r15 fourth-decade
+    * diagnosis showed the oracle-pinned 16/4 geometry (4-bit band keys,
+    * 16 buckets per band) makes every probe's candidate union approach
+    * the CORPUS at 20 M vectors — LSH key width must grow with
+    * log(corpus), the rplsh analog of SemDeDup's "k grows with sqrt(n)"
+    * contract. The operator API (`Vectors.rpLshBands`) has always taken
+    * planes/bands as parameters; this knob exposes them to scale
+    * experiments without touching catalog semantics: Verify never sets
+    * it (oracle rows keep the pinned 16/4), and the PERSISTED key
+    * artifact (`rplsh_probe`, `semdedup_ann`) ignores it — its stamp
+    * pins its own geometry. */
+  private def rplshGeom: (Int, Int) =
+    sys.env.get("SPARK_GRAFT_RPLSH_GEOM").map { g =>
+      val parts = g.split(",").map(_.trim.toInt)
+      (parts(0), parts(1))
+    }.getOrElse((16, 4))
+
+  private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val (planes, bands) = rplshGeom
     rplshKnnFrom(s, d,
       Vectors.rpLshBands(Tables.embeddings(s, d), "vec_id", "embedding",
-        planes = 16, bands = 4))
+        planes = planes, bands = bands),
+      perBand = planes / bands)
+  }
 
   /** The rplsh probe pipeline over ANY key table (freshly derived for
     * `rplsh_knn`, the persisted artifact for `rplsh_probe`). */
   private def rplshKnnFrom(s: org.apache.spark.sql.SparkSession, d: String,
-      keys: org.apache.spark.sql.DataFrame) = {
+      keys: org.apache.spark.sql.DataFrame, perBand: Int = 4) = {
     import s.implicits._
+    val masks = 0L +: (0 until perBand).map(j => 1L << j)
     val v = Tables.embeddings(s, d)
     val qKeys = keys.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"band",
-        explode(array(RpLshProbeMasks.map(lit(_)): _*)).as("mask"), $"band_key")
+        explode(array(masks.map(lit(_)): _*)).as("mask"), $"band_key")
       .select($"qid", $"band", $"band_key".bitwiseXOR($"mask").as("band_key"))
     val cand = keys.join(broadcast(qKeys), Seq("band", "band_key"))
       .filter($"vec_id" =!= $"qid")
