@@ -18,7 +18,8 @@ run() {
   echo "=== $name reps=$reps $(date +%H:%M:%S)" >> "$OUT/campaign.log"
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=$reps \
   SPARK_GRAFT_ONLY=$qs SPARK_GRAFT_BENCH_DIR=$OUT/$name SPARK_DRIVER_MEM=8g \
-    scripts/jrun.sh graft.Bench > "$OUT/$name/stdout.json" 2> "$OUT/$name/run.log"
+    scripts/jrun.sh graft.Bench > "$OUT/$name/stdout.json" 2> "$OUT/$name/run.log" || \
+    echo "$name exited $? (UNEXPECTED - stdout.json may be truncated)" >> "$OUT/campaign.log"
   tail -1 "$OUT/$name/stdout.json" >> "$OUT/campaign.log"
 }
 run knn 2 knn_cosine,knn_bucketed,quant_knn,quant_rerank,quant_recall

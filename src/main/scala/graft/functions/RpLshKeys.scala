@@ -129,10 +129,29 @@ object RpLshKernel {
 
   /** Spark `round(x * 1e7, 0).cast("long")` on a double, bit-for-bit:
     * BigDecimal HALF_UP (NOT Math.round, which floors x+0.5 and
-    * disagrees on negative halves). */
-  private def scaled(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1e7)
+    * disagrees on negative halves). Non-finite values: Spark's `round`
+    * passes NaN/±Inf through, and under this repo's ANSI mode (Spark 4
+    * default, no override anywhere) the long cast then raises
+    * CAST_OVERFLOW — so the kernel raises the SAME Spark error instead
+    * of BigDecimal's bare NumberFormatException (ADVICE r15: one bad
+    * embedding must fail like the exploded twin fails, not with an
+    * unrelated exception class; RpLshKernelSpec pins both forms
+    * throwing SparkArithmeticException on the same rows). */
+  private def scaled(x: Double): Long = {
+    val y = x * 1e7
+    if (!java.lang.Double.isFinite(y)) {
+      // raise the twin's EXACT error by running the twin's exact step:
+      // an ANSI double→long Cast on the offending value (the error
+      // constructors are private[sql]/private[spark]; the Cast is not)
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(y, DoubleType),
+        LongType, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI).eval(null)
+      throw new ArithmeticException(s"rplsh_keys: non-finite value $y") // unreachable
+    }
+    java.math.BigDecimal.valueOf(y)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
 
   def keys(vec: ArrayData, planes: Int, bands: Int, isDouble: Boolean): ArrayData = {
     val dims = vec.numElements()

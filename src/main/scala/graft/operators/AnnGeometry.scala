@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The ANN index-geometry contract: RP-LSH band-key width and IVF
+  * centroid count DERIVED from corpus size, shared bit-for-bit by the
+  * Spark catalog rows, the persisted index artifacts (the geometry is
+  * folded into each BuildOnce stamp), and the DuckDB oracle twins (the
+  * [[bandBitsSql]]/[[ivfKSql]] fragments re-derive the same integers
+  * from `count(*)`).
+  *
+  * Why a contract and not a constant (round-15 fourth-decade diagnosis,
+  * `r15m/sf1000_vec/`): a FIXED geometry is a scale constant shipped as
+  * a default —
+  *  - RP-LSH at 16 planes / 4 bands has 4-bit band keys, so each band
+  *    hashes the corpus into ≤16 buckets; buckets are corpus/16 and
+  *    every probe's candidate union approaches the corpus. Measured at
+  *    20 M vectors: 583 s / 175 GB spill, vs 35.4 s / 7.9 GB at 48
+  *    planes (12-bit keys) — `r15m/sf1000_vec/rplsh_kernel_geom48`.
+  *    Band-key bits must grow with log2(corpus / target-bucket).
+  *  - IVF at k=8 has corpus/8-row inverted lists (2.5 M rows at 20 M
+  *    vectors, 13–27 GB spill); the SemDeDup/IVF literature and this
+  *    repo's own guard messages say k ≈ √n, which keeps both the list
+  *    length AND the number of lists at √n — the balance point between
+  *    routing cost (k centroid dots per query) and probe cost
+  *    (nprobe·n/k candidate dots per query).
+  *
+  * Both formulas are exact-integer (no float log anywhere) so the JVM
+  * and DuckDB can never disagree on an FP edge:
+  *  - `bandBits(n) = max(4, bitLength(ceilDiv(n, 8192) - 1))` — the
+  *    smallest key width giving expected bucket size ≤ 8192 rows,
+  *    floored at the round-8 small-corpus geometry (4 bits × 4 bands =
+  *    16 planes) so sub-131k corpora keep their measured recall shape;
+  *  - `ivfK(n) = max(8, ceil(sqrt(n)))` — `sqrt` is correctly rounded
+  *    in IEEE-754 on both engines and n < 2^53 is exact in a double,
+  *    so the one float step is still bit-deterministic.
+  *
+  * The per-band bucket target 8192 is sized for the probe side: with a
+  * ~100-byte key row a bucket is ≲1 MB, and a Hamming-1 multi-probe
+  * over `bands` bands touches (1+bits)·bands buckets ≈ a few hundred
+  * thousand candidate rows per query at ANY corpus size — the "touch
+  * nprobe/k of the corpus, not 1/16th" shape.
+  */
+object AnnGeometry {
+
+  /** OR-amplification stays at 4 bands at every scale: more bands is
+    * another full copy of the key table (index storage, the scarce
+    * resource at 100 TB); recall is instead bought per-query via the
+    * Hamming-1 multi-probe ([[probeMasks]]). */
+  val Bands = 4
+
+  /** Small-corpus floor: 4-bit keys (16 planes) — the geometry every
+    * recall number below sf10 was measured at. */
+  val MinBandBits = 4
+
+  /** Expected rows per band bucket the key width is sized to. */
+  val TargetBucketRows = 8192L
+
+  /** Small-corpus IVF floor (the pre-r16 fixed k). */
+  val MinIvfK = 8
+
+  /** Expected rows per band bucket for the all-corpus SELF-JOIN path
+    * (semantic dedup): candidate volume there is
+    * n · bands · (1+bits) · bucket, so the bucket must be a small
+    * CONSTANT for the pair stream to stay ~linear in n — at the
+    * query-probe target of 8192 a 20 M-vector dedup would emit ~5×10¹²
+    * base-rate pairs on a near-uniform corpus. 64 rows/bucket keeps
+    * per-row pair work bounded (≤ 64·bands·(1+bits) candidates per
+    * vector) while buckets stay large enough that true near-dups — who
+    * agree on ALL bits of some band — still collide. */
+  val DedupTargetBucketRows = 64L
+
+  private def widthFor(n: Long, target: Long): Int = {
+    require(n >= 0, s"AnnGeometry: negative corpus size $n")
+    val buckets = (n + target - 1) / target
+    val bits =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(MinBandBits, bits)
+  }
+
+  /** Band-key width in bits for the QUERY-PROBE path (knn): sized so a
+    * probed bucket is ≲[[TargetBucketRows]] rows. */
+  def bandBits(n: Long): Int = widthFor(n, TargetBucketRows)
+
+  /** Band-key width in bits for the SELF-JOIN path (semantic dedup):
+    * sized so every vector's candidate list is ~constant. Always ≥
+    * [[bandBits]], and equal to it at the shared 4-bit floor (≤1024
+    * vectors, 16 buckets × 64 rows) — where the
+    * two paths share one persisted key artifact (the geometry-stamped
+    * BuildOnce store unifies them automatically). */
+  def dedupBandBits(n: Long): Int =
+    math.max(bandBits(n), widthFor(n, DedupTargetBucketRows))
+
+  /** Total hyperplanes = bands × bits. */
+  def planes(n: Long): Int = Bands * bandBits(n)
+
+  /** Total hyperplanes for the dedup path. */
+  def dedupPlanes(n: Long): Int = Bands * dedupBandBits(n)
+
+  /** IVF centroid count for an `n`-vector corpus. */
+  def ivfK(n: Long): Int =
+    math.max(MinIvfK, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Multi-probe masks for a `bits`-wide band key: the exact bucket
+    * plus each single-bit flip (Hamming distance 1). Query-side only. */
+  def probeMasks(bits: Int): Seq[Long] = 0L +: (0 until bits).map(1L << _)
+
+  // corpus row counts, one Spark count() per (JVM, parquet path) — the
+  // geometry of a standing corpus is asked for by every ANN row in a
+  // catalog run, and the answer cannot change under a fixed fixture
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Row count of a parquet table, cached per path. */
+  def corpusRows(s: SparkSession, parquetPath: String): Long =
+    rowsCache.computeIfAbsent(parquetPath,
+      p => java.lang.Long.valueOf(s.read.parquet(p).count())).longValue()
+
+  /** Test seam: forget cached counts (a spec that rewrites a fixture
+    * path must not inherit a stale geometry). */
+  private[graft] def invalidateCounts(): Unit = rowsCache.clear()
+
+  // ---- DuckDB twins -------------------------------------------------
+  // Each fragment derives the SAME integer as the JVM function above
+  // from `count(*)` of `table`. bitLength(x) == length(bin(x)) in
+  // DuckDB for x >= 1 (bin() emits no leading zeros).
+
+  /** SQL for [[bandBits]] + [[planes]] as a one-row CTE body:
+    * `(bits INTEGER, planes INTEGER)`. */
+  def geomSqlBody(table: String): String = widthSqlBody(table, TargetBucketRows)
+
+  /** SQL twin of [[dedupBandBits]]/[[dedupPlanes]] (the max of the two
+    * widths, like the JVM function). */
+  def dedupGeomSqlBody(table: String): String = s"""
+      SELECT GREATEST(k.bits, d.bits) AS bits,
+             GREATEST(k.planes, d.planes) AS planes
+      FROM (${widthSqlBody(table, TargetBucketRows)}) k,
+           (${widthSqlBody(table, DedupTargetBucketRows)}) d"""
+
+  private def widthSqlBody(table: String, target: Long): String = s"""
+      SELECT bits, $Bands * bits AS planes FROM (
+        SELECT GREATEST($MinBandBits,
+                 CASE WHEN b <= 1 THEN 0 ELSE length(bin(b - 1)) END) AS bits
+        FROM (SELECT (count(*) + ${target - 1}) // $target AS b
+              FROM $table))"""
+
+  /** SQL for the [[probeMasks]] list as a CTE body over a geometry CTE
+    * named `geomCte`: one `mask BIGINT` row per probe. */
+  def masksSqlBody(geomCte: String): String = s"""
+      SELECT CAST(0 AS BIGINT) AS mask
+      UNION ALL
+      SELECT CAST(pow(2, unnest(range(g.bits))) AS BIGINT) FROM $geomCte g"""
+
+  /** SQL scalar for [[ivfK]]. */
+  def ivfKSql(table: String): String =
+    s"(SELECT GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)) FROM $table)"
+}

@@ -117,7 +117,14 @@ object Components {
     // The select/filter/distinct then run over materialized edge-sized
     // blocks — cheap enough to re-derive inside each consuming job (the
     // in-job references share their exchange via reuse as before).
-    val (edgesRaw, rawIds) = checkpointTracked("cc:edges", edges)
+    // Only the two id columns are checkpointed: a caller's edge frame
+    // often carries similarity scores / band keys CC never reads, and
+    // localCheckpoint stores the frame at full row width. The single
+    // pre-checkpoint projection cannot split the caller's plan into
+    // variants (one reference, nothing pushed INTO it), so reason 2
+    // above still holds while stored blocks shrink to two longs/row.
+    val (edgesRaw, rawIds) = checkpointTracked("cc:edges",
+      edges.select(col(srcCol), col(dstCol)))
     val e = edgesRaw
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))

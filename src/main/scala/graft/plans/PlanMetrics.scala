@@ -202,7 +202,11 @@ object PlanMetrics {
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
-        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
+        // putIfAbsent: a stage reused across jobs (skipped-stage reuse
+        // re-submits the same stage id under a later job) must keep its
+        // bytes with the job that actually EXECUTED it, not whichever
+        // job registered the id last
+        e.stageIds.foreach(sid => stageToJob.putIfAbsent(sid, e.jobId))
         events.incrementAndGet()
       }
       override def onJobEnd(

@@ -1261,7 +1261,7 @@ object LlmOps {
   /** The scale path the [[semDedup]] guard's error message routes to,
     * as a catalog artifact: SAME learned clusters, SAME verdict rule
     * (lower-id cluster-mate at cosine ≥ 0.4 drops you), but candidate
-    * pairs come from RP-LSH band collisions (16 planes × 4 bands, the
+    * pairs come from RP-LSH band collisions (the corpus-derived
     * `rplsh_knn` geometry) instead of exhaustive in-cluster pairing —
     * candidate volume scales with collision rate, not cluster-size².
     * Oracle-gated (VERDICT r13 #8): the DuckDB twin re-derives the
@@ -1277,11 +1277,15 @@ object LlmOps {
     * 0.8) the way `quant_recall` audits the int8 shortlist.
     *
     * The corpus key table comes from the PERSISTED [[rplshIndex]]
-    * artifact (`rplsh_probe`'s build-once table, identical geometry and
-    * bit-identical keys by that row's oracle) instead of recomputing the
-    * plane signatures inline — the semantic-dedup scale path is also its
-    * fast path; the Hamming-1 probe masks stay on the exploded probe
-    * side (VERDICT r11 #5). */
+    * artifact at the DEDUP width ([[graft.operators.AnnGeometry
+    * .dedupBandBits]] — an all-corpus self-join needs ~constant-size
+    * buckets, where the knn probe tolerates 8192-row ones; at the
+    * shared 4-bit floor (≤1024 vectors — the verify-scale fixtures)
+    * the widths coincide and this row shares `rplsh_probe`'s
+    * exact artifact, bit-identical keys by that row's oracle) instead
+    * of recomputing the plane signatures inline — the semantic-dedup
+    * scale path is also its fast path; the Hamming-1 probe masks stay
+    * on the exploded probe side (VERDICT r11 #5). */
   val semDedupAnn = Q("semdedup_ann", (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -1291,13 +1295,26 @@ object LlmOps {
     val v = emb.select($"vec_id", $"embedding",
         Vectors.normScaled($"embedding").as("n2"))
       .join(assigned, "vec_id")
-    val keys = s.read.parquet(s"${rplshIndex(s, d)}/keys")
+    // the DEDUP geometry (AnnGeometry.dedupBandBits): an all-corpus
+    // self-join needs ~constant-size buckets (64 rows) or base-rate
+    // collisions alone are n·bands·masks·bucket pairs — at the knn
+    // width's 8192-row target that is ~5e12 pairs at 20 M vectors.
+    // At the shared 4-bit floor (≤1024 vectors, incl. the verify
+    // fixtures) both widths coincide and this SHARES the knn rows'
+    // persisted key artifact (same geometry ⇒ same stamp).
+    val dedupBits = graft.operators.AnnGeometry.dedupBandBits(
+      graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))
+    val keys = s.read.parquet(s"${rplshIndex(s, d,
+      graft.operators.AnnGeometry.Bands * dedupBits,
+      graft.operators.AnnGeometry.Bands)}/keys")
     // multi-probe on ONE side (the rplsh_knn trade: recall bought with
     // candidate compute, not another copy of the key table): vec_a also
-    // matches buckets within Hamming distance 1 of its band key
+    // matches buckets within Hamming distance 1 of its band key; masks
+    // are sized to the width the key artifact was built at
+    val annMasks = graft.operators.AnnGeometry.probeMasks(dedupBits)
     val aKeys = keys
       .select($"band", $"band_key", $"vec_id".as("vec_a"),
-        explode(array(RpLshProbeMasks.map(lit(_)): _*)).as("mask"))
+        explode(array(annMasks.map(lit(_)): _*)).as("mask"))
       .select($"band", $"band_key".bitwiseXOR($"mask").as("band_key"), $"vec_a")
     val cpairs = aKeys
       .join(keys.select($"band", $"band_key", $"vec_id".as("vec_b")),
@@ -1318,11 +1335,10 @@ object LlmOps {
         coalesce($"_dup", lit(false)).as("dropped"))
   }, Some(s"""
     WITH ${ivfSqlCtes(2)},
-    ${rplshKeysSqlCtes("rk_")},
+    ${rplshKeysSqlCtes("rk_", graft.operators.AnnGeometry.dedupGeomSqlBody)},
     aprobe AS (
       SELECT k.vec_id AS vec_a, k.band, xor(k.band_key, m.mask) AS band_key
-      FROM rk_keys k
-      CROSS JOIN (SELECT unnest([${RpLshProbeMasks.mkString(", ")}]) AS mask) m),
+      FROM rk_keys k CROSS JOIN rk_masks m),
     cpairs AS (
       SELECT DISTINCT a.vec_a, c.vec_id AS vec_b
       FROM aprobe a JOIN rk_keys c
@@ -1359,14 +1375,19 @@ object LlmOps {
     * deterministic scaled-int means), assign the corpus, probe each
     * query's nprobe=2 nearest buckets, exact cosine top-10 inside them.
     * Every arithmetic step is the scaled-integer form, so the DuckDB twin
-    * reproduces centroids, assignments, and similarities bit-for-bit.
-    * Probing 2/8 of the corpus per query is the 100 TB shape: index build
-    * is one (centroid, dim) partial-agg shuffle, search touches only the
-    * probed buckets. */
+    * reproduces centroids, assignments, k-derivation, and similarities
+    * bit-for-bit. Probing nprobe=2 of k≈√n cells — ~2√n candidate dots
+    * per query — is the 100 TB shape: index build is one (centroid, dim)
+    * partial-agg shuffle, search touches only the probed buckets. */
   val ivfKnn = Q("ivf_knn", (s, d) => {
     import s.implicits._
     val v = Tables.embeddings(s, d)
-    val centroids = Vectors.buildCentroids(v, "vec_id", "embedding", 8)
+    // k ≈ √n (AnnGeometry contract, round 16): k=8 fixed meant
+    // corpus/8-row inverted lists — 2.5 M rows / 13–27 GB spill at the
+    // r15 fourth decade. The oracle derives the same k from count(*).
+    val k = graft.operators.AnnGeometry.ivfK(
+      graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))
+    val centroids = Vectors.buildCentroids(v, "vec_id", "embedding", k)
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     Vectors.ivfSearch(v, "vec_id", "embedding", centroids, q, "qid", "qe",
@@ -1395,10 +1416,12 @@ object LlmOps {
     Some(ivfSql), sortCols = Seq("qid", "rank"))
 
   /** Random-hyperplane LSH ANN (the brief's "LSH-bucketed variant",
-    * completing the similarity-search family next to IVF): 16 deterministic
-    * sign-bit planes banded 4×4 (OR-amplified across 4 bands — measured
-    * recall@10 vs 2×4 banding on the synthetic fixture: 0.40 vs 0.27,
-    * see `rplsh_recall`; near-uniform random embeddings are LSH's worst
+    * completing the similarity-search family next to IVF): deterministic
+    * sign-bit planes banded into 4 bands at the corpus-derived key width
+    * ([[graft.operators.AnnGeometry]] — 4 bits/16 planes on the small
+    * fixtures, growing with log2(corpus); measured recall@10 of 4×4 vs
+    * 2×4 banding on the synthetic fixture: 0.40 vs 0.27, see
+    * `rplsh_recall`; near-uniform random embeddings are LSH's worst
     * case, so this is the honest floor, not the headline) ([[Vectors.rpLshBands]]); candidates =
     * corpus vectors sharing ANY band key with the query (OR-amplified);
     * exact scaled-int cosine top-10 inside the candidate set. Unlike
@@ -1410,38 +1433,31 @@ object LlmOps {
     * broadcast query side, two-phase top-k. */
   /** The rplsh pipeline as a frame builder, shared by `rplsh_knn` and
     * `rplsh_recall`. */
-  /** Multi-probe masks: 0 (the exact bucket) plus each single-bit flip
-    * of the 4-bit band key — the query probes the 5 buckets within
-    * Hamming distance 1 per band. Multi-probe buys recall with QUERY
-    * compute (5× candidate lookups) instead of index memory (more
-    * bands = another full copy of the key table) — the right trade at
-    * 100 TB, where the index dominates storage and queries are the
-    * small side. Probes exist ONLY on the broadcast query side; the
-    * corpus key table is untouched. */
-  // lazy: referenced during `semDedupAnn`'s oracle-string construction,
-  // which runs at object init BEFORE this declaration line
-  private lazy val RpLshProbeMasks: Seq[Long] = 0L +: (0 until 4).map(j => 1L << j)
-
-  /** BENCH-ONLY geometry override for the inline rplsh build
-    * (`SPARK_GRAFT_RPLSH_GEOM=planes,bands`): the r15 fourth-decade
-    * diagnosis showed the oracle-pinned 16/4 geometry (4-bit band keys,
-    * 16 buckets per band) makes every probe's candidate union approach
-    * the CORPUS at 20 M vectors — LSH key width must grow with
-    * log(corpus), the rplsh analog of SemDeDup's "k grows with sqrt(n)"
-    * contract. The operator API (`Vectors.rpLshBands`) has always taken
-    * planes/bands as parameters; this knob exposes them to scale
-    * experiments without touching catalog semantics: Verify never sets
-    * it (oracle rows keep the pinned 16/4), and the PERSISTED key
-    * artifact (`rplsh_probe`, `semdedup_ann`) ignores it — its stamp
-    * pins its own geometry. */
-  private def rplshGeom: (Int, Int) =
+  /** The catalog's RP-LSH geometry for corpus `$d/embeddings.parquet`:
+    * DERIVED from corpus size by the [[graft.operators.AnnGeometry]]
+    * contract (band-key bits = log2(corpus / target-bucket), floored at
+    * the 16/4 small-corpus geometry) — since round 16 this is the
+    * REACHABLE path, not a bench knob: the r15 fourth decade measured
+    * the fixed 16/4 default at 583 s / 175 GB spill vs 35.4 s / 7.9 GB
+    * at the derived width (`r15m/sf1000_vec/rplsh_kernel_geom48`). The
+    * DuckDB twins re-derive the same width from `count(*)` (the `geom`
+    * CTE in [[rplshKeysSqlCtes]]), so the oracle rows stay green at ANY
+    * corpus size. `SPARK_GRAFT_RPLSH_GEOM=planes,bands` remains as an
+    * EXPERIMENT override for off-contract sweeps (Verify never sets it;
+    * the persisted artifact ignores it — its stamp pins the contract
+    * geometry). */
+  private def rplshGeomFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (Int, Int) =
     sys.env.get("SPARK_GRAFT_RPLSH_GEOM").map { g =>
       val parts = g.split(",").map(_.trim.toInt)
       (parts(0), parts(1))
-    }.getOrElse((16, 4))
+    }.getOrElse {
+      val n = graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet")
+      (graft.operators.AnnGeometry.planes(n), graft.operators.AnnGeometry.Bands)
+    }
 
   private def rplshKnnDf(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val (planes, bands) = rplshGeom
+    val (planes, bands) = rplshGeomFor(s, d)
     rplshKnnFrom(s, d,
       Vectors.rpLshBands(Tables.embeddings(s, d), "vec_id", "embedding",
         planes = planes, bands = bands),
@@ -1451,9 +1467,9 @@ object LlmOps {
   /** The rplsh probe pipeline over ANY key table (freshly derived for
     * `rplsh_knn`, the persisted artifact for `rplsh_probe`). */
   private def rplshKnnFrom(s: org.apache.spark.sql.SparkSession, d: String,
-      keys: org.apache.spark.sql.DataFrame, perBand: Int = 4) = {
+      keys: org.apache.spark.sql.DataFrame, perBand: Int) = {
     import s.implicits._
-    val masks = 0L +: (0 until perBand).map(j => 1L << j)
+    val masks = graft.operators.AnnGeometry.probeMasks(perBand)
     val v = Tables.embeddings(s, d)
     val qKeys = keys.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"band",
@@ -1481,14 +1497,19 @@ object LlmOps {
     sortCols = Seq("qid", "rank"))
 
   /** Persisted RP-LSH key table — built at most once per embeddings
-    * fingerprint, like the IVF index and the dedup labeling. */
-  private def rplshIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    * fingerprint, like the IVF index and the dedup labeling. Built at
+    * the CONTRACT geometry (never the experiment override), and the
+    * stamp carries that geometry: a corpus whose derived width differs
+    * routes probes to a fresh artifact instead of silently serving keys
+    * of the wrong width. */
+  private def rplshIndex(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int, bands: Int): String =
     graft.sources.BuildOnce.dir("graft_rplsh",
       graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet",
-        "rplsh-v1|planes=16|bands=4"),
+        s"rplsh-v2|planes=$planes|bands=$bands"),
       base => graft.sources.ArtifactStore.exists(s"$base/keys/_SUCCESS")) { tmp =>
       Vectors.rpLshBands(Tables.embeddings(s, d), "vec_id", "embedding",
-        planes = 16, bands = 4)
+        planes = planes, bands = bands)
         .write.mode("overwrite").parquet(s"$tmp/keys")
     }
 
@@ -1497,22 +1518,40 @@ object LlmOps {
     * per-query cost is bucket probes + in-candidate exact cosines — the
     * plane signatures are never recomputed (PlanSpec pins the absence
     * of the signature build). Same oracle as `rplsh_knn`: the artifact
-    * must reproduce the inline derivation exactly. */
-  val rplshProbe = Q("rplsh_probe", (s, d) =>
-    rplshKnnFrom(s, d, s.read.parquet(s"${rplshIndex(s, d)}/keys")), Some(s"""
+    * must reproduce the inline derivation exactly. The probe masks are
+    * sized to the CONTRACT width the artifact was built at. */
+  val rplshProbe = Q("rplsh_probe", (s, d) => {
+    val bits = graft.operators.AnnGeometry.bandBits(
+      graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))
+    rplshKnnFrom(s, d,
+      s.read.parquet(s"${rplshIndex(s, d,
+        graft.operators.AnnGeometry.Bands * bits,
+        graft.operators.AnnGeometry.Bands)}/keys"),
+      perBand = bits)
+  },
+    Some(s"""
     WITH $rplshSqlCtes
     SELECT qid, cand_id, rank, cos_sim FROM r WHERE rank <= 10
     ORDER BY qid, rank"""),
     sortCols = Seq("qid", "rank"))
 
-  /** The RP-LSH KEY-derivation CTEs (dims → contrib → bits → keys),
-    * name-prefixed so composites that also splice the ivf chain (which
-    * has its own `dims`) can carry both without collisions. This is the
-    * "shared constants" twin the `semdedup_ann` oracle re-derives keys
-    * from: same plane-sign hash (md5 60-bit), same 1e7 scaling, same
-    * 4-bit bands — `rplsh_probe`'s oracle pins this derivation equal to
-    * the persisted key artifact bit-for-bit. */
-  private def rplshKeysSqlCtes(pfx: String): String = s"""${pfx}dims AS (
+  /** The RP-LSH KEY-derivation CTEs (geom → dims → contrib → bits →
+    * keys, plus the `masks` probe list), name-prefixed so composites
+    * that also splice the ivf chain (which has its own `dims`) can
+    * carry both without collisions. This is the "shared constants" twin
+    * the `semdedup_ann` oracle re-derives keys from: same plane-sign
+    * hash (md5 60-bit), same 1e7 scaling — and since round 16 the same
+    * corpus-derived GEOMETRY ([[graft.operators.AnnGeometry]]): the
+    * `geom` CTE recomputes band-key bits from `count(*)` with the
+    * exact-integer formula the Spark side uses, so the twin follows the
+    * catalog to ANY width — `rplsh_probe`'s oracle pins this derivation
+    * equal to the persisted key artifact bit-for-bit. */
+  private def rplshKeysSqlCtes(pfx: String,
+      geomBody: String => String =
+        graft.operators.AnnGeometry.geomSqlBody): String = s"""${pfx}geom AS (${
+      geomBody("embeddings")}),
+    ${pfx}masks AS (${graft.operators.AnnGeometry.masksSqlBody(s"${pfx}geom")}),
+    ${pfx}dims AS (
       SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS dim
       FROM embeddings),
     ${pfx}contrib AS (
@@ -1520,12 +1559,16 @@ object LlmOps {
         CASE WHEN (CAST(('0x' || substr(md5('rp' || p.plane || ':' || d.dim), 1, 15)) AS BIGINT) % 2) = 0
              THEN CAST(round(CAST(d.x AS DOUBLE) * 1e7) AS BIGINT)
              ELSE -CAST(round(CAST(d.x AS DOUBLE) * 1e7) AS BIGINT) END AS sx
-      FROM ${pfx}dims d CROSS JOIN (SELECT unnest(range(16)) AS plane) p),
+      FROM ${pfx}dims d
+      CROSS JOIN (SELECT unnest(range(g.planes)) AS plane FROM ${pfx}geom g) p),
     ${pfx}bits AS (
       SELECT vec_id, plane, SUM(sx) > 0 AS bit FROM ${pfx}contrib GROUP BY 1, 2),
     ${pfx}keys AS (
-      SELECT vec_id, CAST(plane // 4 AS INTEGER) AS band,
-             SUM(CASE WHEN bit THEN CAST(pow(2, plane % 4) AS BIGINT) ELSE 0 END) AS band_key
+      SELECT vec_id,
+             CAST(plane // (SELECT bits FROM ${pfx}geom) AS INTEGER) AS band,
+             SUM(CASE WHEN bit
+                 THEN CAST(pow(2, plane % (SELECT bits FROM ${pfx}geom)) AS BIGINT)
+                 ELSE 0 END) AS band_key
       FROM ${pfx}bits GROUP BY 1, 2)"""
 
   /** The rplsh oracle's CTE chain (ends in `r` = ranked in-bucket exact
@@ -1533,7 +1576,7 @@ object LlmOps {
   private lazy val rplshSqlCtes: String = s"""${rplshKeysSqlCtes("")},
     probes AS (
       SELECT k.vec_id AS qid, k.band, xor(k.band_key, m.mask) AS band_key
-      FROM keys k CROSS JOIN (SELECT unnest([${RpLshProbeMasks.mkString(", ")}]) AS mask) m
+      FROM keys k CROSS JOIN masks m
       WHERE k.vec_id < 10),
     cand AS (
       SELECT DISTINCT p.qid, c.vec_id AS cand_id
@@ -1620,7 +1663,7 @@ object LlmOps {
     sortCols = Seq("qid"))
 
   /** Recall@10 of the probed IVF index (same contract as
-    * [[rplshRecall]]): quantifies what nprobe=2 of 8 cells gives up
+    * [[rplshRecall]]): quantifies what nprobe=2 of k≈√n cells gives up
     * against exact search. */
   val ivfRecall = Q("ivf_recall", (s, d) => {
     import s.implicits._
@@ -1633,7 +1676,7 @@ object LlmOps {
     ${recallSqlTail("ann_t")}"""),
     sortCols = Seq("qid"))
 
-  /** The recall/cost SWEEP point: same probed index at nprobe=4 of 8 —
+  /** The recall/cost SWEEP point: same probed index at nprobe=4 —
     * together with [[ivfRecall]] (nprobe=2) this pins the knob every IVF
     * deployment tunes: how much recall each extra probed cell buys, at
     * linearly more corpus touched per query. Oracle-gated like the rest
@@ -1943,13 +1986,19 @@ object LlmOps {
   /** Persisted IVF index: built at most once per embeddings fingerprint
     * (stale-proof, race-proof — see [[graft.sources.BuildOnce]]), probed
     * by `ivf_probe` and reusable across Verify/Bench JVMs. */
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    // k ≈ √n at build time (the AnnGeometry contract); the stamp carries
+    // the derived k, so a corpus whose contract k differs gets a fresh
+    // index instead of silently probing lists built at the wrong k
+    val k = graft.operators.AnnGeometry.ivfK(
+      graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))
     graft.sources.BuildOnce.dir("graft_ivf",
-      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet", "ivf-v1|k=8|lloyd=1"),
+      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet", s"ivf-v2|k=$k|lloyd=1"),
       base => graft.sources.ArtifactStore.exists(s"$base/centroids/_SUCCESS") &&
         graft.sources.ArtifactStore.exists(s"$base/assignments/_SUCCESS")) { tmp =>
-      Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", 8, tmp)
+      Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", k, tmp)
     }
+  }
 
   /** Persisted duplicate-cluster labeling — the production shape PERF.md
     * promises: run connected components over the LSH candidate pairs ONCE,
@@ -2003,7 +2052,8 @@ object LlmOps {
              list_sum(list_transform(e, x -> round(x * x * 1e12))) AS n2
       FROM v),
     sn AS (
-      SELECT vec_id AS centroid_id, e AS c, n2 AS cn2 FROM vn WHERE vec_id < 8),
+      SELECT vec_id AS centroid_id, e AS c, n2 AS cn2 FROM vn
+      WHERE vec_id < ${graft.operators.AnnGeometry.ivfKSql("embeddings")}),
     assign0 AS (
       SELECT vec_id, centroid_id FROM (
         SELECT vn.vec_id, sn.centroid_id,

@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.Multimodal
 
-/** Multimodal-column queries (builder brief): binary content + metadata,
-  * exercised over `documents` (text bytes stand in for media bytes — the
-  * decode stub is environment-imposed; the column plumbing is real and
-  * oracle-checked). */
+/** Multimodal-column queries (builder brief): binary content + metadata.
+  * `multimodal_meta` and `frame_sample` exercise the column PLUMBING
+  * over `documents` (text bytes stand in for media bytes; the byte-level
+  * expressions and oracle checks are what those two rows pin). The
+  * decode rows — `media_decode`, `media_pixels`, `media_knn` — operate
+  * on REAL encoded images ([[Multimodal.encodeImage]] PNG/GIF/BMP/JPEG)
+  * and decode actual pixels; nothing in this file is stubbed. */
 object Media {
 
   /** Binary ingestion + metadata extraction: content as a binary column,

@@ -133,9 +133,13 @@ class PlanSpec extends SparkSpec {
     // census form re-spilled 34 GB at sf1000 — PERF.md round-15), or a
     // pair-keyed exchange (the old cross-band distinct).
     val p = plan("minhash_pairs")
+    // upper bound, not exact: the hard pins are the negative shape
+    // assertions below — a planner stats change that merely re-labels
+    // the one bucket exchange must not fail the suite, but a SECOND
+    // hash exchange appearing would be a real regression
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1,
-      s"minhash_pairs: expected only the bucket exchange, found $exchanges")
+    assert(exchanges <= 1,
+      s"minhash_pairs: expected at most the bucket exchange, found $exchanges")
     assert("Window \\[count".r.unanchored.matches(p),
       "in-sort singleton census window lost")
     assert(!"hashpartitioning\\(doc_a#\\d+L?, doc_b#".r.unanchored.matches(p),

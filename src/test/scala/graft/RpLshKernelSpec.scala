@@ -30,6 +30,14 @@ class RpLshKernelSpec extends SparkSpec {
     6L -> Seq.empty[java.lang.Float],
     7L -> null)
 
+  // Non-finite cells: under this repo's ANSI mode (Spark 4 default) the
+  // exploded twin's round→cast(long) raises CAST_OVERFLOW, so the
+  // kernel raises the SAME Spark error — never BigDecimal's bare
+  // NumberFormatException (ADVICE r15), never a silently-divergent key.
+  private val nonFinite: Seq[(Long, Seq[java.lang.Float])] = Seq(
+    8L -> Seq[java.lang.Float](Float.NaN, 0.5f, Float.PositiveInfinity, -0.25f),
+    9L -> Seq[java.lang.Float](Float.NegativeInfinity, Float.NaN, null, 1f))
+
   private def collectKeys(df: DataFrame): Set[(Long, Int, Long)] =
     df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
@@ -43,6 +51,25 @@ class RpLshKernelSpec extends SparkSpec {
       val exploded = collectKeys(
         Vectors.rpLshBandsExploded(edgeDf, "vec_id", "embedding", planes, bands))
       assert(kernel == exploded, s"geometry $planes/$bands")
+    }
+  }
+
+  test("non-finite cells raise the ANSI cast error in BOTH forms") {
+    val df = nonFinite.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    for (form <- Seq(
+        Vectors.rpLshBands(df, "vec_id", "embedding", 16, 4),
+        Vectors.rpLshBandsExploded(df, "vec_id", "embedding", 16, 4))) {
+      val e = intercept[Exception] {
+        form.collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      // SparkArithmeticException is private[spark]; match by the error
+      // class in the message + the public ArithmeticException supertype
+      assert(chain(e).exists(t => t.isInstanceOf[ArithmeticException] &&
+          t.getMessage.contains("CAST_OVERFLOW")),
+        s"expected CAST_OVERFLOW, got: $e")
     }
   }
 

@@ -117,9 +117,30 @@ class ScaleUpSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, dst)
     assert(emb.select("vec_id").distinct().count() ==
       Tables.embeddings(spark, src).select("vec_id").distinct().count() * copies)
-    // vectors repeat by design: per-centroid lists grow copies-x while
-    // fixed-id probes stay meaningful — distinct vectors must NOT grow
+    // clones are JITTERED (round 16): every copy is a distinct vector —
+    // bit-identical clones made ANN self-joins degenerate-quadratic
     assert(emb.select("embedding").distinct().count() ==
-      Tables.embeddings(spark, src).select("embedding").distinct().count())
+      Tables.embeddings(spark, src).select("embedding").distinct().count() * copies)
+  }
+
+  test("embedding jitter: copies stay in the source neighborhood, copy 0 intact") {
+    val src0 = Tables.embeddings(spark, src)
+      .select(col("vec_id"), col("embedding").as("e0"))
+    val emb = Tables.embeddings(spark, dst)
+    // copy 0 is byte-identical to the source
+    assert(emb.join(src0, "vec_id")
+      .where(col("embedding") =!= col("e0")).count() == 0)
+    // every clone differs from its source in EXACTLY one dimension, by
+    // its copy tag x 1e-3 — near-dup, never exact-dup
+    val clones = emb.where(col("vec_id") >= ScaleUp.Span)
+      .withColumn("src_id", pmod(col("vec_id"), lit(ScaleUp.Span)))
+      .join(src0.withColumnRenamed("vec_id", "src_id"), "src_id")
+    assert(clones.count() > 0)
+    val diffDims = clones.select(
+      aggregate(zip_with(col("embedding"), col("e0"),
+          (a, b) => when(a =!= b, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("nd"))
+    assert(diffDims.where(col("nd") =!= 1).count() == 0,
+      "each clone must differ from its source in exactly one dimension")
   }
 }
