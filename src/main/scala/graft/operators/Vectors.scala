@@ -77,16 +77,27 @@ object Vectors {
   }
 
   /** Assign each vector to its nearest centroid by cosine (broadcast the
-    * centroid table; partial top-1 per vector). */
+    * centroid table). Top-1 is an ARGMAX, so it is a hash AGGREGATE —
+    * `max(struct(cos, −centroid_id))` reproduces the row_number-1
+    * ordering (cos DESC, centroid_id ASC) bit-for-bit — never a window:
+    * a window needs a per-partition SORT of the full corpus×centroid
+    * score stream (n·k rows — 9×10¹⁰ at 20 M vectors under the k≈√n
+    * contract, an external sort per partition), where the partial hash
+    * agg holds one 16-byte state per vector in the partition and the
+    * only exchange carries n compact (id, best) rows. Same argmax shape
+    * as `semantic_decontam`'s corpus×benchmark pass (round-7 finding). */
   def ivfAssign(v: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val scored = v.select(col(idCol), col(vecCol).as("_v"), normScaled(col(vecCol)).as("_n2"))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("centroid_id"),
-        cosine(dotScaled(col("_v"), col("centroid")),
-          col("_n2"), normScaled(col("centroid"))).as("_cos"))
-    topKPerKey(scored, col(idCol), col("_cos"), col("centroid_id"), 1)
-      .select(col(idCol), col("centroid_id"))
+      .select(col(idCol),
+        struct(
+          cosine(dotScaled(col("_v"), col("centroid")),
+            col("_n2"), normScaled(col("centroid"))).as("c"),
+          (-col("centroid_id")).as("nid")).as("_s"))
+    scored.groupBy(col(idCol))
+      .agg(max(col("_s")).as("_m"))
+      .select(col(idCol), (-col("_m.nid")).cast("int").as("centroid_id"))
   }
 
   /** IVF probe: answer each query from its `nprobe` nearest centroid

@@ -39,7 +39,14 @@ class VectorsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val cents = Vectors.buildCentroids(vecs, "vec_id", "embedding", 2)
     assert(cents.count() == 2)
-    val assigned = Vectors.ivfAssign(vecs, "vec_id", "embedding", cents)
+    val assignedDf = Vectors.ivfAssign(vecs, "vec_id", "embedding", cents)
+    // the corpus-wide top-1 must be the argmax AGGREGATE, never a
+    // window: a window sorts the n·k score stream per partition
+    // (9e10 rows at 20M vectors under k≈√n), the agg holds one state
+    // per vector
+    assert(!assignedDf.queryExecution.executedPlan.toString.contains("Window"),
+      "ivfAssign regressed to a window top-1 over the n*k score stream")
+    val assigned = assignedDf
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(assigned(2L) == assigned(0L) && assigned(4L) == assigned(0L))
     assert(assigned(3L) == assigned(1L) && assigned(5L) == assigned(1L))
