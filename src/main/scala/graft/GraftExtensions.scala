@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.BucketIdPairs.descriptor)
     extensions.injectFunction(graft.functions.HammingBucketPairs.descriptor)
     extensions.injectFunction(graft.functions.ImageHeaderMeta.descriptor)
+    extensions.injectFunction(graft.functions.ArgMaxBy.descriptor)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

@@ -77,27 +77,31 @@ object Vectors {
   }
 
   /** Assign each vector to its nearest centroid by cosine (broadcast the
-    * centroid table). Top-1 is an ARGMAX, so it is a hash AGGREGATE —
-    * `max(struct(cos, −centroid_id))` reproduces the row_number-1
-    * ordering (cos DESC, centroid_id ASC) bit-for-bit — never a window:
-    * a window needs a per-partition SORT of the full corpus×centroid
-    * score stream (n·k rows — 9×10¹⁰ at 20 M vectors under the k≈√n
-    * contract, an external sort per partition), where the partial hash
-    * agg holds one 16-byte state per vector in the partition and the
-    * only exchange carries n compact (id, best) rows. Same argmax shape
-    * as `semantic_decontam`'s corpus×benchmark pass (round-7 finding). */
+    * centroid table). Top-1 is an ARGMAX, so it must be a hash
+    * AGGREGATE — never a window (a window needs a per-partition SORT of
+    * the full corpus×centroid score stream — n·k rows, 9×10¹⁰ at 20 M
+    * vectors under the k≈√n contract) — and never `max(struct(...))`
+    * either: a struct aggregation buffer is not a mutable fixed-width
+    * type, so HashAggregateExec silently falls back to SortAggregate
+    * and sorts the same n·k stream (measured: 8 GiB OOM at sf100,
+    * `r16m/sf100_subset/` — the round-16 incident
+    * [[graft.functions.ArgMaxBy]] exists to close). `arg_max_by(id,
+    * cos)` holds (best cos, best id) as two primitive buffer slots —
+    * one 16-byte hash-map entry per vector in the partition — and
+    * reproduces the (cos DESC, centroid_id ASC) ordering bit-for-bit;
+    * the only exchange carries n compact (id, best) rows. Same argmax
+    * shape as `semantic_decontam`'s corpus×benchmark pass (round-7
+    * finding). */
   def ivfAssign(v: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val scored = v.select(col(idCol), col(vecCol).as("_v"), normScaled(col(vecCol)).as("_n2"))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol),
-        struct(
-          cosine(dotScaled(col("_v"), col("centroid")),
-            col("_n2"), normScaled(col("centroid"))).as("c"),
-          (-col("centroid_id")).as("nid")).as("_s"))
+      .select(col(idCol), col("centroid_id"),
+        cosine(dotScaled(col("_v"), col("centroid")),
+          col("_n2"), normScaled(col("centroid"))).as("_c"))
     scored.groupBy(col(idCol))
-      .agg(max(col("_s")).as("_m"))
-      .select(col(idCol), (-col("_m.nid")).cast("int").as("centroid_id"))
+      .agg(call_function("arg_max_by", col("centroid_id"), col("_c"))
+        .cast("int").as("centroid_id"))
   }
 
   /** IVF probe: answer each query from its `nprobe` nearest centroid
@@ -109,7 +113,11 @@ object Vectors {
   def ivfSearch(v: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       nprobe: Int, k: Int): DataFrame =
-    searchAssigned(v.join(ivfAssign(v, idCol, vecCol, centroids), idCol),
+    // SHUFFLE_HASH: same reason as buildCentroids' sums join — unhinted,
+    // this sort-merges and externally sorts the WIDE vector side; the
+    // narrow (id, centroid) frame is the per-partition hash build
+    searchAssigned(
+      v.join(ivfAssign(v, idCol, vecCol, centroids).hint("shuffle_hash"), idCol),
       idCol, vecCol, centroids, queries, qIdCol, qVecCol, nprobe, k)
 
   /** Build the IVF index ONCE and persist it: `$path/centroids`
@@ -156,7 +164,9 @@ object Vectors {
     val spark = v.sparkSession
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     val assignments = spark.read.parquet(s"$indexPath/assignments")
-    searchAssigned(v.join(assignments, idCol),
+    // SHUFFLE_HASH: the narrow assignment frame builds, the wide vector
+    // side streams (unhinted = SMJ = external sort of the embeddings)
+    searchAssigned(v.join(assignments.hint("shuffle_hash"), idCol),
       idCol, vecCol, centroids, queries, qIdCol, qVecCol, nprobe, k)
   }
 
@@ -383,5 +393,64 @@ object Vectors {
             "this bucket through ANN candidates (knn_bucketed/quant_rerank)"))))
         .otherwise(lit(true)))
       .select(v.columns.map(col).toSeq: _*) // original order: the join led with its key
+  }
+
+  /** Candidate pairs from an LSH band-key SELF-join, with the tight-
+    * cluster regime bounded STRUCTURALLY instead of guarded or exploded
+    * (round-16: the sf10 `semdedup_ann` OOM). Input `keys` is the
+    * persisted band-key table `(vec_id, band, band_key)`; output is
+    * distinct `(vec_a, vec_b)` with `vec_a < vec_b`.
+    *
+    * The defect this replaces: key WIDTH sizes the EXPECTED bucket, but
+    * a tight cluster (a clone family, a template burst — exactly what a
+    * dedup corpus contains) is an irreducible bucket no width can
+    * split: its members agree on every hyperplane sign, so all-pairs
+    * within buckets is quadratic in cluster size at ANY geometry, and
+    * the Hamming-1 probe multiplies the whole stream by (1+bits).
+    * Measured on the round-16 jittered sf10 fixture (200 k vectors,
+    * 12-bit keys, 100-clone families): 756 M candidate rows — ~3 800
+    * per vector — OOMing a 8 GiB heap; the same shape at 20 M vectors
+    * is ~10¹¹ rows (`r16m/` + PERF.md round-16).
+    *
+    * The bound, two regimes split at `cap` (= the geometry's own
+    * per-bucket design target, [[AnnGeometry.DedupTargetBucketRows]]):
+    *  - buckets ≤ cap — the geometry DID split these — keep exhaustive
+    *    in-bucket pairing plus the Hamming-1 multi-probe against them
+    *    (recall identical to the unbounded form; the verify-scale
+    *    fixtures sit entirely in this regime: max bucket 51);
+    *  - buckets > cap — tight clusters the geometry CANNOT split —
+    *    pair every member with the bucket's min-id REPRESENTATIVE
+    *    (SemDeDup's own compare-to-centroid semantics): linear in
+    *    cluster size, and on a genuinely tight cluster the verdict set
+    *    is exactly the exhaustive one (every member is near the rep,
+    *    so all but the lowest id drop).
+    * Every emitted pair still flows through the caller's verification
+    * gate (same centroid + cosine threshold), so the certified-subset
+    * property vs the exhaustive row is preserved in both regimes —
+    * star pairs can MISS drops, never invent one. Measured effect at
+    * sf10: 756 M → 6.5 M candidates (32/vector) at cap 64.
+    *
+    * Plan shape: one narrow hash aggregate for bucket stats (count +
+    * min — partial-combinable, 16-byte state, no sort), SHUFFLE_HASH
+    * joined back on the band key both sides already shuffle on; the
+    * probe join's per-key match group is ≤ cap rows, so the SMJ/SHJ
+    * build side is bounded by construction. */
+  def bandPairsCapped(keys: DataFrame, masks: Seq[Long], cap: Long): DataFrame = {
+    val stats = keys.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
+    val keyed = keys.join(stats.hint("shuffle_hash"), Seq("band", "band_key"))
+    val small = keyed.filter(col("_n") <= cap)
+      .select(col("band"), col("band_key"), col("vec_id").as("vec_b"))
+    val star = keyed.filter(col("_n") > cap && col("vec_id") =!= col("_rep"))
+      .select(col("_rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val aKeys = keys
+      .select(col("band"), col("band_key"), col("vec_id").as("vec_a"),
+        explode(array(masks.map(lit(_)): _*)).as("mask"))
+      .select(col("band"), col("band_key").bitwiseXOR(col("mask")).as("band_key"),
+        col("vec_a"))
+    val probed = aKeys.join(small, Seq("band", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    probed.union(star).distinct()
   }
 }

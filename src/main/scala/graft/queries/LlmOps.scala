@@ -1227,7 +1227,8 @@ object LlmOps {
     val assigned = s.read.parquet(s"${ivfIndex(s, d)}/assignments")
     val v = emb.select($"vec_id", $"embedding",
         Vectors.normScaled($"embedding").as("n2"))
-      .join(assigned, "vec_id")
+      // shuffle_hash: narrow assignment builds, wide embeddings stream
+      .join(assigned.hint("shuffle_hash"), "vec_id")
     val guarded = Vectors.withBucketBound(v, "centroid_id",
       Vectors.maxBucketRowsFor(s))
     val l = guarded.select($"centroid_id", $"vec_id".as("vec_a"),
@@ -1264,6 +1265,12 @@ object LlmOps {
     * pairs come from RP-LSH band collisions (the corpus-derived
     * `rplsh_knn` geometry) instead of exhaustive in-cluster pairing —
     * candidate volume scales with collision rate, not cluster-size².
+    * Round-16: collisions flow through [[Vectors.bandPairsCapped]] —
+    * buckets the geometry split keep exhaustive+multi-probe pairing,
+    * tight clusters it cannot split (clone families: irreducible
+    * buckets at ANY key width) star to their min-id representative, so
+    * the candidate stream is bounded linear in n even on a corpus that
+    * is one giant near-dup clique.
     * Oracle-gated (VERDICT r13 #8): the DuckDB twin re-derives the
     * RP-LSH keys from the shared constants ([[rplshKeysSqlCtes]] — the
     * same derivation `rplsh_probe`'s oracle pins equal to the persisted
@@ -1294,7 +1301,8 @@ object LlmOps {
     val assigned = s.read.parquet(s"${ivfIndex(s, d)}/assignments")
     val v = emb.select($"vec_id", $"embedding",
         Vectors.normScaled($"embedding").as("n2"))
-      .join(assigned, "vec_id")
+      // shuffle_hash: narrow assignment builds, wide embeddings stream
+      .join(assigned.hint("shuffle_hash"), "vec_id")
     // the DEDUP geometry (AnnGeometry.dedupBandBits): an all-corpus
     // self-join needs ~constant-size buckets (64 rows) or base-rate
     // collisions alone are n·bands·masks·bucket pairs — at the knn
@@ -1307,20 +1315,14 @@ object LlmOps {
     val keys = s.read.parquet(s"${rplshIndex(s, d,
       graft.operators.AnnGeometry.Bands * dedupBits,
       graft.operators.AnnGeometry.Bands)}/keys")
-    // multi-probe on ONE side (the rplsh_knn trade: recall bought with
-    // candidate compute, not another copy of the key table): vec_a also
-    // matches buckets within Hamming distance 1 of its band key; masks
-    // are sized to the width the key artifact was built at
-    val annMasks = graft.operators.AnnGeometry.probeMasks(dedupBits)
-    val aKeys = keys
-      .select($"band", $"band_key", $"vec_id".as("vec_a"),
-        explode(array(annMasks.map(lit(_)): _*)).as("mask"))
-      .select($"band", $"band_key".bitwiseXOR($"mask").as("band_key"), $"vec_a")
-    val cpairs = aKeys
-      .join(keys.select($"band", $"band_key", $"vec_id".as("vec_b")),
-        Seq("band", "band_key"))
-      .filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b").distinct()
+    // candidate pairs: exhaustive + Hamming-1 multi-probe within buckets
+    // the geometry split (≤ DedupTargetBucketRows), min-id-representative
+    // stars for the tight clusters it cannot split — the bounded form of
+    // the band self-join (Vectors.bandPairsCapped: the unbounded join
+    // was measured at 756 M candidate rows / OOM at sf10, r16m/)
+    val cpairs = Vectors.bandPairsCapped(keys,
+      graft.operators.AnnGeometry.probeMasks(dedupBits),
+      graft.operators.AnnGeometry.DedupTargetBucketRows)
     val a = v.select($"vec_id".as("vec_a"), $"centroid_id".as("ca"),
       $"embedding".as("ea"), $"n2".as("na"))
     val b = v.select($"vec_id".as("vec_b"), $"centroid_id".as("cb"),
@@ -1336,14 +1338,26 @@ object LlmOps {
   }, Some(s"""
     WITH ${ivfSqlCtes(2)},
     ${rplshKeysSqlCtes("rk_", graft.operators.AnnGeometry.dedupGeomSqlBody)},
+    rk_stats AS (
+      SELECT band, band_key, count(*) AS n, min(vec_id) AS rep
+      FROM rk_keys GROUP BY band, band_key),
     aprobe AS (
       SELECT k.vec_id AS vec_a, k.band, xor(k.band_key, m.mask) AS band_key
       FROM rk_keys k CROSS JOIN rk_masks m),
     cpairs AS (
-      SELECT DISTINCT a.vec_a, c.vec_id AS vec_b
-      FROM aprobe a JOIN rk_keys c
-        ON a.band = c.band AND a.band_key = c.band_key
-      WHERE a.vec_a < c.vec_id),
+      SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT a.vec_a, c.vec_id AS vec_b
+        FROM aprobe a
+        JOIN rk_keys c ON a.band = c.band AND a.band_key = c.band_key
+        JOIN rk_stats s ON s.band = c.band AND s.band_key = c.band_key
+        WHERE s.n <= ${graft.operators.AnnGeometry.DedupTargetBucketRows}
+          AND a.vec_a < c.vec_id
+        UNION ALL
+        SELECT s.rep AS vec_a, k.vec_id AS vec_b
+        FROM rk_keys k
+        JOIN rk_stats s ON s.band = k.band AND s.band_key = k.band_key
+        WHERE s.n > ${graft.operators.AnnGeometry.DedupTargetBucketRows}
+          AND k.vec_id <> s.rep)),
     sd_ann AS (
       SELECT p.vec_b
       FROM cpairs p
@@ -1854,6 +1868,9 @@ object LlmOps {
     val qCodes = codes.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qq"), $"qn2".as("qqn2"))
     val sims = assignments.join(broadcast(qBuckets), Seq("centroid_id"))
+      // shuffle_hash: the bucket-filtered probe side builds (~nprobe
+      // lists), the full codes table streams instead of SMJ-sorting
+      .hint("shuffle_hash")
       .join(codes, Seq("vec_id"))
       .filter($"vec_id" =!= $"qid")
       .join(broadcast(qCodes), Seq("qid"))

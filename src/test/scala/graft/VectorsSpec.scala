@@ -46,6 +46,15 @@ class VectorsSpec extends SparkSpec {
     // per vector
     assert(!assignedDf.queryExecution.executedPlan.toString.contains("Window"),
       "ivfAssign regressed to a window top-1 over the n*k score stream")
+    // ...and the aggregate must be HASH, not sort-based: max(struct)
+    // has a struct buffer HashAggregateExec cannot hold, so it silently
+    // plans SortAggregate and sorts the same n·k stream (the round-16
+    // sf100 OOM, r16m/sf100_subset/ — ArgMaxBy exists to keep the
+    // buffer two primitive slots)
+    assert(!assignedDf.queryExecution.executedPlan.toString.contains("SortAggregate"),
+      "ivfAssign regressed to a sort-based aggregate over the n*k score stream")
+    assert(assignedDf.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "ivfAssign's argmax is no longer a hash aggregate")
     val assigned = assignedDf
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(assigned(2L) == assigned(0L) && assigned(4L) == assigned(0L))
@@ -200,6 +209,46 @@ class VectorsSpec extends SparkSpec {
     val assigned = Vectors.topKPerKey(scored, $"vec_id", $"cos_sim", $"cid", 1)
       .select($"vec_id", $"cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(assigned == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("arg_max_by: struct-ordering parity — tie → smallest id, NaN greatest, null ord skipped") {
+    val df = Seq(
+      (1L, 10, Option(0.5)), (1L, 3, Option(0.9)), (1L, 7, Option(0.9)), // tie → id 3
+      (2L, 5, Option(Double.NaN)), (2L, 6, Option(1.0)),                 // NaN greatest → 5
+      (4L, 1, Option.empty[Double]), (4L, 2, Option(0.3))                // null never wins
+    ).toDF("g", "id", "c").repartition(3)
+    val got = df.groupBy($"g")
+      .agg(call_function("arg_max_by", $"id", $"c").as("id"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 5, 4L -> 2))
+    // bit-parity with the struct-max form it replaces (same Spark
+    // total float ordering), minus that form's SortAggregate plan
+    val viaStruct = df.groupBy($"g")
+      .agg(max(struct($"c", (-$"id").as("nid"))).as("m"))
+      .select($"g", (-$"m.nid").cast("int").as("id"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == viaStruct)
+  }
+
+  test("bandPairsCapped: split buckets pair exhaustively, tight clusters star to the min-id rep") {
+    // band 0: one tight cluster of 8 rows (over cap 4 — the geometry
+    // "failed to split" it) and one 3-row bucket (under cap); band 1:
+    // a 2-row bucket that only collides through the Hamming-1 probe
+    val keys = (
+      (1L to 8L).map(i => (i, 0, 5L)) ++            // tight cluster, key 5
+      Seq((20L, 0, 9L), (21L, 0, 9L), (22L, 0, 9L)) ++ // small bucket
+      Seq((30L, 1, 2L), (31L, 1, 3L))               // Hamming-1 apart
+    ).toDF("vec_id", "band", "band_key")
+    val got = Vectors.bandPairsCapped(keys, Seq(0L, 1L, 2L), cap = 4L)
+      .as[(Long, Long)].collect().toSet
+    // tight cluster: ONLY stars (1,j) — no (2,3) etc.; small bucket:
+    // all pairs; cross-bucket: (30,31) via the mask-1 probe
+    val stars = (2L to 8L).map(j => (1L, j)).toSet
+    val small = Set((20L, 21L), (20L, 22L), (21L, 22L))
+    assert(got == stars ++ small + ((30L, 31L)),
+      s"unexpected pair set: ${got -- (stars ++ small + ((30L, 31L)))} / missing ${(stars ++ small + ((30L, 31L))) -- got}")
+    // the bound: pair count is linear in the tight cluster, not quadratic
+    assert(got.count(_._1 == 1L) == 7)
   }
 
   test("semdedup_ann: certified subset of the exhaustive verdicts, recall measured") {
