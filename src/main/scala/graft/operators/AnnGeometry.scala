@@ -102,6 +102,33 @@ object AnnGeometry {
   def ivfK(n: Long): Int =
     math.max(MinIvfK, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Lloyd-step training sample: one vector in every `period` by
+    * deterministic hash, targeting [[LloydSampleFactor]]·k training
+    * points (the FAISS-style max-points-per-centroid bound). Why: with
+    * k≈√n a FULL-corpus Lloyd pass is n·k = n^1.5 exact cosines —
+    * measured at sf100 (k=1415): `ivf_knn` 1045.6 s, one decade from
+    * infeasible (`r16m/sf100_subset/`). Means over a 64·k sample cost
+    * 64·k² = 64·n at the contract k — linear — and k-means quality
+    * depends on points-per-centroid, not corpus fraction. Period 1
+    * (sub-64k corpora, incl. every verify fixture) keeps the exact
+    * full-corpus Lloyd this repo measured through round 15. */
+  val LloydSampleFactor = 64L
+
+  def lloydSamplePeriod(n: Long, k: Int): Long =
+    math.max(1L, n / (LloydSampleFactor * k))
+
+  /** Coarse-routing cell count for the corpus→centroid assignment:
+    * √k coarse cells (the first √k centroids), each holding the fine
+    * centroids whose top-2 coarse match. Assignment = nearest coarse
+    * (n·√k dots) then exact argmax over that cell's ~2·√k fines — the
+    * two-level/IMI shape, n·3√k total instead of n·k (= n^1.5 at the
+    * contract k). Deterministic and oracle-replayable: the rule, not
+    * the result, is the contract (IVF assignment is itself a heuristic;
+    * cells can never be empty because cos(c_j, c_j)=1 puts every coarse
+    * centroid in its own cell). */
+  def ivfCoarseK(k: Int): Int =
+    math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
   /** Multi-probe masks for a `bits`-wide band key: the exact bucket
     * plus each single-bit flip (Hamming distance 1). Query-side only. */
   def probeMasks(bits: Int): Seq[Long] = 0L +: (0 until bits).map(1L << _)
@@ -155,4 +182,16 @@ object AnnGeometry {
   /** SQL scalar for [[ivfK]]. */
   def ivfKSql(table: String): String =
     s"(SELECT GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)) FROM $table)"
+
+  /** SQL scalar for [[lloydSamplePeriod]] (`//` = truncating division =
+    * floor on the non-negative operands here, same as the JVM `/`). */
+  def lloydPeriodSql(table: String): String =
+    s"""(SELECT GREATEST(1, count(*) // ($LloydSampleFactor *
+        GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)))) FROM $table)"""
+
+  /** SQL scalar for [[ivfCoarseK]] (of the contract [[ivfK]]). */
+  def ivfCoarseKSql(table: String): String =
+    s"""(SELECT GREATEST(1, CAST(ceil(sqrt(
+        GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)))) AS INTEGER))
+        FROM $table)"""
 }

@@ -55,18 +55,28 @@ object Vectors {
     * (centroid_id, centroid: array<double>). Plan shape at scale: assign =
     * broadcast(centroids) nested-loop + partial top-1; means = posexplode
     * dims → grouped sum/count (partial-agg, one shuffle on (cid, dim)). */
-  def buildCentroids(v: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def buildCentroids(v: DataFrame, idCol: String, vecCol: String, k: Int,
+      samplePeriod: Long = 1L): DataFrame = {
     val seeds = v.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("centroid_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
-    val assigned = ivfAssign(v, idCol, vecCol, seeds)
+    // Lloyd trains on a deterministic hash-sample (AnnGeometry
+    // .lloydSamplePeriod — ~64·k points; a FULL pass is n·k = n^1.5 at
+    // the k≈√n contract, the measured 1045 s sf100 row). Seeds are
+    // always in the training set so no cell can empty out and k is
+    // preserved; period 1 = the exact full-corpus Lloyd.
+    val lloydIn = if (samplePeriod <= 1L) v else v.filter(
+      pmod(graft.queries.hash60(
+        concat(lit("ivfs:"), col(idCol).cast("string"))), lit(samplePeriod)) === 0 ||
+      col(idCol) < k)
+    val assigned = ivfAssign(lloydIn, idCol, vecCol, seeds)
     // SHUFFLE_HASH: `assigned` is the narrow (id, centroid) frame; an
     // unhinted plan sort-merges this join and externally sorts the
     // VECTOR side — sort width = the embedding payload (8 GB of
     // float arrays at 20 M × 96-dim), the recurring anti-pattern. The
     // hash build is per-partition small (12 B/row) and the vector side
     // streams.
-    val sums = v.join(assigned.hint("shuffle_hash"), idCol)
+    val sums = lloydIn.join(assigned.hint("shuffle_hash"), idCol)
       .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(sum(round(col("x").cast("double") * 1e7)).as("sx"), count(lit(1)).as("n"))
@@ -104,6 +114,59 @@ object Vectors {
         .cast("int").as("centroid_id"))
   }
 
+  /** Corpus→centroid assignment through a COARSE ROUTING level (the
+    * two-level/IMI shape): with the k≈√n contract a flat assignment is
+    * n·k = n^1.5 exact cosines — measured at sf100 (2 M × k=1415):
+    * `ivf_knn` 1045.6 s, one decade from infeasible
+    * (`r16m/sf100_subset/`, PERF.md round-16 §6). Here:
+    *  - coarse cells = the first `coarseK` (≈√k) centroids;
+    *  - each FINE centroid registers in its top-2 coarse cells (k·√k
+    *    dots — tiny, broadcast both ways; the duplication buys back
+    *    boundary error on the index side, so the corpus side stays
+    *    single-pass);
+    *  - each vector: nearest coarse cell (n·√k stream through the
+    *    arg_max_by hash agg), then exact argmax over that cell's ~2k/√k
+    *    fines — n·3√k total.
+    * The result is an approximation of the flat argmax (a vector whose
+    * true nearest fine lives outside its coarse cell gets its best
+    * IN-cell fine) — exactly the approximation IVF assignment already
+    * is; what the oracle pins is the RULE, replayed bit-for-bit from
+    * the same constants (`AnnGeometry.ivfCoarseK`). No cell is ever
+    * empty: cos(c_j, c_j) = 1 keeps coarse centroid j in its own cell.
+    * `coarseK = 1` degenerates to the flat exact assignment (one cell
+    * holding every fine). */
+  def ivfAssignRouted(v: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, coarseK: Int): DataFrame = {
+    val coarse = broadcast(centroids.filter(col("centroid_id") < coarseK)
+      .select(col("centroid_id").as("coarse_id"), col("centroid").as("_cc")))
+    // fine → its top-2 coarse cells (k·coarseK rows: window is fine here)
+    val cells = broadcast(topKPerKey(
+      centroids.crossJoin(coarse)
+        .select(col("centroid_id"), col("coarse_id"),
+          cosine(dotScaled(col("centroid"), col("_cc")),
+            normScaled(col("centroid")), normScaled(col("_cc"))).as("_fc")),
+      col("centroid_id"), col("_fc"), col("coarse_id"), 2)
+      .select(col("coarse_id"), col("centroid_id"))
+      .join(centroids, "centroid_id"))
+    val vs = v.select(col(idCol), col(vecCol).as("_v"),
+      normScaled(col(vecCol)).as("_n2"))
+    val vCoarse = vs.crossJoin(coarse)
+      .select(col(idCol), col("coarse_id"),
+        cosine(dotScaled(col("_v"), col("_cc")),
+          col("_n2"), normScaled(col("_cc"))).as("_c"))
+      .groupBy(col(idCol))
+      .agg(call_function("arg_max_by", col("coarse_id"), col("_c"))
+        .cast("int").as("coarse_id"))
+    vs.join(vCoarse.hint("shuffle_hash"), Seq(idCol))
+      .join(cells, Seq("coarse_id"))
+      .select(col(idCol), col("centroid_id"),
+        cosine(dotScaled(col("_v"), col("centroid")),
+          col("_n2"), normScaled(col("centroid"))).as("_c"))
+      .groupBy(col(idCol))
+      .agg(call_function("arg_max_by", col("centroid_id"), col("_c"))
+        .cast("int").as("centroid_id"))
+  }
+
   /** IVF probe: answer each query from its `nprobe` nearest centroid
     * buckets only — the 1/(k/nprobe) corpus fraction that survives 100 TB.
     * Exact within the probed buckets; recall vs brute force is the
@@ -112,12 +175,15 @@ object Vectors {
     * [[ivfSearchIndexed]]. */
   def ivfSearch(v: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
-      nprobe: Int, k: Int): DataFrame =
+      nprobe: Int, k: Int, routeCoarseK: Int = 1): DataFrame =
     // SHUFFLE_HASH: same reason as buildCentroids' sums join — unhinted,
     // this sort-merges and externally sorts the WIDE vector side; the
-    // narrow (id, centroid) frame is the per-partition hash build
+    // narrow (id, centroid) frame is the per-partition hash build.
+    // routeCoarseK > 1 = the two-level corpus assignment (the scale
+    // path; queries still route against ALL centroids — 10·k is cheap)
     searchAssigned(
-      v.join(ivfAssign(v, idCol, vecCol, centroids).hint("shuffle_hash"), idCol),
+      v.join(ivfAssignRouted(v, idCol, vecCol, centroids, routeCoarseK)
+        .hint("shuffle_hash"), idCol),
       idCol, vecCol, centroids, queries, qIdCol, qVecCol, nprobe, k)
 
   /** Build the IVF index ONCE and persist it: `$path/centroids`
@@ -130,11 +196,11 @@ object Vectors {
     * Centroids are read back from disk before assigning so the persisted
     * assignment matches the persisted centroids bit-for-bit. */
   def writeIndex(v: DataFrame, idCol: String, vecCol: String, k: Int,
-      path: String): Unit = {
-    buildCentroids(v, idCol, vecCol, k)
+      path: String, samplePeriod: Long = 1L, routeCoarseK: Int = 1): Unit = {
+    buildCentroids(v, idCol, vecCol, k, samplePeriod)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cent = v.sparkSession.read.parquet(s"$path/centroids")
-    ivfAssign(v, idCol, vecCol, cent)
+    ivfAssignRouted(v, idCol, vecCol, cent, routeCoarseK)
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
 

@@ -1399,13 +1399,18 @@ object LlmOps {
     // k ≈ √n (AnnGeometry contract, round 16): k=8 fixed meant
     // corpus/8-row inverted lists — 2.5 M rows / 13–27 GB spill at the
     // r15 fourth decade. The oracle derives the same k from count(*).
-    val k = graft.operators.AnnGeometry.ivfK(
-      graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))
-    val centroids = Vectors.buildCentroids(v, "vec_id", "embedding", k)
+    val n = graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet")
+    val k = graft.operators.AnnGeometry.ivfK(n)
+    // sampled Lloyd + two-level routed assignment (AnnGeometry contract,
+    // round 16): the flat build is n·k = n^1.5 at k≈√n — measured
+    // 1045.6 s at sf100 before routing (r16m/sf100_subset/)
+    val centroids = Vectors.buildCentroids(v, "vec_id", "embedding", k,
+      graft.operators.AnnGeometry.lloydSamplePeriod(n, k))
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     Vectors.ivfSearch(v, "vec_id", "embedding", centroids, q, "qid", "qe",
-      nprobe = 2, k = 10)
+      nprobe = 2, k = 10,
+      routeCoarseK = graft.operators.AnnGeometry.ivfCoarseK(k))
   }, Some(ivfSql), sortCols = Seq("qid", "rank"))
 
   /** The production IVF shape: the index (centroids + inverted-list
@@ -2004,16 +2009,22 @@ object LlmOps {
     * (stale-proof, race-proof — see [[graft.sources.BuildOnce]]), probed
     * by `ivf_probe` and reusable across Verify/Bench JVMs. */
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    // k ≈ √n at build time (the AnnGeometry contract); the stamp carries
-    // the derived k, so a corpus whose contract k differs gets a fresh
-    // index instead of silently probing lists built at the wrong k
-    val k = graft.operators.AnnGeometry.ivfK(
-      graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))
+    // k ≈ √n at build time, Lloyd on a ~64·k hash-sample, assignment
+    // through √k coarse cells (the full AnnGeometry contract — a flat
+    // build is n^1.5 at this k); the stamp carries all three derived
+    // values, so a corpus whose contract geometry differs gets a fresh
+    // index instead of silently probing lists built at the wrong shape
+    val n = graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet")
+    val k = graft.operators.AnnGeometry.ivfK(n)
+    val sp = graft.operators.AnnGeometry.lloydSamplePeriod(n, k)
+    val ck = graft.operators.AnnGeometry.ivfCoarseK(k)
     graft.sources.BuildOnce.dir("graft_ivf",
-      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet", s"ivf-v2|k=$k|lloyd=1"),
+      graft.sources.BuildOnce.stampOf(s"$d/embeddings.parquet",
+        s"ivf-v3|k=$k|lloyd=1|sample=$sp|route=$ck"),
       base => graft.sources.ArtifactStore.exists(s"$base/centroids/_SUCCESS") &&
         graft.sources.ArtifactStore.exists(s"$base/assignments/_SUCCESS")) { tmp =>
-      Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", k, tmp)
+      Vectors.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", k, tmp,
+        samplePeriod = sp, routeCoarseK = ck)
     }
   }
 
@@ -2071,17 +2082,25 @@ object LlmOps {
     sn AS (
       SELECT vec_id AS centroid_id, e AS c, n2 AS cn2 FROM vn
       WHERE vec_id < ${graft.operators.AnnGeometry.ivfKSql("embeddings")}),
+    lin AS (
+      -- Lloyd-sample (AnnGeometry.lloydSamplePeriod: ~64·k training
+      -- points; seeds always included so no cell empties) — period 1 on
+      -- the verify fixtures = the exact full-corpus Lloyd
+      SELECT * FROM vn
+      WHERE ${graft.queries.hash60Sql("'ivfs:' || CAST(vec_id AS VARCHAR)")}
+              % ${graft.operators.AnnGeometry.lloydPeriodSql("embeddings")} = 0
+         OR vec_id < ${graft.operators.AnnGeometry.ivfKSql("embeddings")}),
     assign0 AS (
       SELECT vec_id, centroid_id FROM (
-        SELECT vn.vec_id, sn.centroid_id,
-          row_number() OVER (PARTITION BY vn.vec_id ORDER BY
-            list_sum(list_transform(list_zip(vn.e, sn.c),
-              p -> round(p[1] * p[2] * 1e12))) / sqrt(vn.n2 * sn.cn2) DESC,
+        SELECT lin.vec_id, sn.centroid_id,
+          row_number() OVER (PARTITION BY lin.vec_id ORDER BY
+            list_sum(list_transform(list_zip(lin.e, sn.c),
+              p -> round(p[1] * p[2] * 1e12))) / sqrt(lin.n2 * sn.cn2) DESC,
             sn.centroid_id) AS rn
-        FROM vn, sn) WHERE rn = 1),
+        FROM lin, sn) WHERE rn = 1),
     dims AS (
-      SELECT a.centroid_id, unnest(vn.e) AS x, unnest(range(len(vn.e))) AS dim
-      FROM assign0 a JOIN vn ON vn.vec_id = a.vec_id),
+      SELECT a.centroid_id, unnest(lin.e) AS x, unnest(range(len(lin.e))) AS dim
+      FROM assign0 a JOIN lin ON lin.vec_id = a.vec_id),
     cent AS (
       SELECT centroid_id, list(m ORDER BY dim) AS c FROM (
         SELECT centroid_id, dim, sum(round(x * 1e7)) / 1e7 / count(*) AS m
@@ -2090,14 +2109,41 @@ object LlmOps {
       SELECT centroid_id, c,
              list_sum(list_transform(c, x -> round(x * x * 1e12))) AS cn2
       FROM cent),
+    co AS (
+      -- coarse routing cells = the first ceil(sqrt(k)) centroids
+      SELECT centroid_id AS coarse_id, c AS cc, cn2 AS ccn2 FROM cn
+      WHERE centroid_id < ${graft.operators.AnnGeometry.ivfCoarseKSql("embeddings")}),
+    f2c AS (
+      -- each fine centroid registers in its top-2 coarse cells
+      SELECT centroid_id, coarse_id FROM (
+        SELECT cn.centroid_id, co.coarse_id,
+          row_number() OVER (PARTITION BY cn.centroid_id ORDER BY
+            list_sum(list_transform(list_zip(cn.c, co.cc),
+              p -> round(p[1] * p[2] * 1e12))) / sqrt(cn.cn2 * co.ccn2) DESC,
+            co.coarse_id) AS rn
+        FROM cn, co) WHERE rn <= 2),
+    vco AS (
+      -- each vector's nearest coarse cell
+      SELECT vec_id, coarse_id FROM (
+        SELECT vn.vec_id, co.coarse_id,
+          row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+            list_sum(list_transform(list_zip(vn.e, co.cc),
+              p -> round(p[1] * p[2] * 1e12))) / sqrt(vn.n2 * co.ccn2) DESC,
+            co.coarse_id) AS rn
+        FROM vn, co) WHERE rn = 1),
     assign1 AS (
+      -- exact argmax over the routed cell's fines (two-level assignment:
+      -- the rule, not the flat argmax, is the cross-engine contract)
       SELECT vec_id, centroid_id FROM (
         SELECT vn.vec_id, cn.centroid_id,
           row_number() OVER (PARTITION BY vn.vec_id ORDER BY
             list_sum(list_transform(list_zip(vn.e, cn.c),
               p -> round(p[1] * p[2] * 1e12))) / sqrt(vn.n2 * cn.cn2) DESC,
             cn.centroid_id) AS rn
-        FROM vn, cn) WHERE rn = 1),
+        FROM vn
+        JOIN vco ON vco.vec_id = vn.vec_id
+        JOIN f2c ON f2c.coarse_id = vco.coarse_id
+        JOIN cn ON cn.centroid_id = f2c.centroid_id) WHERE rn = 1),
     q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2 FROM vn WHERE vec_id < 10),
     qprobe AS (
       SELECT qid, qe, qn2, centroid_id FROM (

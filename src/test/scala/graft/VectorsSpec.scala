@@ -211,6 +211,25 @@ class VectorsSpec extends SparkSpec {
     assert(assigned == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("ivfAssignRouted: routing degenerates to the flat argmax when cells cover all fines") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)), (1L, Array(0.0f, 1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.1f, 0.95f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.1f)), (5L, Array(0.05f, 1.05f, 0.2f)))
+      .toDF("vec_id", "embedding").repartition(3)
+    val cents = Vectors.buildCentroids(vecs, "vec_id", "embedding", 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = asMap(Vectors.ivfAssign(vecs, "vec_id", "embedding", cents))
+    // coarseK=1: one cell holds every fine; coarseK=2: top-2-of-2 puts
+    // every fine in both cells — both reduce to the exact assignment
+    // (the genuinely-routed regime, coarseK≥3, is pinned by the sf0.01
+    // oracle gate at k=23/coarseK=5: the DuckDB twin replays the rule)
+    for (ck <- Seq(1, 2))
+      assert(asMap(Vectors.ivfAssignRouted(vecs, "vec_id", "embedding", cents, ck))
+        == flat, s"routed(coarseK=$ck) diverged from the flat argmax")
+  }
+
   test("arg_max_by: struct-ordering parity — tie → smallest id, NaN greatest, null ord skipped") {
     val df = Seq(
       (1L, 10, Option(0.5)), (1L, 3, Option(0.9)), (1L, 7, Option(0.9)), // tie → id 3
