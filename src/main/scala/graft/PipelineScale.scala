@@ -113,12 +113,16 @@ object PipelineScale {
     val tGen = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
+    // the processed window is [bootstrap.end, bootstrap.end + step):
+    // end the bootstrap AT the data's day so one NormalStepSec (2-day)
+    // window covers the whole spread, and set the clock past its end
     val w = graft.driver.Pipeline.run(spark,
       s"$work/matches", s"$work/timelines", s"$work/player_map.json",
       s"$work/out", s"$work/state",
-      nowEpoch = (BaseEpochMs / 1000) + 86400,
+      nowEpoch = (BaseEpochMs / 1000) + graft.driver.Windows.NormalStepSec,
       bootstrap = graft.driver.Windows.WindowState(
-        BaseEpochMs / 1000, BaseEpochMs / 1000 + 86400))
+        BaseEpochMs / 1000 - graft.driver.Windows.NormalStepSec,
+        BaseEpochMs / 1000))
     val tRun = (System.nanoTime() - t1) / 1e9
 
     val players = spark.read.parquet(s"$work/out/player_data").count()
