@@ -61,6 +61,35 @@ class AnnGeometrySpec extends AnyFunSuite {
     assert(AnnGeometry.ivfK(20_000_000L) == 4473)
   }
 
+  test("lloydSamplePeriod: full Lloyd below 64·k, ~64·k training points above") {
+    // every verify/bench fixture trains on the FULL corpus (period 1)
+    assert(AnnGeometry.lloydSamplePeriod(500L, AnnGeometry.ivfK(500L)) == 1L)
+    assert(AnnGeometry.lloydSamplePeriod(2000L, AnnGeometry.ivfK(2000L)) == 1L)
+    // boundary: period leaves 1 exactly when n > 2 * 64k
+    val k10 = AnnGeometry.ivfK(200_000L)          // 448
+    assert(AnnGeometry.lloydSamplePeriod(200_000L, k10) == 200_000L / (64L * k10))
+    // the measured decades: expected sample stays ~64·k, never corpus-scale
+    for (n <- Seq(2_000_000L, 20_000_000L)) {
+      val k = AnnGeometry.ivfK(n)
+      val p = AnnGeometry.lloydSamplePeriod(n, k)
+      val sample = n / p
+      assert(sample >= 64L * k && sample <= 130L * k,
+        s"n=$n: sample $sample vs 64k=${64L * k}")
+    }
+  }
+
+  test("ivfCoarseK: ceil(sqrt(k)), cells can cover every fine at the floor") {
+    assert(AnnGeometry.ivfCoarseK(8) == 3)
+    assert(AnnGeometry.ivfCoarseK(23) == 5)     // the sf0.01 verify regime
+    assert(AnnGeometry.ivfCoarseK(1415) == 38)  // sf100
+    assert(AnnGeometry.ivfCoarseK(4473) == 67)  // sf1000
+    // routed cost n·(coarseK + ~2k/coarseK) stays within ~3·sqrt(k)·n
+    for (k <- Seq(8, 23, 448, 1415, 4473)) {
+      val ck = AnnGeometry.ivfCoarseK(k)
+      assert(ck + 2.0 * k / ck <= 3.2 * math.sqrt(k.toDouble), s"k=$k")
+    }
+  }
+
   test("probeMasks: exact bucket plus each single-bit flip") {
     assert(AnnGeometry.probeMasks(4) == Seq(0L, 1L, 2L, 4L, 8L))
     assert(AnnGeometry.probeMasks(12).size == 13)
