@@ -133,6 +133,34 @@ object AnnGeometry {
     * plus each single-bit flip (Hamming distance 1). Query-side only. */
   def probeMasks(bits: Int): Seq[Long] = 0L +: (0 until bits).map(1L << _)
 
+  /** Corpus size above which the dedup SELF-JOIN's Hamming-1 probes are
+    * emitted per bucket REPRESENTATIVE instead of per member (round-17,
+    * the round-16 VERDICT's one named structural lever): the full
+    * fan-out materializes bands·(1+bits)·n probe rows — ~80n at the
+    * fourth decade's 19-bit dedup width, measured at ~5 GB scratch per
+    * million vectors (1.6 G rows / ~50 GB exchanged at 20 M,
+    * `r16m/sf300_semdedup_ann/` + PERF.md round-16 §9). Representative
+    * probing cuts that by ~bucket-size (the [[DedupTargetBucketRows]]
+    * design point, ~64×): every member still sends its mask-0 probe (the
+    * in-bucket exhaustive pairing is untouched), but cross-bucket
+    * Hamming-1 discovery flows through each bucket's min-id rep — the
+    * same compare-to-the-representative semantics the star regime
+    * already applies INSIDE irreducible buckets, with the same
+    * certified-subset contract (a rep probe can miss a drop, never
+    * invent one; VectorsSpec pins subset + a measured recall floor in
+    * this regime). Below the threshold the full fan-out — whose recall
+    * every verify-scale number was measured at — costs ≤ ~5 GB scratch
+    * total and keeps it. 2^20 is exact-integer on both engines
+    * ([[repOnlySql]] replays the comparison from `count(*)`). */
+  val RepProbeThresholdRows: Long = 1L << 20
+
+  /** Rep-only Hamming-1 probe regime for an `n`-vector dedup self-join. */
+  def repOnlyProbes(n: Long): Boolean = n > RepProbeThresholdRows
+
+  /** SQL boolean twin of [[repOnlyProbes]]. */
+  def repOnlySql(table: String): String =
+    s"(SELECT count(*) > $RepProbeThresholdRows FROM $table)"
+
   // corpus row counts, one Spark count() per (JVM, parquet path) — the
   // geometry of a standing corpus is asked for by every ANN row in a
   // catalog run, and the answer cannot change under a fixed fixture
@@ -184,14 +212,18 @@ object AnnGeometry {
     s"(SELECT GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)) FROM $table)"
 
   /** SQL scalar for [[lloydSamplePeriod]] (`//` = truncating division =
-    * floor on the non-negative operands here, same as the JVM `/`). */
+    * floor on the non-negative operands here, same as the JVM `/`).
+    * Composes [[ivfKSql]] as an uncorrelated scalar subquery so the k
+    * derivation lives in ONE string (ADVICE r16: the hand-mirrored
+    * inline copy had to track every ivfK change in three places). */
   def lloydPeriodSql(table: String): String =
     s"""(SELECT GREATEST(1, count(*) // ($LloydSampleFactor *
-        GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)))) FROM $table)"""
+        ${ivfKSql(table)})) FROM $table)"""
 
-  /** SQL scalar for [[ivfCoarseK]] (of the contract [[ivfK]]). */
+  /** SQL scalar for [[ivfCoarseK]] (of the contract [[ivfK]]) —
+    * composed from [[ivfKSql]], same single-source rule as
+    * [[lloydPeriodSql]]. */
   def ivfCoarseKSql(table: String): String =
-    s"""(SELECT GREATEST(1, CAST(ceil(sqrt(
-        GREATEST($MinIvfK, CAST(ceil(sqrt(count(*))) AS INTEGER)))) AS INTEGER))
-        FROM $table)"""
+    s"""(SELECT GREATEST(1, CAST(ceil(sqrt(${ivfKSql(table)}))
+        AS INTEGER)))"""
 }

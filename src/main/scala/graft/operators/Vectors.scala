@@ -496,12 +496,135 @@ object Vectors {
     * star pairs can MISS drops, never invent one. Measured effect at
     * sf10: 756 M → 6.5 M candidates (32/vector) at cap 64.
     *
-    * Plan shape: one narrow hash aggregate for bucket stats (count +
-    * min — partial-combinable, 16-byte state, no sort), SHUFFLE_HASH
-    * joined back on the band key both sides already shuffle on; the
-    * probe join's per-key match group is ≤ cap rows, so the SMJ/SHJ
-    * build side is bounded by construction. */
-  def bandPairsCapped(keys: DataFrame, masks: Seq[Long], cap: Long): DataFrame = {
+    * Plan shape (round-17 rewrite — two more structural bounds):
+    *  - FIRST-BAND emission instead of a terminal pair-keyed
+    *    `distinct()`: a pair whose keys collide (within the mask set)
+    *    in several bands used to be emitted once per band and deduped
+    *    by one full exchange+sort of the candidate-pair multiset
+    *    (~640 M rows at 20 M vectors — the same shape
+    *    [[graft.functions.BucketIdPairs]] removed from the MinHash
+    *    family in r12). Here each side of the probe join carries its
+    *    aligned per-band (key, bucket-size, bucket-rep) profile — built
+    *    by ONE hash aggregate with 3·bands primitive max-slots (the
+    *    [[graft.functions.ArgMaxBy]] buffer-width rule: primitive
+    *    slots hash-aggregate, collected structs do not) — and a pair
+    *    is emitted only in the FIRST band whose emission condition
+    *    holds, decided by an unrolled codegen'd predicate over the
+    *    profiles. The emitted stream is distinct by construction, in
+    *    BOTH regimes and across the probe/star split (the predicate
+    *    replays the exact per-band emission rule, star term included),
+    *    so the output is bit-identical to distinct-of-multiset
+    *    (VectorsSpec differential vs [[bandPairsCappedDistinct]]).
+    *  - REP-ONLY Hamming-1 probes (`repOnlyProbes = true`, keyed to
+    *    [[AnnGeometry.repOnlyProbes]] by the caller): the nonzero-mask
+    *    fan-out — bands·bits·n rows, ~5 GB scratch per million vectors
+    *    at fourth-decade widths — is emitted only by each bucket's
+    *    min-id representative (buckets/n of the corpus), cutting it
+    *    ~[[AnnGeometry.DedupTargetBucketRows]]×. Mask-0 probes (the
+    *    in-bucket exhaustive pairing) still flow for every member.
+    *    Certified-subset preserved: a rep probe can miss a pair, never
+    *    invent one — and an in-bucket neighbor of a missed member still
+    *    reaches it through mask 0.
+    * One narrow hash aggregate for bucket stats (count + min,
+    * partial-combinable, no sort) SHUFFLE_HASH-joined back on the band
+    * key, one profile aggregate on vec_id, and the probe join's
+    * per-key match group stays ≤ cap rows by construction. Input
+    * contract: one row per (vec_id, band), `band` ∈ [0, bands). */
+  def bandPairsCapped(keys: DataFrame, masks: Seq[Long], cap: Long,
+      repOnlyProbes: Boolean = false,
+      bands: Int = AnnGeometry.Bands): DataFrame = {
+    val stats = keys.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
+    val keyed = keys.join(stats.hint("shuffle_hash"), Seq("band", "band_key"))
+    // per-vector band profile: band-aligned (key, bucket-n, bucket-rep)
+    // arrays from 3·bands PRIMITIVE max-slots (each (vec, band) is one
+    // row, so max(when(band=j, ·)) is just selection — and primitive
+    // buffers keep this a HashAggregate at any corpus size)
+    val slots = (0 until bands).flatMap { j =>
+      Seq(max(when(col("band") === j, col("band_key"))).as(s"_k$j"),
+        max(when(col("band") === j, col("_n"))).as(s"_n$j"),
+        max(when(col("band") === j, col("_rep"))).as(s"_r$j"))
+    }
+    val perVec = keyed.groupBy(col("vec_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("vec_id"),
+        array((0 until bands).map(j => col(s"_k$j")): _*).as("_ks"),
+        array((0 until bands).map(j => col(s"_n$j")): _*).as("_ns"),
+        array((0 until bands).map(j => col(s"_r$j")): _*).as("_rs"))
+    def at(a: String): Column = element_at(col(a), col("band") + 1)
+    // A side: every member probes its own bucket (mask 0); Hamming-1
+    // probes from every member (full regime) or bucket reps only
+    val aBase = perVec.select(col("vec_id").as("vec_a"),
+        col("_ks").as("_ka"), col("_rs").as("_ra"),
+        posexplode(col("_ks")).as(Seq("band", "_key")))
+      .filter(col("_key").isNotNull)
+    val nonzero = masks.filter(_ != 0L)
+    def withMasks(df: DataFrame, ms: Seq[Long]): DataFrame =
+      df.select(col("band"), col("_key"), col("vec_a"), col("_ka"), col("_ra"),
+          explode(array(ms.map(lit(_)): _*)).as("_mask"))
+        .select(col("band"),
+          col("_key").bitwiseXOR(col("_mask")).as("band_key"),
+          col("vec_a"), col("_ka"), col("_ra"))
+    val aKeys =
+      if (!repOnlyProbes || nonzero.isEmpty) withMasks(aBase, masks)
+      else {
+        val m0 =
+          if (!masks.contains(0L)) None
+          else Some(aBase.select(col("band"), col("_key").as("band_key"),
+            col("vec_a"), col("_ka"), col("_ra")))
+        val mh = withMasks(
+          aBase.filter(element_at(col("_ra"), col("band") + 1) === col("vec_a")),
+          nonzero)
+        m0.fold(mh)(_.union(mh))
+      }
+    // B side: small-bucket members are probe targets; over-cap buckets
+    // star every member to the min-id representative
+    val bRows = perVec.select(col("vec_id").as("vec_b"),
+        col("_ks").as("_kb"), col("_ns").as("_nb"), col("_rs").as("_rb"),
+        posexplode(col("_ks")).as(Seq("band", "band_key")))
+      .filter(col("band_key").isNotNull)
+    // the per-band emission rule, replayed over the profiles at an
+    // EARLIER band j — true iff the pair would already have been
+    // emitted there (so the current band must stay silent). Null-safe:
+    // an absent band (null key) collides with nothing.
+    def emittedAt(j: Int): Column = {
+      val xa = element_at(col("_ka"), j + 1)
+        .bitwiseXOR(element_at(col("_kb"), j + 1))
+      val smallB = element_at(col("_nb"), j + 1) <= cap
+      val hammingGate =
+        if (repOnlyProbes) element_at(col("_ra"), j + 1) === col("vec_a")
+        else lit(true)
+      coalesce(
+        (smallB && xa.isin(masks: _*) && (xa === 0 || hammingGate)) ||
+          (xa === 0 && !smallB &&
+            element_at(col("_rb"), j + 1) === col("vec_a")),
+        lit(false))
+    }
+    val firstBand = (0 until bands - 1)
+      .map(j => !(col("band") > j && emittedAt(j)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val probed = aKeys
+      .join(bRows.filter(at("_nb") <= cap), Seq("band", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(firstBand)
+      .select(col("vec_a"), col("vec_b"))
+    val star = bRows.filter(at("_nb") > cap && col("vec_b") =!= at("_rb"))
+      .select(at("_rb").as("vec_a"), col("vec_b"), col("band"),
+        col("_kb"), col("_nb"), col("_rb"))
+      .join(perVec.select(col("vec_id").as("vec_a"),
+        col("_ks").as("_ka"), col("_rs").as("_ra")), Seq("vec_a"))
+      .filter(firstBand)
+      .select(col("vec_a"), col("vec_b"))
+    probed.union(star)
+  }
+
+  /** The pre-r17 form of [[bandPairsCapped]] — every band emits, one
+    * pair-keyed `distinct()` dedups the cross-band multiset. Kept
+    * callable as the differential-test reference (VectorsSpec pins
+    * set-bit-identity in the full-probe regime), like
+    * [[rpLshBandsExploded]] for the key kernel. */
+  private[graft] def bandPairsCappedDistinct(keys: DataFrame, masks: Seq[Long],
+      cap: Long): DataFrame = {
     val stats = keys.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
     val keyed = keys.join(stats.hint("shuffle_hash"), Seq("band", "band_key"))

@@ -1280,7 +1280,7 @@ object LlmOps {
     * spec-pinned: LSH recall < 1 means a missed collision is a missed
     * drop, so the output is a certified SUBSET of the exhaustive
     * verdicts (VectorsSpec: `dropped_ann ⊆ dropped_exhaustive`; fixture
-    * recall 0.905 with the Hamming-1 multi-probe, 0.476 without, floor
+    * recall 0.889 with the Hamming-1 multi-probe, 0.476 without, floor
     * 0.8) the way `quant_recall` audits the int8 shortlist.
     *
     * The corpus key table comes from the PERSISTED [[rplshIndex]]
@@ -1293,7 +1293,16 @@ object LlmOps {
     * of recomputing the plane signatures inline — the semantic-dedup
     * scale path is also its fast path; the Hamming-1 probe masks stay
     * on the exploded probe side (VERDICT r11 #5). */
-  val semDedupAnn = Q("semdedup_ann", (s, d) => {
+  /** [[semDedupAnn]]'s frame, with a regime seam: `repOnlyOverride`
+    * forces the Hamming-1 probe regime regardless of corpus size, so
+    * the rep-only path (production-reachable only above
+    * [[graft.operators.AnnGeometry.RepProbeThresholdRows]] = 2^20
+    * vectors) gets a MEASURED recall pin on a spec-scale corpus
+    * (VectorsSpec) instead of being trusted by construction. The
+    * catalog row always passes None — the contract regime. */
+  private[graft] def semDedupAnnFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, repOnlyOverride: Option[Boolean] = None):
+      org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     // same standing artifacts as semdedup: persisted IVF assignment for
@@ -1319,10 +1328,18 @@ object LlmOps {
     // the geometry split (≤ DedupTargetBucketRows), min-id-representative
     // stars for the tight clusters it cannot split — the bounded form of
     // the band self-join (Vectors.bandPairsCapped: the unbounded join
-    // was measured at 756 M candidate rows / OOM at sf10, r16m/)
+    // was measured at 756 M candidate rows / OOM at sf10, r16m/).
+    // Round 17: above AnnGeometry.RepProbeThresholdRows the Hamming-1
+    // fan-out (bands·bits·n rows, ~5 GB scratch per million vectors at
+    // the fourth decade — PERF.md r16 §9) is emitted per bucket
+    // REPRESENTATIVE only (~64× fewer probe rows); the oracle's aprobe
+    // CTE replays the same regime rule from count(*)
     val cpairs = Vectors.bandPairsCapped(keys,
       graft.operators.AnnGeometry.probeMasks(dedupBits),
-      graft.operators.AnnGeometry.DedupTargetBucketRows)
+      graft.operators.AnnGeometry.DedupTargetBucketRows,
+      repOnlyProbes = repOnlyOverride.getOrElse(
+        graft.operators.AnnGeometry.repOnlyProbes(
+          graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))))
     val a = v.select($"vec_id".as("vec_a"), $"centroid_id".as("ca"),
       $"embedding".as("ea"), $"n2".as("na"))
     val b = v.select($"vec_id".as("vec_b"), $"centroid_id".as("cb"),
@@ -1335,15 +1352,26 @@ object LlmOps {
       .join(dropped.withColumn("_dup", lit(true)), Seq("vec_id"), "left_outer")
       .select($"vec_id", $"centroid_id",
         coalesce($"_dup", lit(false)).as("dropped"))
-  }, Some(s"""
+  }
+
+  val semDedupAnn = Q("semdedup_ann",
+    (s, d) => semDedupAnnFrame(s, d), Some(s"""
     WITH ${ivfSqlCtes(2)},
     ${rplshKeysSqlCtes("rk_", graft.operators.AnnGeometry.dedupGeomSqlBody)},
     rk_stats AS (
       SELECT band, band_key, count(*) AS n, min(vec_id) AS rep
       FROM rk_keys GROUP BY band, band_key),
     aprobe AS (
+      -- regime rule (AnnGeometry.repOnlyProbes): above the threshold,
+      -- nonzero (Hamming-1) masks are emitted only by each bucket's
+      -- min-id representative; mask 0 always flows for every member
       SELECT k.vec_id AS vec_a, k.band, xor(k.band_key, m.mask) AS band_key
-      FROM rk_keys k CROSS JOIN rk_masks m),
+      FROM rk_keys k
+      JOIN rk_stats s ON s.band = k.band AND s.band_key = k.band_key
+      CROSS JOIN rk_masks m
+      WHERE m.mask = 0
+         OR NOT ${graft.operators.AnnGeometry.repOnlySql("embeddings")}
+         OR k.vec_id = s.rep),
     cpairs AS (
       SELECT DISTINCT vec_a, vec_b FROM (
         SELECT a.vec_a, c.vec_id AS vec_b
@@ -1928,13 +1956,19 @@ object LlmOps {
     *
     * Scale shape: benchmark vectors broadcast (eval suites are bounded);
     * the corpus side is a single pass — ONE cross join against the
-    * broadcast set feeding ONE argmax aggregation
-    * (`max(struct(sim, -bid))` = max sim with min-benchmark-id
-    * tie-break), so the dominant cost — the corpus×benchmark cosine
-    * pass — executes exactly once (VERDICT r07 finding 3: the previous
-    * max-then-join-back plan re-ran it). The only exchange is the
-    * per-vector max on the high-cardinality id. Ties on max_sim are
-    * well-defined cross-engine thanks to the exact scaled-int cosines.
+    * broadcast set feeding ONE argmax aggregation (`arg_max_by(bid,
+    * sim)` + `max(sim)` — max sim with min-benchmark-id tie-break), so
+    * the dominant cost — the corpus×benchmark cosine pass — executes
+    * exactly once (VERDICT r07 finding 3: the previous
+    * max-then-join-back plan re-ran it). Round 17: the argmax had been
+    * `max(struct(sim, -bid))`, whose struct buffer silently
+    * SortAggregates the whole n·|bench| score stream (the r16
+    * `ivf_knn` defect class, caught by the catalog-wide PlanSpec
+    * sweep); the two-aggregate form holds three primitive buffer slots
+    * in one HashAggregate, bit-identically ordered. The only exchange
+    * is the per-vector max on the high-cardinality id. Ties on max_sim
+    * are well-defined cross-engine thanks to the exact scaled-int
+    * cosines.
     *
     * The benchmark is a FIXED id set (`vec_id % 50 = 0` below
     * [[SemanticBenchMaxId]]) — the production meaning: eval suites do
@@ -1958,9 +1992,10 @@ object LlmOps {
       .select($"vec_id", $"bid",
         Vectors.cosine(Vectors.dotScaled($"embedding", $"be"), $"n2", $"bn2").as("sim"))
     sims.groupBy($"vec_id")
-      .agg(max(struct($"sim", (-$"bid").as("neg_bid"))).as("best"))
-      .select($"vec_id", (-$"best.neg_bid").as("top_bench"),
-        $"best.sim".as("max_sim"), ($"best.sim" >= 0.45).as("flagged"))
+      .agg(call_function("arg_max_by", $"bid", $"sim").as("top_bench"),
+        max($"sim").as("max_sim"))
+      .select($"vec_id", $"top_bench", $"max_sim",
+        ($"max_sim" >= 0.45).as("flagged"))
   }, Some(s"""
     WITH v AS (SELECT vec_id, embedding,
         list_sum(list_transform(embedding,
@@ -2000,9 +2035,10 @@ object LlmOps {
       .select($"vec_id", $"bid",
         Vectors.cosine(Vectors.dotScaled($"embedding", $"be"), $"n2", $"bn2").as("sim"))
     sims.groupBy($"vec_id")
-      .agg(max(struct($"sim", (-$"bid").as("neg_bid"))).as("best"))
-      .select($"vec_id", (-$"best.neg_bid").as("top_bench"),
-        $"best.sim".as("max_sim"), ($"best.sim" >= 0.45).as("flagged"))
+      .agg(call_function("arg_max_by", $"bid", $"sim").as("top_bench"),
+        max($"sim").as("max_sim"))
+      .select($"vec_id", $"top_bench", $"max_sim",
+        ($"max_sim" >= 0.45).as("flagged"))
   }, None, sortCols = Seq("vec_id"))
 
   /** Persisted IVF index: built at most once per embeddings fingerprint

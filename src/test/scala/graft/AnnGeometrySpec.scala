@@ -97,6 +97,19 @@ class AnnGeometrySpec extends AnyFunSuite {
     assert(AnnGeometry.probeMasks(12).tail.forall(m => java.lang.Long.bitCount(m) == 1))
   }
 
+  test("repOnlyProbes: boundary at 2^20, every verify/bench fixture stays full-fanout") {
+    // at and below the threshold the FULL Hamming-1 fan-out — the
+    // regime every measured recall number below sf100 was taken in —
+    // is kept; the verify fixtures (500/2000 vectors) and the sf10
+    // campaign fixture (200k) all live here
+    for (n <- Seq(0L, 500L, 2000L, 200_000L, 1L << 20))
+      assert(!AnnGeometry.repOnlyProbes(n), s"n=$n")
+    // strictly above it, Hamming-1 probes are emitted per bucket rep
+    // (the measured decades: sf100 = 2M, sf1000 = 20M both flip)
+    for (n <- Seq((1L << 20) + 1, 2_000_000L, 20_000_000L))
+      assert(AnnGeometry.repOnlyProbes(n), s"n=$n")
+  }
+
   test("planes is always divisible by bands (rplsh_keys precondition)") {
     for (n <- Seq(0L, 1L, 8192L, 131073L, 1_000_000L, 20_000_000L, 1L << 40))
       assert(AnnGeometry.planes(n) % AnnGeometry.Bands == 0, s"n=$n")

@@ -401,6 +401,35 @@ class PlanSpec extends SparkSpec {
       "rplsh_knn lost its signature build (fixture drift?)")
   }
 
+  test("semdedup_ann: first-band pair emission — no pair-keyed distinct exchange") {
+    // round 17: bandPairsCapped emits each candidate pair only at its
+    // first colliding band, so the terminal distinct() — one full
+    // exchange+hash-agg of the (vec_a, vec_b) candidate multiset,
+    // ~640 M rows at 20 M vectors — is gone. The old shape read
+    // "Exchange hashpartitioning(vec_a#…, vec_b#…)"; nothing in the
+    // new plan may partition on the pair key.
+    val p = plan("semdedup_ann")
+    assert(!"hashpartitioning\\(vec_a#\\d+L?, vec_b#".r.unanchored.matches(p),
+      "pair-keyed distinct exchange is back in the candidate stream")
+  }
+
+  test("no catalog row's plan falls back to SortAggregate (buffer-width sweep)") {
+    // the r15/r16 defect class, generalized (VERDICT r16 #6): the
+    // aggregation BUFFER TYPE, not the function name, decides the
+    // physical aggregate — max(struct(...)) / non-fixed-width buffers
+    // silently become SortAggregate, which per-partition-sorts the
+    // aggregate's whole input (the r16 sf100 OOM at n·k rows). Pin the
+    // absence catalog-wide at sf0.001 so the next slip fails here, not
+    // at the third decade. ObjectHashAggregate (collect_list et al.) is
+    // a hash-based node and stays allowed.
+    val offenders = SparkEntry.catalog.flatMap { q =>
+      val p = scala.util.Try(q.run(spark, d).queryExecution.executedPlan.toString)
+      p.toOption.filter(_.contains("SortAggregate")).map(_ => q.name)
+    }
+    assert(offenders.isEmpty,
+      s"SortAggregate fallback in: ${offenders.mkString(", ")}")
+  }
+
   test("ivf_probe reads the persisted index; only ivf_knn pays the build") {
     // probe plan: scans the index parquet (centroids + assignments) and
     // never recomputes the corpus assignment (no posexplode/Lloyd stage)

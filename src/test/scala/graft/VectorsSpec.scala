@@ -270,6 +270,98 @@ class VectorsSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 7)
   }
 
+  test("bandPairsCapped: first-band emission = old distinct-of-multiset, bit-identical and duplicate-free") {
+    // mixed-regime fixture: 4 bands, 3-bit keys from a deterministic
+    // hash mix (cross-band multi-collisions guaranteed), one 41-member
+    // clone block (over-cap in every band → star regime), a few
+    // single-band rows (absent-band null handling in the profiles)
+    val keys = (
+      (for (vec <- 0L until 120L; band <- 0 until 4)
+        yield (vec, band, ((vec * 2654435761L + band * 40503L) >>> 7) % 8)) ++
+      (for (vec <- 200L until 241L; band <- 0 until 4)
+        yield (vec, band, 3L)) ++
+      (300L until 305L).map(v => (v, 2, (v % 8).max(0)))
+    ).toDF("vec_id", "band", "band_key")
+    val masks = graft.operators.AnnGeometry.probeMasks(3)
+    for (cap <- Seq(5L, 10L, 64L)) {
+      val got = Vectors.bandPairsCapped(keys, masks, cap)
+        .as[(Long, Long)].collect()
+      val want = Vectors.bandPairsCappedDistinct(keys, masks, cap)
+        .as[(Long, Long)].collect().toSet
+      assert(got.length == got.toSet.size,
+        s"cap=$cap: first-band emission produced duplicates")
+      assert(got.toSet == want,
+        s"cap=$cap: extra=${(got.toSet -- want).take(5)} missing=${(want -- got.toSet).take(5)}")
+    }
+  }
+
+  test("bandPairsCapped rep-only regime: mask-0 pairing intact, Hamming-1 via bucket reps only") {
+    // band 0 only: bucket A = {10,11} (key 1), bucket B = {20,21}
+    // (key 0) — Hamming-1 apart via mask 1; reps are 10 and 20
+    val keys = Seq((10L, 0, 1L), (11L, 0, 1L), (20L, 0, 0L), (21L, 0, 0L))
+      .toDF("vec_id", "band", "band_key")
+    val masks = Seq(0L, 1L, 2L)
+    def run(repOnly: Boolean): Set[(Long, Long)] =
+      Vectors.bandPairsCapped(keys, masks, cap = 8L, repOnlyProbes = repOnly)
+        .as[(Long, Long)].collect().toSet
+    val full = run(false)
+    assert(full == Set((10L, 11L), (20L, 21L),
+      (10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L)))
+    val rep = run(true)
+    // in-bucket (mask-0) pairs survive for every member; cross-bucket
+    // discovery flows through rep 10's probe only — 11's Hamming pairs
+    // are the (certified, bounded) misses
+    assert(rep == Set((10L, 11L), (20L, 21L), (10L, 20L), (10L, 21L)))
+    assert(rep.subsetOf(full))
+  }
+
+  test("semdedup_ann star + rep-only regimes: measured recall on an over-cap clone corpus") {
+    import graft.queries.LlmOps
+    // ADVICE r16: the sf0.01 recall fixture sits entirely in the
+    // small-bucket regime (max bucket 51), so a star-regime recall
+    // collapse had no measured pin. This corpus has a 100-clone family
+    // (over DedupTargetBucketRows=64 in every band → irreducible
+    // bucket → star path) plus 20 moderate near-dup pairs and 180
+    // background vectors (small-bucket + Hamming-1 regimes).
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    def vec(): Array[Float] = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = vec()
+    val rows =
+      (0 until 100).map(i => (i.toLong,
+        base.map(x => x + (rnd.nextDouble() * 2e-4 - 1e-4).toFloat), 0)) ++
+      (0 until 20).flatMap { p =>
+        val v = vec()
+        val w = v.map(x => x + (rnd.nextDouble() * 0.04 - 0.02).toFloat)
+        Seq((100L + 2 * p, v, 1), (101L + 2 * p, w, 1))
+      } ++
+      (0 until 180).map(i => (200L + i.toLong, vec(), 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_starfix_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def droppedOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter($"dropped").select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exact = droppedOf(LlmOps.semDedup.run(spark, dir))
+    val full = droppedOf(LlmOps.semDedupAnnFrame(spark, dir))
+    val rep = droppedOf(LlmOps.semDedupAnnFrame(spark, dir, Some(true)))
+    assert(exact.nonEmpty)
+    // certified subset in BOTH regimes; rep-only pairs ⊆ full pairs
+    assert(full.subsetOf(exact), s"ann invented drops: ${(full -- exact).take(5)}")
+    assert(rep.subsetOf(full), s"rep-only invented drops: ${(rep -- full).take(5)}")
+    // the star path must land the clone-family verdicts: every clone
+    // but the min-id representative drops, in both regimes
+    val cloneDrops = (1L to 99L).toSet
+    assert(cloneDrops.subsetOf(full), s"star regime missed ${(cloneDrops -- full).take(5)}")
+    assert(cloneDrops.subsetOf(rep), s"rep-only star missed ${(cloneDrops -- rep).take(5)}")
+    val fullRecall = full.size.toDouble / exact.size
+    val repRecall = rep.size.toDouble / exact.size
+    info(f"star-corpus recall: full=$fullRecall%.3f rep-only=$repRecall%.3f (${exact.size} exhaustive drops)")
+    // measured on this fixture: full 0.997, rep-only 0.976 — floors sit
+    // under them the way the sf0.01 pin (0.889 measured, 0.8 floor) does
+    assert(fullRecall >= 0.9, f"full-fanout recall collapsed: $fullRecall%.2f")
+    assert(repRecall >= 0.85, f"rep-only recall collapsed: $repRecall%.2f")
+  }
+
   test("semdedup_ann: certified subset of the exhaustive verdicts, recall measured") {
     import graft.queries.LlmOps
     // the ANN-candidate scale path may MISS drops (LSH recall < 1) but
@@ -286,7 +378,7 @@ class VectorsSpec extends SparkSpec {
       s"ann invented drops: ${(ann -- exact).take(5)}")
     val recall = ann.size.toDouble / exact.size
     info(f"semdedup_ann recall on sf0.01: $recall%.3f (${ann.size}/${exact.size})")
-    // fixture-measured: 0.905 with 16-plane/4-band collisions +
+    // fixture-measured: 0.889 with 16-plane/4-band collisions +
     // Hamming-1 multi-probe (0.476 without the probes); floor alerts if
     // geometry or hashing drifts
     assert(recall >= 0.8, f"semdedup_ann recall collapsed: $recall%.2f")
