@@ -86,7 +86,7 @@ object ArgMaxBy {
     FunctionIdentifier("arg_max_by"),
     new ExpressionInfo(classOf[ArgMaxBy].getName, "arg_max_by"),
     (children: Seq[Expression]) => {
-      require(children.size == 2, s"arg_max_by expects 2 arguments, got ${children.size}")
+      FunctionArity.check("arg_max_by", 2, children)
       ArgMaxBy(children.head, children(1))
     })
 }

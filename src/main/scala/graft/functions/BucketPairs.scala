@@ -340,8 +340,7 @@ object VerifiedBucketPairs {
     FunctionIdentifier("bucket_pairs_verified"),
     new ExpressionInfo(classOf[VerifiedBucketPairs].getName, "bucket_pairs_verified"),
     (children: Seq[Expression]) => {
-      require(children.size == 2,
-        s"bucket_pairs_verified expects 2 arguments, got ${children.size}")
+      FunctionArity.check("bucket_pairs_verified", 2, children)
       VerifiedBucketPairs(children.head, children(1))
     })
 }
@@ -351,8 +350,7 @@ object BucketIdPairs {
     FunctionIdentifier("bucket_pairs"),
     new ExpressionInfo(classOf[BucketIdPairs].getName, "bucket_pairs"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"bucket_pairs expects 1 argument, got ${children.size}")
+      FunctionArity.check("bucket_pairs", 1, children)
       BucketIdPairs(children.head)
     })
 }
@@ -362,8 +360,7 @@ object HammingBucketPairs {
     FunctionIdentifier("bucket_hamming_pairs"),
     new ExpressionInfo(classOf[HammingBucketPairs].getName, "bucket_hamming_pairs"),
     (children: Seq[Expression]) => {
-      require(children.size == 2,
-        s"bucket_hamming_pairs expects 2 arguments, got ${children.size}")
+      FunctionArity.check("bucket_hamming_pairs", 2, children)
       HammingBucketPairs(children.head, children(1))
     })
 }

@@ -156,8 +156,7 @@ object ImageHeaderMeta {
     FunctionIdentifier("image_meta"),
     new ExpressionInfo(classOf[ImageHeaderMeta].getName, "image_meta"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"image_meta expects 1 argument, got ${children.size}")
+      FunctionArity.check("image_meta", 1, children)
       ImageHeaderMeta(children.head)
     })
 }

@@ -111,7 +111,7 @@ object IntDot {
     FunctionIdentifier("int_dot"),
     new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
     (children: Seq[Expression]) => {
-      require(children.size == 2, s"int_dot expects 2 arguments, got ${children.size}")
+      FunctionArity.check("int_dot", 2, children)
       IntDot(children.head, children(1))
     })
 }

@@ -85,8 +85,7 @@ object MinhashSig {
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"minhash_sig expects 1 argument, got ${children.size}")
+      FunctionArity.check("minhash_sig", 1, children)
       MinhashSig(children.head, useXx = false)
     })
 
@@ -94,8 +93,7 @@ object MinhashSig {
     FunctionIdentifier("minhash_sig_xx"),
     new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig_xx"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"minhash_sig_xx expects 1 argument, got ${children.size}")
+      FunctionArity.check("minhash_sig_xx", 1, children)
       MinhashSig(children.head, useXx = true)
     })
 }
@@ -142,8 +140,7 @@ object GramSet {
     FunctionIdentifier("gram_set"),
     new ExpressionInfo(classOf[GramSet].getName, "gram_set"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"gram_set expects 1 argument, got ${children.size}")
+      FunctionArity.check("gram_set", 1, children)
       GramSet(children.head, useXx = false)
     })
 
@@ -151,8 +148,7 @@ object GramSet {
     FunctionIdentifier("gram_set_xx"),
     new ExpressionInfo(classOf[GramSet].getName, "gram_set_xx"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"gram_set_xx expects 1 argument, got ${children.size}")
+      FunctionArity.check("gram_set_xx", 1, children)
       GramSet(children.head, useXx = true)
     })
 }

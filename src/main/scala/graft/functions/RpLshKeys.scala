@@ -92,8 +92,7 @@ object RpLshKeys {
     FunctionIdentifier("rplsh_keys"),
     new ExpressionInfo(classOf[RpLshKeys].getName, "rplsh_keys"),
     (children: Seq[Expression]) => {
-      require(children.size == 3,
-        s"rplsh_keys expects (vec, planes, bands), got ${children.size} args")
+      FunctionArity.check("rplsh_keys", 3, children)
       RpLshKeys(children.head,
         intLit(children(1), "planes"), intLit(children(2), "bands"))
     })

@@ -132,7 +132,7 @@ object ScaledDot {
     FunctionIdentifier("scaled_dot"),
     new ExpressionInfo(classOf[ScaledDot].getName, "scaled_dot"),
     (children: Seq[Expression]) => {
-      require(children.size == 2, s"scaled_dot expects 2 arguments, got ${children.size}")
+      FunctionArity.check("scaled_dot", 2, children)
       ScaledDot(children.head, children(1))
     })
 }

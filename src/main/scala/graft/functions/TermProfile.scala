@@ -125,8 +125,7 @@ object TermProfile {
     FunctionIdentifier("term_profile"),
     new ExpressionInfo(classOf[TermProfile].getName, "term_profile"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"term_profile expects 1 argument, got ${children.size}")
+      FunctionArity.check("term_profile", 1, children)
       TermProfile(children.head)
     })
 }

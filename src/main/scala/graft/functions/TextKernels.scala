@@ -117,8 +117,7 @@ object SimhashSig {
     FunctionIdentifier("simhash_sig"),
     new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
     (children: Seq[Expression]) => {
-      require(children.size == 1 || children.size == 2,
-        s"simhash_sig expects 1-2 arguments, got ${children.size}")
+      FunctionArity.check("simhash_sig", Seq(1, 2), children)
       SimhashSig(children.head, useXx = false, widthOf(children, "simhash_sig"))
     })
 
@@ -126,8 +125,7 @@ object SimhashSig {
     FunctionIdentifier("simhash_sig_xx"),
     new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig_xx"),
     (children: Seq[Expression]) => {
-      require(children.size == 1 || children.size == 2,
-        s"simhash_sig_xx expects 1-2 arguments, got ${children.size}")
+      FunctionArity.check("simhash_sig_xx", Seq(1, 2), children)
       SimhashSig(children.head, useXx = true, widthOf(children, "simhash_sig_xx"))
     })
 }
@@ -137,8 +135,7 @@ object RollingFp {
     FunctionIdentifier("rolling_fp"),
     new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
     (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"rolling_fp expects 1 argument, got ${children.size}")
+      FunctionArity.check("rolling_fp", 1, children)
       RollingFp(children.head)
     })
 }

@@ -109,15 +109,18 @@ object DedupIndex {
     * of the FILES, so it lives next to them — an `open` with the wrong
     * count would declare wrong bucket metadata and make bucket-pruned
     * joins silently MISS rows (the worst failure mode: wrong results,
-    * no error). */
-  private def writeMeta(dir: String, buckets: Int): Unit = {
+    * no error). Since round 17 it also carries `built_n`, the corpus
+    * size the bucket count was sized for — [[absorb]]'s staleness gate
+    * (compactions preserve it: re-distincting does not re-size the
+    * layout). `built_n` ≤ 0 or absent = unknown (pre-r17 index). */
+  private def writeMeta(dir: String, buckets: Int, builtN: Long): Unit = {
     val f = ArtifactStore.fs(dir)
     val out = f.create(new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json"), true)
-    out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
+    out.write(s"""{"buckets": $buckets, "built_n": $builtN}""".getBytes("UTF-8"))
     out.close()
   }
 
-  private def readMeta(dir: String): Option[Int] = {
+  private def readMeta(dir: String): Option[(Int, Option[Long])] = {
     val f = ArtifactStore.fs(dir)
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
     if (!f.exists(p)) None
@@ -125,6 +128,10 @@ object DedupIndex {
       val in = f.open(p)
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .map { b =>
+          (b, """"built_n"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+            .map(_.group(1).toLong).filter(_ > 0))
+        }
     }
   }
 
@@ -137,8 +144,11 @@ object DedupIndex {
       buckets: Int = -1): Index = {
     val b = if (buckets > 0) buckets else bucketsFor(s)
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    // the layout's design point, for absorb's staleness gate: one count
+    // job at create time (the hash build below scans the docs anyway)
+    val builtN = docs.count()
     ArtifactStore.commit(ArtifactStore.fs(dir), dir) { v =>
-      writeMeta(v, b)
+      writeMeta(v, b, builtN)
       hashFrame(docs, textCol)
         .write.bucketBy(b, "h").sortBy("h")
         .option("path", s"$v/hashes").saveAsTable(s"graft_mk_h_$tag")
@@ -160,9 +170,9 @@ object DedupIndex {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed index at $dir")).toString
     val meta = readMeta(v)
-    meta.foreach(m => require(buckets <= 0 || buckets == m,
-      s"index at $dir was created with $m buckets, not $buckets"))
-    val b = meta.getOrElse(if (buckets > 0) buckets else bucketsFor(s))
+    meta.foreach { case (m, _) => require(buckets <= 0 || buckets == m,
+      s"index at $dir was created with $m buckets, not $buckets") }
+    val b = meta.map(_._1).getOrElse(if (buckets > 0) buckets else bucketsFor(s))
     Index(dir, v,
       registerBucketed(s, s"$v/hashes", "graft_idx_hashes", "h STRING", Seq("h"), b),
       registerBucketed(s, s"$v/bands", "graft_idx_bands",
@@ -197,8 +207,11 @@ object DedupIndex {
     ArtifactStore.commitExclusive(ArtifactStore.fs(idx.dir), idx.dir) { (parent, v) =>
       val pdir = parent.getOrElse(throw new IllegalStateException(
         s"compact of an index with no committed version at ${idx.dir}")).toString
-      val b = readMeta(pdir).getOrElse(idx.buckets)
-      writeMeta(v, b)
+      val meta = readMeta(pdir)
+      val b = meta.map(_._1).getOrElse(idx.buckets)
+      // compaction re-distincts rows but never re-sizes the layout: the
+      // design point (built_n) rides along unchanged
+      writeMeta(v, b, meta.flatMap(_._2).getOrElse(0L))
       // plain parquet reads of the parent's files: bucket METADATA only
       // matters for join pruning, and a full distinct-rewrite re-creates
       // the layout from scratch anyway
@@ -253,6 +266,27 @@ object DedupIndex {
       idCol: String = "doc_id", textCol: String = "text",
       maxRedrives: Int = 5): Index = {
     val pinned = kept.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // staleness gate (round 17, the Vectors.absorbIndex twin): the
+    // bucket count was sized for the CREATE-time corpus; past 2x that
+    // design point each bucket file is twice its sized share and a
+    // rebuild (create at a re-derived count) — not more appends — is
+    // the right move. The hash-table row count is the absorbed-corpus
+    // measure (an upper bound: exact re-deliveries append duplicate
+    // hashes until a compact re-distincts — an early warning, never a
+    // late one). Pre-r17 indexes (no built_n in meta) absorb unchecked.
+    readMeta(idx.versionDir).flatMap(_._2).foreach { builtN =>
+      val existing = s.table(idx.hashes).count()
+      val incoming = pinned.count()
+      if (existing + incoming > graft.operators.Vectors.AbsorbStaleFactor * builtN
+          && !graft.operators.Vectors.allowStaleAbsorb(s))
+        throw new IllegalStateException(
+          s"DedupIndex.absorb: index at ${idx.dir} was created for $builtN " +
+            s"docs (${idx.buckets} buckets); absorbing $incoming onto " +
+            s"$existing exceeds ${graft.operators.Vectors.AbsorbStaleFactor}x " +
+            "its design point — rebuild with create (bucket count re-sized " +
+            "to the grown corpus), or set spark.graft.absorb.allowStale=true " +
+            "to keep appending into the frozen layout")
+    }
     val f = ArtifactStore.fs(idx.dir)
     var cur = idx
     var attempts = 0

@@ -117,4 +117,21 @@ class ScaledDotSpec extends SparkSpec {
       .head().getDouble(0)
     assert(n == 3e12 + 8e12)
   }
+
+  test("wrong-arity calls to registered functions raise the standard WRONG_NUM_ARGS analysis error") {
+    // ADVICE r16: the builders used require(), so a wrong-arity SQL call
+    // surfaced as an IllegalArgumentException instead of the error class
+    // built-ins raise; FunctionArity.check standardizes all of them
+    for ((sql, fn) <- Seq(
+        ("SELECT arg_max_by(1) FROM range(3)", "arg_max_by"),
+        ("SELECT scaled_dot(array(1.0F))", "scaled_dot"),
+        ("SELECT simhash_sig('a', 'b', 'c')", "simhash_sig"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getCondition != null &&
+        e.getCondition.startsWith("WRONG_NUM_ARGS"), s"$fn: ${e.getCondition}")
+      assert(e.getMessage.contains(fn), s"$fn not named: ${e.getMessage}")
+    }
+  }
 }

@@ -166,6 +166,31 @@ class VectorsSpec extends SparkSpec {
       s"absorbed vectors not top-1 for their own embeddings: $hits")
   }
 
+  test("IVF absorb staleness gate: fires past 2x the design point, not at 1.9x; override + pre-stamp escape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
+    val rnd = new scala.util.Random(11)
+    def vecs(r: Range) = r.map(i => (i.toLong,
+      Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))).toDF("vec_id", "embedding")
+    Vectors.writeIndex(vecs(0 until 100), "vec_id", "embedding", k = 4, dir)
+    // 1.9x the stamped design point: absorb-without-retrain is the
+    // intended cheap path and must NOT warn
+    Vectors.absorbIndex(dir, vecs(100 until 190), "vec_id", "embedding")
+    // 2.1x: refused, naming the design point and the rebuild path
+    val e = intercept[IllegalStateException] {
+      Vectors.absorbIndex(dir, vecs(190 until 210), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("design point") &&
+      e.getMessage.contains("built for 100"))
+    // explicit override keeps appending at the frozen geometry
+    spark.conf.set("spark.graft.absorb.allowStale", "true")
+    try Vectors.absorbIndex(dir, vecs(190 until 210), "vec_id", "embedding")
+    finally spark.conf.unset("spark.graft.absorb.allowStale")
+    // a pre-r17 index (no design-point stamp) absorbs unchecked
+    val f = graft.sources.ArtifactStore.fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_graft_ann_meta.json"), false)
+    Vectors.absorbIndex(dir, vecs(300 until 310), "vec_id", "embedding")
+  }
+
   test("withBucketBound: pass-through under the cap, loud in-plan error on a hot bucket") {
     import graft.queries.LlmOps
     val frame = ((0 until 20).map(i => (i.toLong, "cool")) ++
