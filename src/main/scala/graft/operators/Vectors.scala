@@ -224,6 +224,20 @@ object Vectors {
   def allowStaleAbsorb(s: org.apache.spark.sql.SparkSession): Boolean =
     s.conf.getOption("spark.graft.absorb.allowStale").contains("true")
 
+  /** Absolute floor under which the staleness RATIO is meaningless and
+    * absorbs go unchecked: a 3-doc index "exceeding 2× its design
+    * point" at 7 docs stresses nothing — derived geometry (k ≈ √n,
+    * bucket layouts) only starts to matter once the corpus outgrows a
+    * handful of bucket files (~2^16 rows, the same order as the
+    * exhaustive-pairing guard ceiling). Overridable per session via
+    * `spark.graft.absorb.staleFloorRows` (specs pin the gate at toy
+    * sizes by setting 0). */
+  val AbsorbStaleFloorRows: Long = 1L << 16
+
+  def absorbStaleFloor(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.absorb.staleFloorRows").map(_.toLong)
+      .getOrElse(AbsorbStaleFloorRows)
+
   private def writeAnnMeta(path: String, builtN: Long, k: Int): Unit = {
     val f = graft.sources.ArtifactStore.fs(path)
     val out = f.create(
@@ -266,14 +280,18 @@ object Vectors {
     * at the wrong geometry is the silent-wrong-cost failure the
     * contract exists to prevent) — rebuild via [[writeIndex]], or set
     * `spark.graft.absorb.allowStale=true` to accept the drift
-    * explicitly. Pre-stamp indexes (no meta file) absorb unchecked. */
+    * explicitly. Below [[AbsorbStaleFloorRows]] total rows the ratio is
+    * meaningless (nothing about a toy layout is stressed) and absorbs
+    * go unchecked; pre-stamp indexes (no meta file) likewise. */
   def absorbIndex(indexPath: String, newV: DataFrame, idCol: String,
       vecCol: String): Unit = {
     val s = newV.sparkSession
     readAnnMeta(indexPath).foreach { case (builtN, k) =>
       val existing = s.read.parquet(s"$indexPath/assignments").count()
       val incoming = newV.count()
-      if (existing + incoming > AbsorbStaleFactor * builtN && !allowStaleAbsorb(s))
+      if (existing + incoming > math.max(
+            AbsorbStaleFactor * builtN, absorbStaleFloor(s)) &&
+          !allowStaleAbsorb(s))
         throw new IllegalStateException(
           s"absorbIndex: index at $indexPath was built for $builtN vectors " +
             s"(k=$k); absorbing $incoming more onto $existing exceeds " +
@@ -674,11 +692,18 @@ object Vectors {
       .filter(col("vec_a") < col("vec_b"))
       .filter(firstBand)
       .select(col("vec_a"), col("vec_b"))
+    // SHUFFLE_HASH on the profile side: the star stream (over-cap
+    // members × bands, carrying the b-side arrays) is the WIDE side —
+    // unhinted this SMJ per-partition-sorts it (measured: 4.1 GB of the
+    // sf300 run's 8.2 GB spill, r17m/sf300_semdedup_ann/explain_exec
+    // .txt), while the profile side is one bounded ~100 B row per
+    // vector (~16 MB/partition at the fourth decade's 128 parts).
     val star = bRows.filter(at("_nb") > cap && col("vec_b") =!= at("_rb"))
       .select(at("_rb").as("vec_a"), col("vec_b"), col("band"),
         col("_kb"), col("_nb"), col("_rb"))
       .join(perVec.select(col("vec_id").as("vec_a"),
-        col("_ks").as("_ka"), col("_rs").as("_ra")), Seq("vec_a"))
+        col("_ks").as("_ka"), col("_rs").as("_ra")).hint("shuffle_hash"),
+        Seq("vec_a"))
       .filter(firstBand)
       .select(col("vec_a"), col("vec_b"))
     probed.union(star)

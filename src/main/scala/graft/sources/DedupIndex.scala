@@ -277,7 +277,9 @@ object DedupIndex {
     readMeta(idx.versionDir).flatMap(_._2).foreach { builtN =>
       val existing = s.table(idx.hashes).count()
       val incoming = pinned.count()
-      if (existing + incoming > graft.operators.Vectors.AbsorbStaleFactor * builtN
+      if (existing + incoming > math.max(
+            graft.operators.Vectors.AbsorbStaleFactor * builtN,
+            graft.operators.Vectors.absorbStaleFloor(s))
           && !graft.operators.Vectors.allowStaleAbsorb(s))
         throw new IllegalStateException(
           s"DedupIndex.absorb: index at ${idx.dir} was created for $builtN " +

@@ -405,28 +405,37 @@ class DedupIndexSpec extends SparkSpec {
     def docs(r: Range) = r.map(i =>
       (i.toLong, s"wholly distinct document number $i about topic ${i * 31}"))
       .toDF("doc_id", "text")
+    // under the absolute floor (2^16 rows) a toy index absorbs unchecked
+    // at ANY ratio — the Maintain/streaming lifecycle specs rely on it
+    val dir0 = Files.createTempDirectory("graft_idx_floor").toString + "/idx"
+    val idx0 = DedupIndex.create(spark, docs(0 until 4), dir0, buckets = 4)
+    DedupIndex.absorb(spark, idx0, docs(100 until 120))
+    // the ratio gate itself, pinned by zeroing the floor on a FRESH index
     val dir = Files.createTempDirectory("graft_idx_stale").toString + "/idx"
     val idx = DedupIndex.create(spark, docs(0 until 4), dir, buckets = 4)
-    // 7 of a 2x8 budget: absorb-as-maintenance must not warn
-    DedupIndex.absorb(spark, idx, docs(10 until 13))
-    // 9 > 8: the layout is past its design point — refuse, naming it
-    val e = intercept[IllegalStateException] {
-      DedupIndex.absorb(spark, idx, docs(20 until 22))
-    }
-    assert(e.getMessage.contains("design point") &&
-      e.getMessage.contains("created for 4"))
-    // explicit override keeps appending into the frozen layout
-    spark.conf.set("spark.graft.absorb.allowStale", "true")
-    val idx2 =
-      try DedupIndex.absorb(spark, idx, docs(20 until 22))
-      finally spark.conf.unset("spark.graft.absorb.allowStale")
-    // compaction re-distincts but does NOT re-size: the design point
-    // rides through and the gate still refuses afterwards
-    val compacted = DedupIndex.compact(spark, idx2)
-    val e2 = intercept[IllegalStateException] {
-      DedupIndex.absorb(spark, compacted, docs(30 until 32))
-    }
-    assert(e2.getMessage.contains("created for 4"))
+    spark.conf.set("spark.graft.absorb.staleFloorRows", "0")
+    try {
+      // 7 of a 2x8 budget: absorb-as-maintenance must not warn
+      DedupIndex.absorb(spark, idx, docs(10 until 13))
+      // 9 > 8: the layout is past its design point — refuse, naming it
+      val e = intercept[IllegalStateException] {
+        DedupIndex.absorb(spark, idx, docs(20 until 22))
+      }
+      assert(e.getMessage.contains("design point") &&
+        e.getMessage.contains("created for 4"))
+      // explicit override keeps appending into the frozen layout
+      spark.conf.set("spark.graft.absorb.allowStale", "true")
+      val idx2 =
+        try DedupIndex.absorb(spark, idx, docs(20 until 22))
+        finally spark.conf.unset("spark.graft.absorb.allowStale")
+      // compaction re-distincts but does NOT re-size: the design point
+      // rides through and the gate still refuses afterwards
+      val compacted = DedupIndex.compact(spark, idx2)
+      val e2 = intercept[IllegalStateException] {
+        DedupIndex.absorb(spark, compacted, docs(30 until 32))
+      }
+      assert(e2.getMessage.contains("created for 4"))
+    } finally spark.conf.unset("spark.graft.absorb.staleFloorRows")
   }
 
   test("pruned exact gate: equals the plain gate; the probe opens only maybe partitions") {

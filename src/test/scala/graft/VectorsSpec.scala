@@ -172,23 +172,33 @@ class VectorsSpec extends SparkSpec {
     def vecs(r: Range) = r.map(i => (i.toLong,
       Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))).toDF("vec_id", "embedding")
     Vectors.writeIndex(vecs(0 until 100), "vec_id", "embedding", k = 4, dir)
-    // 1.9x the stamped design point: absorb-without-retrain is the
-    // intended cheap path and must NOT warn
-    Vectors.absorbIndex(dir, vecs(100 until 190), "vec_id", "embedding")
-    // 2.1x: refused, naming the design point and the rebuild path
-    val e = intercept[IllegalStateException] {
-      Vectors.absorbIndex(dir, vecs(190 until 210), "vec_id", "embedding")
-    }
-    assert(e.getMessage.contains("design point") &&
-      e.getMessage.contains("built for 100"))
-    // explicit override keeps appending at the frozen geometry
-    spark.conf.set("spark.graft.absorb.allowStale", "true")
-    try Vectors.absorbIndex(dir, vecs(190 until 210), "vec_id", "embedding")
-    finally spark.conf.unset("spark.graft.absorb.allowStale")
-    // a pre-r17 index (no design-point stamp) absorbs unchecked
-    val f = graft.sources.ArtifactStore.fs(dir)
-    f.delete(new org.apache.hadoop.fs.Path(dir, "_graft_ann_meta.json"), false)
-    Vectors.absorbIndex(dir, vecs(300 until 310), "vec_id", "embedding")
+    // below the absolute floor (2^16 rows) the RATIO is meaningless and
+    // absorbs go unchecked regardless of how far past 2x they land —
+    // toy indexes (the Maintain/streaming lifecycle specs) never trip it
+    Vectors.absorbIndex(dir, vecs(1000 until 1400), "vec_id", "embedding")
+    // pin the ratio gate itself at spec scale by zeroing the floor
+    // (a FRESH index: the one above already sits past 2x by design)
+    spark.conf.set("spark.graft.absorb.staleFloorRows", "0")
+    try {
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_stale2").toString
+      Vectors.writeIndex(vecs(0 until 100), "vec_id", "embedding", k = 4, dir2)
+      // 1.9x: absorb-without-retrain is the intended cheap path — no gate
+      Vectors.absorbIndex(dir2, vecs(100 until 190), "vec_id", "embedding")
+      // 2.1x: refused, naming the design point and the rebuild path
+      val e = intercept[IllegalStateException] {
+        Vectors.absorbIndex(dir2, vecs(190 until 210), "vec_id", "embedding")
+      }
+      assert(e.getMessage.contains("design point") &&
+        e.getMessage.contains("built for 100"))
+      // explicit override keeps appending at the frozen geometry
+      spark.conf.set("spark.graft.absorb.allowStale", "true")
+      try Vectors.absorbIndex(dir2, vecs(190 until 210), "vec_id", "embedding")
+      finally spark.conf.unset("spark.graft.absorb.allowStale")
+      // a pre-r17 index (no design-point stamp) absorbs unchecked
+      val f = graft.sources.ArtifactStore.fs(dir2)
+      f.delete(new org.apache.hadoop.fs.Path(dir2, "_graft_ann_meta.json"), false)
+      Vectors.absorbIndex(dir2, vecs(300 until 310), "vec_id", "embedding")
+    } finally spark.conf.unset("spark.graft.absorb.staleFloorRows")
   }
 
   test("withBucketBound: pass-through under the cap, loud in-plan error on a hot bucket") {
