@@ -38,7 +38,17 @@ object Tables {
     // signature frame (~14 GB of the 70 GB spill) for a pair side of
     // 13 MB/partition. Bounded by construction: AQE converts only when
     // the build side's runtime size fits the threshold.
-    "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold" -> "67108864")
+    // ROUND-17 CORRECTION: the key is `maxShuffledHashJoinLocalMapThreshold`
+    // — rounds 15-16 set a key Spark does not have (`shuffledHashJoin
+    // LocalMapThreshold`, silently ignored), so every conversion
+    // attributed to this conf actually came from the explicit
+    // .hint("shuffle_hash") calls; the auto-conversion fires for the
+    // first time this round (A/B in PERF.md round-17 §7). NOTE Spark
+    // converts only when this is ≥ spark.sql.adaptive
+    // .advisoryPartitionSizeInBytes (default 64 MB) AND every runtime
+    // partition of the build side fits it — 64 MB here is the minimum
+    // useful value, and the conversion stays bounded by construction.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864")
 
   /** One driver table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
