@@ -1340,6 +1340,14 @@ object LlmOps {
       repOnlyProbes = repOnlyOverride.getOrElse(
         graft.operators.AnnGeometry.repOnlyProbes(
           graft.operators.AnnGeometry.corpusRows(s, s"$d/embeddings.parquet"))))
+    // Verify pass: attach (centroid, embedding, norm) per side, gate on
+    // centroid equality + exact cosine. A narrow-first variant (gate
+    // ca = cb via 12 B assignment joins BEFORE attaching embeddings)
+    // was built and MEASURED SLOWER at sf300 — 27.6 s vs 22.4 s,
+    // r17m/sf300_semdedup_ann_gate/ vs _aqeshj/: with the (fixed, §7)
+    // AQE SMJ→SHJ conversion the wide attach is already hash-based,
+    // so two extra hash joins over the full pair stream cost more than
+    // the payload trimming saves. Kept the 2-join shape deliberately.
     val a = v.select($"vec_id".as("vec_a"), $"centroid_id".as("ca"),
       $"embedding".as("ea"), $"n2".as("na"))
     val b = v.select($"vec_id".as("vec_b"), $"centroid_id".as("cb"),
