@@ -629,7 +629,17 @@ object Vectors {
         max(when(col("band") === j, col("_n"))).as(s"_n$j"),
         max(when(col("band") === j, col("_rep"))).as(s"_r$j"))
     }
-    val perVec = keyed.groupBy(col("vec_id"))
+    // repartition BEFORE the aggregate: `keyed` arrives partitioned on
+    // (band, band_key) from the stats join, so a map-side partial agg
+    // there holds ~every vec_id in the partition — the near-unique-key
+    // partial-aggregation tax, measured at 10-13 GB spill PER pruned
+    // variant of this subtree at 20 M vectors (r17m/
+    // sf1000_semdedup_ann_aqeshj/explain_exec.txt). Exchanging the
+    // narrow (vec_id, band, key, n, rep) rows first puts the partial
+    // agg on complete partition-local groups (n/parts entries, no
+    // spill) and the aggregate's own ENSURE_REQUIREMENTS exchange
+    // disappears — same exchange count, narrower payload, zero sort.
+    val perVec = keyed.repartition(col("vec_id")).groupBy(col("vec_id"))
       .agg(slots.head, slots.tail: _*)
       .select(col("vec_id"),
         array((0 until bands).map(j => col(s"_k$j")): _*).as("_ks"),
