@@ -48,7 +48,25 @@ object Tables {
     // .advisoryPartitionSizeInBytes (default 64 MB) AND every runtime
     // partition of the build side fits it — 64 MB here is the minimum
     // useful value, and the conversion stays bounded by construction.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864")
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864",
+    // ObjectHashAggregate (collect_set/collect_list buckets) falls back
+    // to SORT-BASED aggregation once its in-memory map holds this many
+    // DISTINCT KEYS (default 128 — sized for giant per-group buffers,
+    // not for millions of tiny ones). The pair family's bucket
+    // aggregates group a census-pruned stream into MILLIONS of ≤64-row
+    // buckets, so the default re-sorted the whole pruned stream per
+    // execution: 3.2 GB of the 12.3 GB minhash_pairs_verified spill at
+    // 50 M docs was exactly this fallback sort
+    // (r18m/attr_mpv_sf1000.txt: ObjectHashAggregate partial_collect_set
+    // spillSize=3209MB on an input that was ALREADY partitioned and
+    // sorted by bucket). 2^20 keys keeps those aggregates hash-based:
+    // per-partition state is keys × (tiny bucket buffer) — a few tens
+    // of MB at the fourth decade's densities — and a genuinely huge
+    // SINGLE group is bounded by the bucket-size guards
+    // (Vectors.withBucketBound / the LSH geometry), not by this knob.
+    // Key verified against the Spark 4.1.2 jars (the r17 fake-key
+    // lesson: unknown spark.sql.* keys no-op silently).
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1048576")
 
   /** One driver table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -422,10 +422,22 @@ class PlanSpec extends SparkSpec {
     // absence catalog-wide at sf0.001 so the next slip fails here, not
     // at the third decade. ObjectHashAggregate (collect_list et al.) is
     // a hash-based node and stays allowed.
+    // a row that fails to PLAN must fail the sweep, not silently fall
+    // out of it (ADVICE r17: a Try-dropped planning error shrank the
+    // sweep's coverage without failing — the exact defect class this
+    // test pins could then return unobserved on the broken row)
+    val failed = collection.mutable.Buffer.empty[(String, String)]
     val offenders = SparkEntry.catalog.flatMap { q =>
-      val p = scala.util.Try(q.run(spark, d).queryExecution.executedPlan.toString)
-      p.toOption.filter(_.contains("SortAggregate")).map(_ => q.name)
+      scala.util.Try(q.run(spark, d).queryExecution.executedPlan.toString) match {
+        case scala.util.Success(p) =>
+          if (p.contains("SortAggregate")) Some(q.name) else None
+        case scala.util.Failure(e) =>
+          failed += ((q.name, Option(e.getMessage).getOrElse(e.getClass.getName).take(120)))
+          None
+      }
     }
+    assert(failed.isEmpty,
+      s"rows failed to plan (silently exempt from the sweep): ${failed.mkString("; ")}")
     assert(offenders.isEmpty,
       s"SortAggregate fallback in: ${offenders.mkString(", ")}")
   }
