@@ -68,6 +68,29 @@ object ArtifactStore {
     * artifact completeness predicates). */
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
+  /** Total row count of a parquet directory from file FOOTERS only — no
+    * Spark job, no data pages read (ADVICE r17 / VERDICT r17 #3: the
+    * absorb staleness gates used to run a full `count()` SCAN of the
+    * standing index per batch — a 50 M-row read to validate a 5 M-row
+    * append). Footer metadata carries the exact row count the writer
+    * committed; cost is one footer read per file (absorbs append one
+    * file set per batch, compactions collapse them), so the gate stays
+    * O(files), never O(rows). Non-parquet entries (markers, _SUCCESS,
+    * subdirectories) are skipped. */
+  def parquetRowCount(dir: String): Long = {
+    val conf = hadoopConf()
+    val f = fs(dir, conf)
+    val p = new Path(dir)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Committed versions under `base`, current first (highest seq, tag
     * as the deterministic tie-break). Uncommitted dirs are invisible. */
   def versions(f: FileSystem, base: String): Seq[(Long, String, Path)] = {
