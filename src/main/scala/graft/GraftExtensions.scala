@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.HammingBucketPairs.descriptor)
     extensions.injectFunction(graft.functions.ImageHeaderMeta.descriptor)
     extensions.injectFunction(graft.functions.ArgMaxBy.descriptor)
+    extensions.injectFunction(graft.functions.TopKBy.descriptor)
     // rewrite handwritten HOF scaled-dot chains to the native kernel
     extensions.injectOptimizerRule(_ => graft.plans.HofScaledDotRewrite)
   }

@@ -30,18 +30,60 @@ import graft.operators.TextOps
   * production (see PERF.md on the md5 tax). */
 object TrainingPrep {
 
+  /** Stage-1 quality gate alone — shared by [[prepare]] and the
+    * standing-artifact probe (`training_prep_probe`), which must apply
+    * the SAME gate before its drop-set anti-join (the drop set was
+    * derived over the gated corpus). */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 5, minStopRatio: Double = 0.0): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val en = TextOps.stopwords.head._2
+    val stopRatio =
+      size(filter(toks, w => w.isin(en.map(lit(_)): _*))).cast("double") / size(toks)
+    docs
+      .filter(size(toks) >= minWords)
+      .filter(if (minStopRatio > 0) stopRatio >= minStopRatio else lit(true))
+  }
+
+  /** The drop-id union of stages 2–3 (exact-dup non-keepers ∪ near-dup
+    * cluster non-canonicals) over the quality-gated corpus — the
+    * corpus-LABELING half of the chain, exposed so a standing artifact
+    * (`training_prep_probe`'s BuildOnce drop set) can land it once;
+    * every later training-set derivation then pays one anti-join + the
+    * narrow stamps instead of re-running the signature/banding/
+    * connected-components jobs (the same build-once/probe-many split as
+    * `dedup_hash` → `dedup_hash_probe` and `corpus_dedup` →
+    * `corpus_dedup_probe`). One `idCol` column. */
+  def dropSet(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 5, minStopRatio: Double = 0.0,
+      useXx: Boolean = false): DataFrame =
+    stages(docs, idCol, textCol, minWords, minStopRatio, useXx)._2
+
   def prepare(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minWords: Int = 5, minStopRatio: Double = 0.0,
       useXx: Boolean = false): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
+    val (hashed, allDrops) =
+      stages(docs, idCol, textCol, minWords, minStopRatio, useXx)
+    val deduped = hashed.join(
+      allDrops.hint("shuffle_hash"), Seq(idCol), "left_anti")
 
+    // 4. feature stamps (lang_pred, not lang: never silently replace a
+    // source-provided label column)
+    deduped
+      .withColumn("n_tokens", size(toks))
+      .withColumn("lang_pred", TextOps.langId(toks))
+      .withColumn("fingerprint", TextOps.fingerprint(toks))
+      .drop("content_hash")
+  }
+
+  /** Stages 1–3 shared by [[prepare]] and [[dropSet]]: returns the
+    * hashed quality-gated corpus and the union drop-id frame. */
+  private def stages(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int, minStopRatio: Double,
+      useXx: Boolean): (DataFrame, DataFrame) = {
     // 1. quality gate
-    val en = TextOps.stopwords.head._2
-    val stopRatio =
-      size(filter(toks, w => w.isin(en.map(lit(_)): _*))).cast("double") / size(toks)
-    val quality = docs
-      .filter(size(toks) >= minWords)
-      .filter(if (minStopRatio > 0) stopRatio >= minStopRatio else lit(true))
+    val quality = qualityGate(docs, textCol, minWords, minStopRatio)
 
     // 2. exact dedup: keep the min id per content hash — via the
     // dup-rate-sized DROP set (the dedup_hash shape, VERDICT r11 #7):
@@ -95,16 +137,6 @@ object TrainingPrep {
     // near): set algebra (hashed ∖ A) ∖ B = hashed ∖ (A ∪ B) — the near
     // pipeline still GENERATES pairs from the exact-deduped view above,
     // but the wide rows only cross one probe on the way out
-    val allDrops = exactDrops.union(dropIds)
-    val deduped = hashed.join(
-      allDrops.hint("shuffle_hash"), Seq(idCol), "left_anti")
-
-    // 4. feature stamps (lang_pred, not lang: never silently replace a
-    // source-provided label column)
-    deduped
-      .withColumn("n_tokens", size(toks))
-      .withColumn("lang_pred", TextOps.langId(toks))
-      .withColumn("fingerprint", TextOps.fingerprint(toks))
-      .drop("content_hash")
+    (hashed, exactDrops.union(dropIds))
   }
 }

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, SQLOrderingUtil}
+import org.apache.spark.sql.types._
+
+/** `top_k_by(id, ord, k)` — the top `k` (id, ord) pairs of the group by
+  * (ord DESC, id ASC), as a SORTED `array<struct<id bigint, ord double>>`:
+  * the bounded-state aggregate form of a per-key top-k, bit-identical to
+  * `row_number() OVER (PARTITION BY key ORDER BY ord DESC, id ASC) <= k`
+  * (ties and Spark's total double ordering included — NaN greatest,
+  * ±0.0 equal, via [[SQLOrderingUtil.compareDoubles]], the same
+  * comparator WindowExec's sort uses).
+  *
+  * Why it exists (round-18, VERDICT r17 missing #4): the brute-force
+  * similarity passes (`knn_cosine`, the recall audits' exact ground
+  * truth, the int8 shortlist) rank a queries×corpus score stream —
+  * 200 M rows for 10 queries at 20 M vectors — and the window form of
+  * top-k SORTS that stream per partition: 5.6–6.4 GB of spill per
+  * recall audit at sf1000 (`r17m/` byte maps), all of it for ranks
+  * beyond k that are immediately discarded. This aggregate holds ONE
+  * k-slot buffer per (group, partition) — a few hundred bytes for the
+  * 10-query audits — so the pass is sort-free and spill-free at any
+  * corpus size: partial buffers merge associatively and only k rows per
+  * group ever cross the exchange.
+  *
+  * Planning shape: the buffer is an object (not fixed-width), so this
+  * aggregates through ObjectHashAggregateExec — hash-based, and with
+  * group counts = the query-set size it never approaches the sort-based
+  * fallback threshold. (For MILLIONS of groups prefer the window form
+  * or [[ArgMaxBy]]-style primitive buffers; this kernel is for few
+  * groups × huge streams.)
+  *
+  * Null contract: rows with a null id or null ord are SKIPPED (SQL
+  * aggregate semantics, same as [[ArgMaxBy]]); an all-null group
+  * evaluates to an empty array. The window twin would rank null-ord
+  * rows last instead of dropping them — identical outputs whenever the
+  * scored stream is null-free, which every catalog similarity kernel
+  * guarantees by construction (cosines of non-null embeddings).
+  */
+case class TopKBy(
+    id: Expression, ord: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBy.Buffer] with TernaryLike[Expression] {
+
+  override def first: Expression = id
+  override def second: Expression = ord
+  override def third: Expression = kExpr
+  override def prettyName: String = "top_k_by"
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKBy.ResultType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: id must be BIGINT, got ${id.dataType.sql}")
+    else if (ord.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: ord must be DOUBLE, got ${ord.dataType.sql}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be a foldable INT literal")
+    else {
+      val kv = kExpr.eval()
+      if (kv == null || kv.asInstanceOf[Int] < 1 ||
+          kv.asInstanceOf[Int] > TopKBy.MaxK)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: k must be in [1, ${TopKBy.MaxK}], got $kv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+
+  override def createAggregationBuffer(): TopKBy.Buffer = new TopKBy.Buffer(k)
+
+  override def update(b: TopKBy.Buffer, input: InternalRow): TopKBy.Buffer = {
+    val o = ord.eval(input)
+    if (o != null) {
+      val i = id.eval(input)
+      if (i != null) b.insert(i.asInstanceOf[Long], o.asInstanceOf[Double])
+    }
+    b
+  }
+
+  override def merge(b: TopKBy.Buffer, other: TopKBy.Buffer): TopKBy.Buffer = {
+    var j = 0
+    while (j < other.n) { b.insert(other.ids(j), other.ords(j)); j += 1 }
+    b
+  }
+
+  override def eval(b: TopKBy.Buffer): Any = {
+    val rows = new Array[Any](b.n)
+    var j = 0
+    while (j < b.n) { rows(j) = InternalRow(b.ids(j), b.ords(j)); j += 1 }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: TopKBy.Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.n * 16)
+    bb.putInt(b.n)
+    var j = 0
+    while (j < b.n) { bb.putLong(b.ids(j)); bb.putDouble(b.ords(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBy.Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new TopKBy.Buffer(k)
+    val m = bb.getInt
+    var j = 0
+    // entries were serialized in rank order; direct copy preserves it
+    while (j < m) { b.ids(j) = bb.getLong; b.ords(j) = bb.getDouble; j += 1 }
+    b.n = m
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKBy =
+    copy(id = newFirst, ord = newSecond, kExpr = newThird)
+}
+
+object TopKBy {
+
+  /** Upper bound on k: the buffer is O(k) heap per (group, partition) —
+    * a per-key top-64k is a window-form job, not a bounded heap. */
+  val MaxK = 1 << 16
+
+  val ResultType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ord", DoubleType, nullable = false))), containsNull = false)
+
+  /** k-slot insertion buffer, kept sorted best-first by (ord DESC,
+    * id ASC). Insert cost is O(k) worst-case but O(1) for the common
+    * below-threshold row (one comparison against the current worst). */
+  final class Buffer(val k: Int) {
+    var n: Int = 0
+    val ids: Array[Long] = new Array[Long](k)
+    val ords: Array[Double] = new Array[Double](k)
+
+    /** (o, i) ranks strictly before slot j's entry — Spark's total
+      * double order on ord (NaN greatest, ±0.0 equal), id ASC tiebreak. */
+    private def beats(o: Double, i: Long, j: Int): Boolean = {
+      val c = SQLOrderingUtil.compareDoubles(o, ords(j))
+      c > 0 || (c == 0 && i < ids(j))
+    }
+
+    def insert(i: Long, o: Double): Unit = {
+      if (n == k && !beats(o, i, n - 1)) return
+      var j = if (n == k) k - 1 else n // slot the new entry starts at
+      while (j > 0 && beats(o, i, j - 1)) {
+        ids(j) = ids(j - 1); ords(j) = ords(j - 1); j -= 1
+      }
+      ids(j) = i; ords(j) = o
+      if (n < k) n += 1
+    }
+  }
+
+  /** Registration triple for `SparkSessionExtensions.injectFunction`. */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_by"),
+    new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+    (children: Seq[Expression]) => {
+      FunctionArity.check("top_k_by", 3, children)
+      TopKBy(children(0), children(1), children(2))
+    })
+}

@@ -526,6 +526,27 @@ object Vectors {
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
   }
 
+  /** [[topKPerKey]] as a BOUNDED-HEAP AGGREGATE ([[graft.functions
+    * .TopKBy]]) — for the few-groups × huge-stream shape (brute-force
+    * knn, exact recall ground truth, the int8 shortlist), where the
+    * window form per-partition-SORTS the whole queries×corpus score
+    * stream for ranks it immediately discards: 5.6–6.4 GB of spill per
+    * recall audit at 20 M vectors (`r17m/` byte maps, VERDICT r17
+    * missing #4). One k-slot buffer per (group, partition) replaces the
+    * sort; only k rows per group cross the exchange; output is
+    * bit-identical to the window form on null-free score streams
+    * (VectorsSpec differential). Emits (keyCol, tieCol, rank, ordCol)
+    * with rank 1..k by (ordCol DESC, tieCol ASC) — the window twin's
+    * exact schema. Group count must stay far below the object-agg
+    * fallback threshold (query sets, not corpora). */
+  def topKPerKeyAgg(df: DataFrame, keyCol: String, ordCol: String,
+      tieCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(call_function("top_k_by", col(tieCol), col(ordCol), lit(k)).as("_tk"))
+      .select(col(keyCol), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col(keyCol), col("_e.id").as(tieCol),
+        (col("_pos") + 1).cast("int").as("rank"), col("_e.ord").as(ordCol))
+
   /** Default per-bucket row bound for exhaustive in-bucket pairing —
     * overridable per session via `spark.graft.neardup.maxBucketRows`.
     * 2^16 rows is ~2·10^9 pairs in one bucket: past it, exhaustive
@@ -672,25 +693,27 @@ object Vectors {
         array((0 until bands).map(j => col(s"_r$j")): _*).as("_rs"))
     def at(a: String): Column = element_at(col(a), col("band") + 1)
     // A side: every member probes its own bucket (mask 0); Hamming-1
-    // probes from every member (full regime) or bucket reps only
+    // probes from every member (full regime) or bucket reps only. The
+    // profile rides along — _na (own bucket sizes) included, which the
+    // rep-only BOTH-ORIENTATION emission below needs (ADVICE r17).
     val aBase = perVec.select(col("vec_id").as("vec_a"),
-        col("_ks").as("_ka"), col("_rs").as("_ra"),
+        col("_ks").as("_ka"), col("_rs").as("_ra"), col("_ns").as("_na"),
         posexplode(col("_ks")).as(Seq("band", "_key")))
       .filter(col("_key").isNotNull)
     val nonzero = masks.filter(_ != 0L)
     def withMasks(df: DataFrame, ms: Seq[Long]): DataFrame =
       df.select(col("band"), col("_key"), col("vec_a"), col("_ka"), col("_ra"),
-          explode(array(ms.map(lit(_)): _*)).as("_mask"))
+          col("_na"), explode(array(ms.map(lit(_)): _*)).as("_mask"))
         .select(col("band"),
           col("_key").bitwiseXOR(col("_mask")).as("band_key"),
-          col("vec_a"), col("_ka"), col("_ra"))
+          col("vec_a"), col("_ka"), col("_ra"), col("_na"))
     val aKeys =
       if (!repOnlyProbes || nonzero.isEmpty) withMasks(aBase, masks)
       else {
         val m0 =
           if (!masks.contains(0L)) None
           else Some(aBase.select(col("band"), col("_key").as("band_key"),
-            col("vec_a"), col("_ka"), col("_ra")))
+            col("vec_a"), col("_ka"), col("_ra"), col("_na")))
         val mh = withMasks(
           aBase.filter(element_at(col("_ra"), col("band") + 1) === col("vec_a")),
           nonzero)
@@ -704,29 +727,60 @@ object Vectors {
       .filter(col("band_key").isNotNull)
     // the per-band emission rule, replayed over the profiles at an
     // EARLIER band j — true iff the pair would already have been
-    // emitted there (so the current band must stay silent). Null-safe:
-    // an absent band (null key) collides with nothing.
+    // emitted there (so the current band must stay silent). Written
+    // over the ORIENTATION-NORMALIZED pair (u = smaller id, v = larger):
+    // since the rep-only regime accepts both probe orientations (below),
+    // a row's A side may be either endpoint, so the replay reads each
+    // profile through a which-side CASE. Null-safe: an absent band
+    // (null key) collides with nothing.
     def emittedAt(j: Int): Column = {
-      val xa = element_at(col("_ka"), j + 1)
-        .bitwiseXOR(element_at(col("_kb"), j + 1))
-      val smallB = element_at(col("_nb"), j + 1) <= cap
-      val hammingGate =
-        if (repOnlyProbes) element_at(col("_ra"), j + 1) === col("vec_a")
-        else lit(true)
+      val aIsU = col("vec_a") < col("vec_b")
+      def fromU(a: String, b: String): Column =
+        when(aIsU, element_at(col(a), j + 1)).otherwise(element_at(col(b), j + 1))
+      def fromV(a: String, b: String): Column =
+        when(aIsU, element_at(col(b), j + 1)).otherwise(element_at(col(a), j + 1))
+      val xu = fromU("_ka", "_kb").bitwiseXOR(fromV("_ka", "_kb"))
+      val nV = fromV("_na", "_nb")
+      val repU = fromU("_ra", "_rb") === least(col("vec_a"), col("vec_b"))
+      val repV = fromV("_ra", "_rb") === greatest(col("vec_a"), col("vec_b"))
+      val hamming =
+        if (repOnlyProbes)
+          xu =!= 0 && xu.isin(nonzero: _*) &&
+            fromU("_na", "_nb") <= cap && nV <= cap && (repU || repV)
+        else xu =!= 0 && xu.isin(nonzero: _*) && nV <= cap
       coalesce(
-        (smallB && xa.isin(masks: _*) && (xa === 0 || hammingGate)) ||
-          (xa === 0 && !smallB &&
-            element_at(col("_rb"), j + 1) === col("vec_a")),
+        (xu === 0 && nV <= cap) || hamming || (xu === 0 && nV > cap && repU),
         lit(false))
     }
     val firstBand = (0 until bands - 1)
       .map(j => !(col("band") > j && emittedAt(j)))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // Emission orientation. Full regime: the prober must be the smaller
+    // id (every member probes, so each pair has its smaller-endpoint
+    // row). Rep-only regime (round 18, ADVICE r17): Hamming-1 probes
+    // exist only for bucket REPS, so smaller-endpoint-only silently
+    // dropped every cross-bucket pair whose only rep endpoint is the
+    // LARGER id — an extra recall tax at zero probe-row savings (the
+    // rep's probe row already existed; only the match was discarded).
+    // Accept the reverse orientation too: a rep prober p may emit
+    // against a smaller target t when p's own bucket is also small
+    // (keeps rep-only ⊆ full — the full regime never emits a pair whose
+    // larger endpoint sits in an over-cap bucket) and t is NOT its own
+    // bucket's rep at this band (if it were, the forward row emits —
+    // exactly-once per band stays by construction). Self-bucket (mask-0)
+    // rows keep the symmetric smaller-endpoint rule.
+    val isSelf = at("_ka") === col("band_key")
+    val orient =
+      if (!repOnlyProbes || nonzero.isEmpty) col("vec_a") < col("vec_b")
+      else (col("vec_a") < col("vec_b")) ||
+        (!isSelf && col("vec_a") > col("vec_b") &&
+          at("_na") <= cap && !(at("_rb") === col("vec_b")))
     val probed = aKeys
       .join(bRows.filter(at("_nb") <= cap), Seq("band", "band_key"))
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(orient)
       .filter(firstBand)
-      .select(col("vec_a"), col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
     // SHUFFLE_HASH on the profile side: the star stream (over-cap
     // members × bands, carrying the b-side arrays) is the WIDE side —
     // unhinted this SMJ per-partition-sorts it (measured: 4.1 GB of the
@@ -736,8 +790,8 @@ object Vectors {
     val star = bRows.filter(at("_nb") > cap && col("vec_b") =!= at("_rb"))
       .select(at("_rb").as("vec_a"), col("vec_b"), col("band"),
         col("_kb"), col("_nb"), col("_rb"))
-      .join(perVec.select(col("vec_id").as("vec_a"),
-        col("_ks").as("_ka"), col("_rs").as("_ra")).hint("shuffle_hash"),
+      .join(perVec.select(col("vec_id").as("vec_a"), col("_ks").as("_ka"),
+        col("_rs").as("_ra"), col("_ns").as("_na")).hint("shuffle_hash"),
         Seq("vec_a"))
       .filter(firstBand)
       .select(col("vec_a"), col("vec_b"))
@@ -747,10 +801,15 @@ object Vectors {
   /** The pre-r17 form of [[bandPairsCapped]] — every band emits, one
     * pair-keyed `distinct()` dedups the cross-band multiset. Kept
     * callable as the differential-test reference (VectorsSpec pins
-    * set-bit-identity in the full-probe regime), like
-    * [[rpLshBandsExploded]] for the key kernel. */
+    * set-bit-identity in BOTH probe regimes), like
+    * [[rpLshBandsExploded]] for the key kernel. `repOnlyProbes` mirrors
+    * the production rule in plain set semantics: nonzero-mask probes
+    * come from bucket reps only, and a probe row may emit in either
+    * orientation (normalized via least/greatest) when the prober's own
+    * bucket is also small — duplicates are the `distinct()`'s job here,
+    * where the first-band form must be exactly-once by construction. */
   private[graft] def bandPairsCappedDistinct(keys: DataFrame, masks: Seq[Long],
-      cap: Long): DataFrame = {
+      cap: Long, repOnlyProbes: Boolean = false): DataFrame = {
     val stats = keys.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
     val keyed = keys.join(stats.hint("shuffle_hash"), Seq("band", "band_key"))
@@ -758,14 +817,32 @@ object Vectors {
       .select(col("band"), col("band_key"), col("vec_id").as("vec_b"))
     val star = keyed.filter(col("_n") > cap && col("vec_id") =!= col("_rep"))
       .select(col("_rep").as("vec_a"), col("vec_id").as("vec_b"))
-    val aKeys = keys
-      .select(col("band"), col("band_key"), col("vec_id").as("vec_a"),
-        explode(array(masks.map(lit(_)): _*)).as("mask"))
-      .select(col("band"), col("band_key").bitwiseXOR(col("mask")).as("band_key"),
-        col("vec_a"))
+    val nonzero = masks.filter(_ != 0L)
+    val aSrc =
+      if (!repOnlyProbes || nonzero.isEmpty)
+        keyed.select(col("band"), col("band_key"), col("vec_id").as("vec_a"),
+          col("_n").as("_n_own"), explode(array(masks.map(lit(_)): _*)).as("mask"))
+      else {
+        val m0 = keyed.select(col("band"), col("band_key"),
+          col("vec_id").as("vec_a"), col("_n").as("_n_own"),
+          lit(0L).as("mask")).filter(lit(masks.contains(0L)))
+        val mh = keyed.filter(col("vec_id") === col("_rep"))
+          .select(col("band"), col("band_key"), col("vec_id").as("vec_a"),
+            col("_n").as("_n_own"),
+            explode(array(nonzero.map(lit(_)): _*)).as("mask"))
+        m0.union(mh)
+      }
+    val aKeys = aSrc.select(col("band"),
+      col("band_key").bitwiseXOR(col("mask")).as("band_key"),
+      col("vec_a"), col("_n_own"), col("mask"))
+    val orient =
+      if (!repOnlyProbes || nonzero.isEmpty) col("vec_a") < col("vec_b")
+      else (col("vec_a") < col("vec_b")) ||
+        (col("mask") =!= 0 && col("vec_a") > col("vec_b") && col("_n_own") <= cap)
     val probed = aKeys.join(small, Seq("band", "band_key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b")).filter(orient)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
     probed.union(star).distinct()
   }
 }

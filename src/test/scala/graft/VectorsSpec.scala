@@ -30,6 +30,47 @@ class VectorsSpec extends SparkSpec {
       assert(got((k, i + 1)) == ((t._2, t._3)))
   }
 
+  test("topKPerKeyAgg = topKPerKey bit-identically (ties, NaN, short groups); plan is sort-free") {
+    // score values engineered for ORDERING edge cases: duplicated scores
+    // (id-ASC tiebreak), a NaN (greatest under Spark's total double
+    // order), a group with fewer rows than k
+    val rows =
+      (for (k <- 1 to 3; i <- 1 to 40) yield (k, i.toLong, (i * 37 % 10).toDouble)) ++
+      Seq((1, 99L, Double.NaN), (4, 7L, 1.5), (4, 8L, 1.5))
+    val df = rows.toDF("k", "id", "score").repartition(5)
+    def collectSet(out: org.apache.spark.sql.DataFrame): Set[(Int, Long, Int, Long)] =
+      out.collect().map { r =>
+        // the score is compared AS RAW BITS: NaN != NaN under ==, so a
+        // Double-typed tuple would never compare equal for the NaN row
+        (r.getInt(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      }.toSet
+    val win = Vectors.topKPerKey(df, $"k", $"score", $"id", 5)
+      .select($"k", $"id", $"rank", $"score")
+    val agg = Vectors.topKPerKeyAgg(df, "k", "score", "id", 5)
+      .select($"k", $"id", $"rank", $"score")
+    assert(collectSet(agg) == collectSet(win),
+      "bounded-heap top-k diverged from the window form")
+    // the whole point: the aggregate form carries NO sort anywhere —
+    // neither a WindowExec sort nor a SortAggregate fallback
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "agg top-k plan regressed to a window")
+    assert(!p.contains("SortAggregate"), "top_k_by fell back to SortAggregate")
+    assert(p.contains("ObjectHashAggregate"), "top_k_by is not an object hash aggregate")
+  }
+
+  test("topKPerKeyAgg: partial buffers merge exactly (k-boundary insertion order)") {
+    // 1 group, 2k rows spread over many partitions: every merge path
+    // (empty+full, overlap at the k-th slot) is exercised; expected =
+    // plain sort-take
+    val rows = (1L to 20L).map(i => (1, i, ((i * 13) % 7).toDouble))
+    val df = rows.toDF("k", "id", "score").repartition(8)
+    val got = Vectors.topKPerKeyAgg(df, "k", "score", "id", 10)
+      .orderBy($"rank").select($"id", $"score").as[(Long, Double)].collect().toSeq
+    val want = rows.sortBy(t => (-t._3, t._2)).take(10).map(t => (t._2, t._3))
+    assert(got == want)
+  }
+
   test("IVF build+probe: clusters recovered; full-probe search = brute force") {
     // two obvious clusters; seeds are vec_id 0 and 1, one from each
     val vecs = Seq(
@@ -344,10 +385,41 @@ class VectorsSpec extends SparkSpec {
       (10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L)))
     val rep = run(true)
     // in-bucket (mask-0) pairs survive for every member; cross-bucket
-    // discovery flows through rep 10's probe only — 11's Hamming pairs
-    // are the (certified, bounded) misses
-    assert(rep == Set((10L, 11L), (20L, 21L), (10L, 20L), (10L, 21L)))
+    // discovery flows through the REPS' probes in either orientation
+    // (round 18): rep 10 finds 20 and 21 forward, rep 20's probe of
+    // bucket A finds 11 in reverse (normalized to (11,20)). The one
+    // remaining miss is (11,21) — neither endpoint is a rep whose probe
+    // reaches the other — the (certified, bounded) rep-only tax.
+    assert(rep == Set((10L, 11L), (20L, 21L),
+      (10L, 20L), (10L, 21L), (11L, 20L)))
     assert(rep.subsetOf(full))
+  }
+
+  test("bandPairsCapped rep-only: first-band emission = distinct-of-multiset twin, duplicate-free") {
+    // same mixed-regime fixture as the full-probe differential: clone
+    // block (star regime), hash-mixed multi-collisions, single-band rows
+    val keys = (
+      (for (vec <- 0L until 120L; band <- 0 until 4)
+        yield (vec, band, ((vec * 2654435761L + band * 40503L) >>> 7) % 8)) ++
+      (for (vec <- 200L until 241L; band <- 0 until 4)
+        yield (vec, band, 3L)) ++
+      (300L until 305L).map(v => (v, 2, (v % 8).max(0)))
+    ).toDF("vec_id", "band", "band_key")
+    val masks = graft.operators.AnnGeometry.probeMasks(3)
+    for (cap <- Seq(5L, 10L, 64L)) {
+      val got = Vectors.bandPairsCapped(keys, masks, cap, repOnlyProbes = true)
+        .as[(Long, Long)].collect()
+      val want = Vectors.bandPairsCappedDistinct(keys, masks, cap,
+        repOnlyProbes = true).as[(Long, Long)].collect().toSet
+      assert(got.length == got.toSet.size,
+        s"cap=$cap: rep-only first-band emission produced duplicates")
+      assert(got.toSet == want,
+        s"cap=$cap: extra=${(got.toSet -- want).take(5)} missing=${(want -- got.toSet).take(5)}")
+      // and rep-only stays a subset of the full fan-out at every cap
+      val fullSet = Vectors.bandPairsCapped(keys, masks, cap)
+        .as[(Long, Long)].collect().toSet
+      assert(want.subsetOf(fullSet), s"cap=$cap: rep-only invented a pair")
+    }
   }
 
   test("semdedup_ann star + rep-only regimes: measured recall on an over-cap clone corpus") {
