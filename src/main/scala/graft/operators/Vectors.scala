@@ -212,7 +212,7 @@ object Vectors {
     buildCentroids(v, idCol, vecCol, k, samplePeriod)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cent = v.sparkSession.read.parquet(s"$path/centroids")
-    writeAnnMeta(path, builtN, k)
+    writeAnnMeta(path, builtN, k, routeCoarseK)
     ivfAssignRouted(v, idCol, vecCol, cent, routeCoarseK)
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
@@ -252,20 +252,24 @@ object Vectors {
     * is not jointly atomic on HDFS-semantics stores; a crash exactly
     * between them leaves NO stamp, which absorbs treat as a pre-stamp
     * index — fail-open and visible, never a stale design point.) */
-  private def writeAnnMeta(path: String, builtN: Long, k: Int): Unit = {
+  private def writeAnnMeta(path: String, builtN: Long, k: Int,
+      routeK: Int): Unit = {
     val f = graft.sources.ArtifactStore.fs(path)
     val fin = new org.apache.hadoop.fs.Path(path, "_graft_ann_meta.json")
     val tmp = new org.apache.hadoop.fs.Path(path,
       s"_graft_ann_meta.json.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     val out = f.create(tmp, true)
-    out.write(s"""{"built_n": $builtN, "k": $k}""".getBytes("UTF-8"))
+    out.write(
+      s"""{"built_n": $builtN, "k": $k, "route_k": $routeK}""".getBytes("UTF-8"))
     out.close()
     if (f.exists(fin)) f.delete(fin, false)
     if (!f.rename(tmp, fin))
       throw new java.io.IOException(s"could not publish ANN meta stamp at $fin")
   }
 
-  private[graft] def readAnnMeta(path: String): Option[(Long, Int)] = {
+  /** (built_n, k, route_k) — route_k defaults to 1 (flat assignment) for
+    * stamps written before round 18 recorded the build's routing. */
+  private[graft] def readAnnMeta(path: String): Option[(Long, Int, Int)] = {
     val f = graft.sources.ArtifactStore.fs(path)
     val p = new org.apache.hadoop.fs.Path(path, "_graft_ann_meta.json")
     if (!f.exists(p)) None
@@ -275,7 +279,8 @@ object Vectors {
       for {
         n <- """"built_n"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
         k <- """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-      } yield (n, k)
+      } yield (n, k, """"route_k"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(1))
     }
   }
 
@@ -302,10 +307,21 @@ object Vectors {
     * explicitly. Below [[AbsorbStaleFloorRows]] total rows the ratio is
     * meaningless (nothing about a toy layout is stressed) and absorbs
     * go unchecked; pre-stamp indexes (no meta file) likewise. */
+  /** `routeCoarseK` < 0 (the default) assigns the batch THROUGH THE SAME
+    * two-level routing the index was built with (the `route_k` meta
+    * stamp; 1 = flat for pre-r18 stamps): round 18's fourth-decade
+    * absorb measurement caught this method flat-assigning a 2 M-vector
+    * batch against k≈4472 centroids — the n·k = n^1.5 tax the
+    * [[AnnGeometry.ivfCoarseK]] contract exists to remove — at 510.9 s
+    * (`r18m/absorb_sf1000.json`), ~20× the routed cost. A routed absorb
+    * is assignment-CONSISTENT with the bulk build: an absorbed vector
+    * lands exactly where [[writeIndex]] would have put it. Pass an
+    * explicit value to override (1 forces the flat exact argmax). */
   def absorbIndex(indexPath: String, newV: DataFrame, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, routeCoarseK: Int = -1): Unit = {
     val s = newV.sparkSession
-    readAnnMeta(indexPath).foreach { case (builtN, k) =>
+    val meta = readAnnMeta(indexPath)
+    meta.foreach { case (builtN, k, _) =>
       // the standing-index side of the gate reads parquet FOOTERS, not
       // rows (ADVICE r17 / VERDICT r17 #3: a full count() scan of the
       // assignments per absorb made the gate O(index), dominating small
@@ -326,7 +342,9 @@ object Vectors {
             "geometry anyway (audit recall with ivf_recall)")
     }
     val cent = s.read.parquet(s"$indexPath/centroids")
-    ivfAssign(newV, idCol, vecCol, cent)
+    val rk = if (routeCoarseK > 0) routeCoarseK
+      else meta.map(_._3).getOrElse(1)
+    ivfAssignRouted(newV, idCol, vecCol, cent, rk)
       .write.mode("append").parquet(s"$indexPath/assignments")
   }
 

@@ -2115,6 +2115,13 @@ object LlmOps {
   /** Persisted IVF index: built at most once per embeddings fingerprint
     * (stale-proof, race-proof — see [[graft.sources.BuildOnce]]), probed
     * by `ivf_probe` and reusable across Verify/Bench JVMs. */
+  /** The standing IVF artifact's directory — exposed package-private so
+    * the absorb-lifecycle measurement ([[graft.AbsorbScale]]) can clone
+    * the STANDING index instead of paying a fresh build (absorbs mutate,
+    * so the measurement works on a copy, never the catalog artifact). */
+  private[graft] def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = ivfIndex(s, d)
+
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // k ≈ √n at build time, Lloyd on a ~64·k hash-sample, assignment
     // through √k coarse cells (the full AnnGeometry contract — a flat
