@@ -670,9 +670,26 @@ object Vectors {
     *    min-id representative (buckets/n of the corpus), cutting it
     *    ~[[AnnGeometry.DedupTargetBucketRows]]×. Mask-0 probes (the
     *    in-bucket exhaustive pairing) still flow for every member.
-    *    Certified-subset preserved: a rep probe can miss a pair, never
-    *    invent one — and an in-bucket neighbor of a missed member still
-    *    reaches it through mask 0.
+    *    ORIENTATION (round 18, ADVICE r17): by default a pair is
+    *    emitted only when the PROBER is the smaller endpoint — so a
+    *    cross-bucket pair whose only rep endpoint is the larger id is
+    *    silently missed, a recall tax beyond the documented rep-probe
+    *    miss. `repBothOrientations = true` accepts the reverse
+    *    orientation too (normalized to (min, max); reverse allowed when
+    *    the prober's own bucket is also ≤ cap, which keeps rep-only ⊆
+    *    full-fanout, and suppressed when the forward row exists, so
+    *    emission stays exactly-once per band). It is OFF by default
+    *    because it is NOT free: each rep probe then emits against the
+    *    smaller-id members of its target bucket as well — at avg-38-row
+    *    fourth-decade buckets that ~doubles the Hamming channel's
+    *    candidate volume and its verify cost for a ~doubled Hamming hit
+    *    rate (measured: `semdedup_ann` sf1000 75.0 s → 144.1 s,
+    *    `r17m/sf1000_semdedup_ann_pva` vs `r18m/sf1000_ann_topk`, the
+    *    latter at a FASTER calib). Same cost-per-discovered-pair;
+    *    callers who want the recall buy it explicitly.
+    *    Certified-subset preserved in both modes: a rep probe can miss
+    *    a pair, never invent one — and an in-bucket neighbor of a
+    *    missed member still reaches it through mask 0.
     * One narrow hash aggregate for bucket stats (count + min,
     * partial-combinable, no sort) SHUFFLE_HASH-joined back on the band
     * key, one profile aggregate on vec_id, and the probe join's
@@ -680,7 +697,12 @@ object Vectors {
     * contract: one row per (vec_id, band), `band` ∈ [0, bands). */
   def bandPairsCapped(keys: DataFrame, masks: Seq[Long], cap: Long,
       repOnlyProbes: Boolean = false,
-      bands: Int = AnnGeometry.Bands): DataFrame = {
+      bands: Int = AnnGeometry.Bands,
+      repBothOrientations: Boolean = false): DataFrame = {
+    // both-orientation emission is a rep-only refinement; in the full
+    // regime every member probes, so the reverse rows are pure
+    // duplicates and the flag is ignored
+    val bothOrient = repOnlyProbes && repBothOrientations
     val stats = keys.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
     val keyed = keys.join(stats.hint("shuffle_hash"), Seq("band", "band_key"))
@@ -712,26 +734,30 @@ object Vectors {
     def at(a: String): Column = element_at(col(a), col("band") + 1)
     // A side: every member probes its own bucket (mask 0); Hamming-1
     // probes from every member (full regime) or bucket reps only. The
-    // profile rides along — _na (own bucket sizes) included, which the
-    // rep-only BOTH-ORIENTATION emission below needs (ADVICE r17).
-    val aBase = perVec.select(col("vec_id").as("vec_a"),
-        col("_ks").as("_ka"), col("_rs").as("_ra"), col("_ns").as("_na"),
-        posexplode(col("_ks")).as(Seq("band", "_key")))
+    // profile rides along — _na (own bucket sizes) ONLY under
+    // both-orientation emission, which is the one consumer of it (the
+    // extra array is ~3.4 GB of probe-stream shuffle at 20 M vectors —
+    // not carried when nothing reads it).
+    val aProfCols = Seq(col("_ks").as("_ka"), col("_rs").as("_ra")) ++
+      (if (bothOrient) Seq(col("_ns").as("_na")) else Nil)
+    val aCols = Seq(col("vec_a"), col("_ka"), col("_ra")) ++
+      (if (bothOrient) Seq(col("_na")) else Nil)
+    val aBase = perVec.select(col("vec_id").as("vec_a") +: aProfCols :+
+        posexplode(col("_ks")).as(Seq("band", "_key")): _*)
       .filter(col("_key").isNotNull)
     val nonzero = masks.filter(_ != 0L)
     def withMasks(df: DataFrame, ms: Seq[Long]): DataFrame =
-      df.select(col("band"), col("_key"), col("vec_a"), col("_ka"), col("_ra"),
-          col("_na"), explode(array(ms.map(lit(_)): _*)).as("_mask"))
-        .select(col("band"),
-          col("_key").bitwiseXOR(col("_mask")).as("band_key"),
-          col("vec_a"), col("_ka"), col("_ra"), col("_na"))
+      df.select(col("band") +: col("_key") +: aCols :+
+          explode(array(ms.map(lit(_)): _*)).as("_mask"): _*)
+        .select(col("band") +:
+          col("_key").bitwiseXOR(col("_mask")).as("band_key") +: aCols: _*)
     val aKeys =
       if (!repOnlyProbes || nonzero.isEmpty) withMasks(aBase, masks)
       else {
         val m0 =
           if (!masks.contains(0L)) None
-          else Some(aBase.select(col("band"), col("_key").as("band_key"),
-            col("vec_a"), col("_ka"), col("_ra"), col("_na")))
+          else Some(aBase.select(
+            col("band") +: col("_key").as("band_key") +: aCols: _*))
         val mh = withMasks(
           aBase.filter(element_at(col("_ra"), col("band") + 1) === col("vec_a")),
           nonzero)
@@ -751,25 +777,42 @@ object Vectors {
     // a row's A side may be either endpoint, so the replay reads each
     // profile through a which-side CASE. Null-safe: an absent band
     // (null key) collides with nothing.
-    def emittedAt(j: Int): Column = {
-      val aIsU = col("vec_a") < col("vec_b")
-      def fromU(a: String, b: String): Column =
-        when(aIsU, element_at(col(a), j + 1)).otherwise(element_at(col(b), j + 1))
-      def fromV(a: String, b: String): Column =
-        when(aIsU, element_at(col(b), j + 1)).otherwise(element_at(col(a), j + 1))
-      val xu = fromU("_ka", "_kb").bitwiseXOR(fromV("_ka", "_kb"))
-      val nV = fromV("_na", "_nb")
-      val repU = fromU("_ra", "_rb") === least(col("vec_a"), col("vec_b"))
-      val repV = fromV("_ra", "_rb") === greatest(col("vec_a"), col("vec_b"))
-      val hamming =
-        if (repOnlyProbes)
-          xu =!= 0 && xu.isin(nonzero: _*) &&
-            fromU("_na", "_nb") <= cap && nV <= cap && (repU || repV)
-        else xu =!= 0 && xu.isin(nonzero: _*) && nV <= cap
-      coalesce(
-        (xu === 0 && nV <= cap) || hamming || (xu === 0 && nV > cap && repU),
-        lit(false))
-    }
+    def emittedAt(j: Int): Column =
+      if (!bothOrient) {
+        // single-orientation regimes: every row's A side IS the smaller
+        // endpoint (probed rows by the a<b filter; star rows because a
+        // bucket's min-id rep precedes every member), so the replay
+        // reads the profiles directly
+        val xa = element_at(col("_ka"), j + 1)
+          .bitwiseXOR(element_at(col("_kb"), j + 1))
+        val smallB = element_at(col("_nb"), j + 1) <= cap
+        val hammingGate =
+          if (repOnlyProbes) element_at(col("_ra"), j + 1) === col("vec_a")
+          else lit(true)
+        coalesce(
+          (smallB && xa.isin(masks: _*) && (xa === 0 || hammingGate)) ||
+            (xa === 0 && !smallB &&
+              element_at(col("_rb"), j + 1) === col("vec_a")),
+          lit(false))
+      } else {
+        // both-orientation regime: a row's A side may be either
+        // endpoint, so the replay reads each profile through a
+        // which-side CASE over the normalized (u = min, v = max) pair
+        val aIsU = col("vec_a") < col("vec_b")
+        def fromU(a: String, b: String): Column =
+          when(aIsU, element_at(col(a), j + 1)).otherwise(element_at(col(b), j + 1))
+        def fromV(a: String, b: String): Column =
+          when(aIsU, element_at(col(b), j + 1)).otherwise(element_at(col(a), j + 1))
+        val xu = fromU("_ka", "_kb").bitwiseXOR(fromV("_ka", "_kb"))
+        val nV = fromV("_na", "_nb")
+        val repU = fromU("_ra", "_rb") === least(col("vec_a"), col("vec_b"))
+        val repV = fromV("_ra", "_rb") === greatest(col("vec_a"), col("vec_b"))
+        val hamming = xu =!= 0 && xu.isin(nonzero: _*) &&
+          fromU("_na", "_nb") <= cap && nV <= cap && (repU || repV)
+        coalesce(
+          (xu === 0 && nV <= cap) || hamming || (xu === 0 && nV > cap && repU),
+          lit(false))
+      }
     val firstBand = (0 until bands - 1)
       .map(j => !(col("band") > j && emittedAt(j)))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -789,7 +832,7 @@ object Vectors {
     // rows keep the symmetric smaller-endpoint rule.
     val isSelf = at("_ka") === col("band_key")
     val orient =
-      if (!repOnlyProbes || nonzero.isEmpty) col("vec_a") < col("vec_b")
+      if (!bothOrient) col("vec_a") < col("vec_b")
       else (col("vec_a") < col("vec_b")) ||
         (!isSelf && col("vec_a") > col("vec_b") &&
           at("_na") <= cap && !(at("_rb") === col("vec_b")))
@@ -808,9 +851,8 @@ object Vectors {
     val star = bRows.filter(at("_nb") > cap && col("vec_b") =!= at("_rb"))
       .select(at("_rb").as("vec_a"), col("vec_b"), col("band"),
         col("_kb"), col("_nb"), col("_rb"))
-      .join(perVec.select(col("vec_id").as("vec_a"), col("_ks").as("_ka"),
-        col("_rs").as("_ra"), col("_ns").as("_na")).hint("shuffle_hash"),
-        Seq("vec_a"))
+      .join(perVec.select(col("vec_id").as("vec_a") +: aProfCols: _*)
+        .hint("shuffle_hash"), Seq("vec_a"))
       .filter(firstBand)
       .select(col("vec_a"), col("vec_b"))
     probed.union(star)
@@ -827,7 +869,8 @@ object Vectors {
     * bucket is also small — duplicates are the `distinct()`'s job here,
     * where the first-band form must be exactly-once by construction. */
   private[graft] def bandPairsCappedDistinct(keys: DataFrame, masks: Seq[Long],
-      cap: Long, repOnlyProbes: Boolean = false): DataFrame = {
+      cap: Long, repOnlyProbes: Boolean = false,
+      repBothOrientations: Boolean = false): DataFrame = {
     val stats = keys.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
     val keyed = keys.join(stats.hint("shuffle_hash"), Seq("band", "band_key"))
@@ -854,7 +897,8 @@ object Vectors {
       col("band_key").bitwiseXOR(col("mask")).as("band_key"),
       col("vec_a"), col("_n_own"), col("mask"))
     val orient =
-      if (!repOnlyProbes || nonzero.isEmpty) col("vec_a") < col("vec_b")
+      if (!repOnlyProbes || nonzero.isEmpty || !repBothOrientations)
+        col("vec_a") < col("vec_b")
       else (col("vec_a") < col("vec_b")) ||
         (col("mask") =!= 0 && col("vec_a") > col("vec_b") && col("_n_own") <= cap)
     val probed = aKeys.join(small, Seq("band", "band_key"))

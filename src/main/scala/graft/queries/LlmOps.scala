@@ -1141,12 +1141,23 @@ object LlmOps {
     import s.implicits._
     val drops = s.table(tpDropSet(s, d))
     val toks = graft.operators.TextOps.tokens($"text")
+    // stamp FIRST, anti-join the NARROW stamped rows: the output needs
+    // only (id, 3 stamps), so the document text must never cross the
+    // join — the first sf1000 run joined text-wide rows and paid for it
+    // twice over (unhinted: SMJ sorted the full-text side, 54.3 GB
+    // spill / 392 s, r18m/sf1000_training_prep rep 2; hinted
+    // SHUFFLE_HASH: the full 10.8 GB text column through the exchange,
+    // r18m/sf1000_tpp_shj). Stamping ~dup-rate more docs than survive
+    // is a few % of kernel CPU; the join then moves ~30 B rows. The
+    // hint stays (r07 rule: no broadcast hint for corpus-derived sets;
+    // the ~2.4 M-id drop set is over the AQE broadcast threshold at the
+    // fourth decade, and an unhinted plan would sort even the narrow
+    // side).
     graft.driver.TrainingPrep.qualityGate(Tables.documents(s, d))
-      .join(drops, Seq("doc_id"), "left_anti")
-      .withColumn("n_tokens", size(toks))
-      .withColumn("lang_pred", graft.operators.TextOps.langId(toks))
-      .withColumn("fingerprint", graft.operators.TextOps.fingerprint(toks))
-      .select($"doc_id", $"n_tokens", $"lang_pred", $"fingerprint")
+      .select($"doc_id", size(toks).as("n_tokens"),
+        graft.operators.TextOps.langId(toks).as("lang_pred"),
+        graft.operators.TextOps.fingerprint(toks).as("fingerprint"))
+      .join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
   }, Some(trainingPrepSql), sortCols = Seq("doc_id"))
 
   private val knnSqlBody = """
@@ -1420,10 +1431,13 @@ object LlmOps {
       -- regime rule (AnnGeometry.repOnlyProbes): above the threshold,
       -- nonzero (Hamming-1) masks are emitted only by each bucket's
       -- min-id representative; mask 0 always flows for every member.
-      -- mask + the prober's own bucket size ride along for the
-      -- both-orientation emission below.
-      SELECT k.vec_id AS vec_a, k.band, xor(k.band_key, m.mask) AS band_key,
-             m.mask AS mask, s.n AS n_own
+      -- Emission is smaller-endpoint-oriented (a.vec_a < c.vec_id
+      -- below): a rep probe's matches against SMALLER ids are
+      -- discarded — the documented rep-only asymmetry
+      -- (Vectors.bandPairsCapped's repBothOrientations knob lifts it,
+      -- at a measured ~2x Hamming-channel verify cost; the catalog row
+      -- keeps the cheap default, which this twin replays).
+      SELECT k.vec_id AS vec_a, k.band, xor(k.band_key, m.mask) AS band_key
       FROM rk_keys k
       JOIN rk_stats s ON s.band = k.band AND s.band_key = k.band_key
       CROSS JOIN rk_masks m
@@ -1431,24 +1445,13 @@ object LlmOps {
          OR NOT ${graft.operators.AnnGeometry.repOnlySql("embeddings")}
          OR k.vec_id = s.rep),
     cpairs AS (
-      -- a Hamming-1 probe row may emit in EITHER orientation (round 18,
-      -- normalized via least/greatest): the prober may be the larger id
-      -- when its own bucket is also small. In the full-fanout regime
-      -- this adds only duplicates (the smaller endpoint's own probe row
-      -- already emitted the pair — DISTINCT absorbs them); in the
-      -- rep-only regime it recovers pairs whose only rep endpoint is
-      -- the larger id.
       SELECT DISTINCT vec_a, vec_b FROM (
-        SELECT LEAST(a.vec_a, c.vec_id) AS vec_a,
-               GREATEST(a.vec_a, c.vec_id) AS vec_b
+        SELECT a.vec_a, c.vec_id AS vec_b
         FROM aprobe a
         JOIN rk_keys c ON a.band = c.band AND a.band_key = c.band_key
         JOIN rk_stats s ON s.band = c.band AND s.band_key = c.band_key
         WHERE s.n <= ${graft.operators.AnnGeometry.DedupTargetBucketRows}
-          AND a.vec_a <> c.vec_id
-          AND (a.vec_a < c.vec_id
-               OR (a.mask <> 0 AND a.n_own <=
-                   ${graft.operators.AnnGeometry.DedupTargetBucketRows}))
+          AND a.vec_a < c.vec_id
         UNION ALL
         SELECT s.rep AS vec_a, k.vec_id AS vec_b
         FROM rk_keys k

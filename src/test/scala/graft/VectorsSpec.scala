@@ -377,22 +377,27 @@ class VectorsSpec extends SparkSpec {
     val keys = Seq((10L, 0, 1L), (11L, 0, 1L), (20L, 0, 0L), (21L, 0, 0L))
       .toDF("vec_id", "band", "band_key")
     val masks = Seq(0L, 1L, 2L)
-    def run(repOnly: Boolean): Set[(Long, Long)] =
-      Vectors.bandPairsCapped(keys, masks, cap = 8L, repOnlyProbes = repOnly)
+    def run(repOnly: Boolean, both: Boolean = false): Set[(Long, Long)] =
+      Vectors.bandPairsCapped(keys, masks, cap = 8L, repOnlyProbes = repOnly,
+          repBothOrientations = both)
         .as[(Long, Long)].collect().toSet
     val full = run(false)
     assert(full == Set((10L, 11L), (20L, 21L),
       (10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L)))
     val rep = run(true)
     // in-bucket (mask-0) pairs survive for every member; cross-bucket
-    // discovery flows through the REPS' probes in either orientation
-    // (round 18): rep 10 finds 20 and 21 forward, rep 20's probe of
-    // bucket A finds 11 in reverse (normalized to (11,20)). The one
-    // remaining miss is (11,21) — neither endpoint is a rep whose probe
-    // reaches the other — the (certified, bounded) rep-only tax.
-    assert(rep == Set((10L, 11L), (20L, 21L),
-      (10L, 20L), (10L, 21L), (11L, 20L)))
+    // discovery flows through rep 10's probe only — 11's Hamming pairs
+    // are the (certified, bounded) misses of the default asymmetric form
+    assert(rep == Set((10L, 11L), (20L, 21L), (10L, 20L), (10L, 21L)))
     assert(rep.subsetOf(full))
+    // opt-in both-orientation emission (the measured-2x-verify knob):
+    // rep 20's probe of bucket A now also lands 11 in reverse
+    // (normalized to (11,20)); (11,21) stays missed — neither endpoint
+    // is a rep whose probe reaches the other
+    val repBoth = run(true, both = true)
+    assert(repBoth == Set((10L, 11L), (20L, 21L),
+      (10L, 20L), (10L, 21L), (11L, 20L)))
+    assert(rep.subsetOf(repBoth) && repBoth.subsetOf(full))
   }
 
   test("bandPairsCapped rep-only: first-band emission = distinct-of-multiset twin, duplicate-free") {
@@ -406,19 +411,21 @@ class VectorsSpec extends SparkSpec {
       (300L until 305L).map(v => (v, 2, (v % 8).max(0)))
     ).toDF("vec_id", "band", "band_key")
     val masks = graft.operators.AnnGeometry.probeMasks(3)
-    for (cap <- Seq(5L, 10L, 64L)) {
-      val got = Vectors.bandPairsCapped(keys, masks, cap, repOnlyProbes = true)
-        .as[(Long, Long)].collect()
+    for (cap <- Seq(5L, 10L, 64L); both <- Seq(false, true)) {
+      val got = Vectors.bandPairsCapped(keys, masks, cap, repOnlyProbes = true,
+        repBothOrientations = both).as[(Long, Long)].collect()
       val want = Vectors.bandPairsCappedDistinct(keys, masks, cap,
-        repOnlyProbes = true).as[(Long, Long)].collect().toSet
+        repOnlyProbes = true, repBothOrientations = both)
+        .as[(Long, Long)].collect().toSet
       assert(got.length == got.toSet.size,
-        s"cap=$cap: rep-only first-band emission produced duplicates")
+        s"cap=$cap both=$both: rep-only first-band emission produced duplicates")
       assert(got.toSet == want,
-        s"cap=$cap: extra=${(got.toSet -- want).take(5)} missing=${(want -- got.toSet).take(5)}")
-      // and rep-only stays a subset of the full fan-out at every cap
+        s"cap=$cap both=$both: extra=${(got.toSet -- want).take(5)} missing=${(want -- got.toSet).take(5)}")
+      // and rep-only stays a subset of the full fan-out at every cap,
+      // in both orientation modes
       val fullSet = Vectors.bandPairsCapped(keys, masks, cap)
         .as[(Long, Long)].collect().toSet
-      assert(want.subsetOf(fullSet), s"cap=$cap: rep-only invented a pair")
+      assert(want.subsetOf(fullSet), s"cap=$cap both=$both: rep-only invented a pair")
     }
   }
 
