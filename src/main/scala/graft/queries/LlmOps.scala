@@ -1752,10 +1752,20 @@ object LlmOps {
     FROM (SELECT DISTINCT qid FROM bf_t) q LEFT JOIN hits h ON h.qid = q.qid
     ORDER BY q.qid"""
 
-  /** Recall@10 as a DataFrame: ANN results vs the brute-force truth. */
+  /** Recall@10 as a DataFrame: ANN results vs the brute-force truth.
+    * The truth frame is consumed TWICE (the hits semi-join + the
+    * all-queries left side), so it gets a reuse BARRIER — the
+    * pairJaccard discipline: a distinct() over exactly the output
+    * columns canonicalizes identically under both consumers, so the
+    * expensive exact ground-truth pass (10 × corpus cosines)
+    * materializes once and the second consumer reads the reused
+    * exchange. Without it the brute-force pass ran once per consumer —
+    * ~22 s of the 99 s sf1000 `rplsh_recall` wall
+    * (`r18m/sf1000_ann_topk/`). Semantically a no-op: (qid, cid) rows
+    * are unique by construction. */
   private def recallDf(truth: org.apache.spark.sql.DataFrame,
       ann: org.apache.spark.sql.DataFrame) = {
-    val t = truth.select(col("qid"), col("cid"))
+    val t = truth.select(col("qid"), col("cid")).distinct()
     val hits = t.join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     t.select(col("qid")).distinct()
