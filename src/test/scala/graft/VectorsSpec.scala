@@ -207,6 +207,45 @@ class VectorsSpec extends SparkSpec {
       s"absorbed vectors not top-1 for their own embeddings: $hits")
   }
 
+  test("IVF absorb follows the build's routing (route_k stamp); pre-r18 stamps absorb flat") {
+    // round 18 (r18m/absorb_sf1000_flat.json): absorbIndex flat-assigned
+    // every batch — the n·k tax the build's ivfCoarseK routing removed —
+    // 510.9 s for a 2 M batch against the standing 20 M index. The
+    // contract now: absorb assigns THROUGH THE SAME routing the index
+    // was built with (route_k in the meta stamp), so an absorbed vector
+    // lands exactly where writeIndex would have put it; stamps that
+    // predate route_k keep the flat behavior they were built with.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_route").toString
+    val rnd = new scala.util.Random(7)
+    def vecs(r: Range) = r.map(i => (i.toLong,
+      Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f))).toDF("vec_id", "embedding")
+    Vectors.writeIndex(vecs(0 until 60), "vec_id", "embedding", k = 4, dir,
+      routeCoarseK = 2)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val batch = vecs(100 until 112)
+    Vectors.absorbIndex(dir, batch, "vec_id", "embedding")
+    def assignedOf(min: Long, max: Long): Map[Long, Int] =
+      spark.read.parquet(s"$dir/assignments")
+        .filter($"vec_id" >= min && $"vec_id" < max)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaRouted = Vectors.ivfAssignRouted(batch, "vec_id", "embedding", cent, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assignedOf(100, 112) == viaRouted,
+      "absorbed assignments diverge from the build's routed assignment")
+    // back-compat: rewrite the stamp WITHOUT route_k (a pre-r18 index)
+    // — the next absorb must assign FLAT, the behavior those indexes
+    // were built with
+    val f = graft.sources.ArtifactStore.fs(dir)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "_graft_ann_meta.json"), true)
+    out.write("""{"built_n": 60, "k": 4}""".getBytes("UTF-8")); out.close()
+    val batch2 = vecs(200 until 212)
+    Vectors.absorbIndex(dir, batch2, "vec_id", "embedding")
+    val viaFlat = Vectors.ivfAssign(batch2, "vec_id", "embedding", cent)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assignedOf(200, 212) == viaFlat,
+      "pre-r18 (route_k-less) stamp did not absorb flat")
+  }
+
   test("IVF absorb staleness gate: fires past 2x the design point, not at 1.9x; override + pre-stamp escape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
     val rnd = new scala.util.Random(11)
