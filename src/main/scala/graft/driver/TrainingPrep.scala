@@ -65,16 +65,23 @@ object TrainingPrep {
     val toks = TextOps.tokens(col(textCol))
     val (hashed, allDrops) =
       stages(docs, idCol, textCol, minWords, minStopRatio, useXx)
-    val deduped = hashed.join(
-      allDrops.hint("shuffle_hash"), Seq(idCol), "left_anti")
 
     // 4. feature stamps (lang_pred, not lang: never silently replace a
-    // source-provided label column)
-    deduped
+    // source-provided label column) — computed BEFORE the final
+    // anti-join (round 18, the training_prep_probe lesson): stamps are
+    // per-row maps, so stamping ~dup-rate more docs than survive is
+    // noise, while stamping after the join forces the TEXT column
+    // through the join for any consumer that only reads the stamps
+    // (the catalog row reads 4 columns; with the stamps upstream,
+    // column pruning ships ~30 B rows through the anti-join's exchange
+    // instead of the document payload). Output rows and columns are
+    // identical either way.
+    val stamped = hashed
       .withColumn("n_tokens", size(toks))
       .withColumn("lang_pred", TextOps.langId(toks))
       .withColumn("fingerprint", TextOps.fingerprint(toks))
       .drop("content_hash")
+    stamped.join(allDrops.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Stages 1–3 shared by [[prepare]] and [[dropSet]]: returns the
