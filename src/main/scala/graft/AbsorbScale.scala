@@ -131,14 +131,19 @@ object AbsorbScale {
     // rank 1 is the ORIGINAL corpus vector (identical embedding,
     // smaller id wins the tie), the twin must rank right behind it
     val vAll = emb.union(batch)
-    val qs = emb.filter($"vec_id" % every === 0 && $"vec_id" < every * 5)
-      .select(($"vec_id" + 2 * idShift).as("qid"), $"embedding".as("qe"))
+    // first 5 ABSORBED vectors by rank, not an id-range predicate: the
+    // old `vec_id % every == 0 && vec_id < every*5` silently assumed
+    // dense ids from 0 and aborted AFTER the expensive absorb on any
+    // sparse/offset corpus (ADVICE r18)
+    val qs = batch.orderBy($"vec_id").limit(5)
+      .select(($"vec_id" + idShift).as("qid"), $"embedding".as("qe"))
+    val nQueries = qs.count()
+    require(nQueries > 0, "probe-equivalence query set is empty")
     val (found, tProbe) = timed {
       Vectors.ivfSearchIndexed(ivfDir, vAll, "vec_id", "embedding",
           qs, "qid", "qe", nprobe = 2, k = 3)
         .filter($"cand_id" === $"qid" - idShift).count()
     }
-    val nQueries = 5L
     require(found == nQueries,
       s"post-absorb probe equivalence failed: $found of $nQueries absorbed " +
         "twins findable through the probed index")
@@ -167,9 +172,13 @@ object AbsorbScale {
           DedupIndex.absorb(spark, idx0, dBatch)
         })
       // equivalence: a re-delivery of an absorbed doc's exact content is
-      // dropped by the batch gate (the absorb is immediately visible)
-      val redeliver = dBatch.filter($"doc_id" < idShift + every * 5)
+      // dropped by the batch gate (the absorb is immediately visible).
+      // First 5 absorbed docs by RANK, not an id-range predicate (the
+      // dense-ids-from-0 assumption made this check vacuously pass on a
+      // sparse corpus — same ADVICE r18 defect as the vector leg)
+      val redeliver = dBatch.orderBy($"doc_id").limit(5)
         .select(($"doc_id" + idShift).as("doc_id"), $"text")
+      require(redeliver.count() > 0, "re-delivery probe set is empty")
       val (kept, tDProbe) = timed(
         DedupIndex.dedupBatch(spark, idx1, redeliver).count())
       require(kept == 0L,

@@ -207,7 +207,9 @@ object Vectors {
     // between left a rebuilt index carrying the PREVIOUS build's stamp,
     // gating later absorbs against the wrong design point; now a crash
     // mid-assignments leaves a visibly torn assignments dir under an
-    // already-correct stamp)
+    // already-correct stamp — "visibly" made mechanical in round 19:
+    // the absorb gate REFUSES a stamped index whose assignments dir
+    // lacks its _SUCCESS job-commit marker, ADVICE r18)
     val builtN = v.count()
     buildCentroids(v, idCol, vecCol, k, samplePeriod)
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -322,6 +324,26 @@ object Vectors {
     val s = newV.sparkSession
     val meta = readAnnMeta(indexPath)
     meta.foreach { case (builtN, k, _) =>
+      // torn-rebuild fence (ADVICE r18): [[writeIndex]] publishes the
+      // meta stamp BEFORE the assignments overwrite (the documented
+      // crash trade), so a crash mid-rebuild can leave a fresh stamp
+      // whose built_n/route_k describe an index whose assignments are
+      // partially the previous build's. A stamp therefore implies a
+      // COMPLETE assignments commit: require the job-commit marker
+      // before gating and routing against the dir (skipped only when
+      // the session disabled success markers, in which case the caller
+      // owns completeness). BuildOnce-managed artifacts were already
+      // fenced by their own _SUCCESS predicates; this covers direct
+      // writeIndex/absorbIndex users.
+      val markersOn = s.sparkContext.hadoopConfiguration.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      if (markersOn && !graft.sources.ArtifactStore.exists(
+            s"$indexPath/assignments/_SUCCESS"))
+        throw new IllegalStateException(
+          s"absorbIndex: index at $indexPath carries a design-point stamp " +
+            "but its assignments dir has no _SUCCESS marker — a rebuild " +
+            "crashed between the stamp publish and the assignments " +
+            "commit; re-run writeIndex before absorbing")
       // the standing-index side of the gate reads parquet FOOTERS, not
       // rows (ADVICE r17 / VERDICT r17 #3: a full count() scan of the
       // assignments per absorb made the gate O(index), dominating small
@@ -804,11 +826,20 @@ object Vectors {
         def fromV(a: String, b: String): Column =
           when(aIsU, element_at(col(b), j + 1)).otherwise(element_at(col(a), j + 1))
         val xu = fromU("_ka", "_kb").bitwiseXOR(fromV("_ka", "_kb"))
+        val nU = fromU("_na", "_nb")
         val nV = fromV("_na", "_nb")
         val repU = fromU("_ra", "_rb") === least(col("vec_a"), col("vec_b"))
         val repV = fromV("_ra", "_rb") === greatest(col("vec_a"), col("vec_b"))
+        // mirror the emission rule EXACTLY (ADVICE r18): forward
+        // emission (rep u probing v's small bucket) has no cap on u's
+        // OWN bucket — only the reverse orientation requires the
+        // prober's bucket small (nV is the reverse prober's own bucket
+        // via the orient clause; nU is its small-side target). An
+        // unconditional nU <= cap here failed to recognize a pair first
+        // emitted by a rep of an over-cap bucket, so a later-band
+        // collision re-emitted it (VectorsSpec pins the repro)
         val hamming = xu =!= 0 && xu.isin(nonzero: _*) &&
-          fromU("_na", "_nb") <= cap && nV <= cap && (repU || repV)
+          nV <= cap && (repU || (repV && nU <= cap))
         coalesce(
           (xu === 0 && nV <= cap) || hamming || (xu === 0 && nV > cap && repU),
           lit(false))

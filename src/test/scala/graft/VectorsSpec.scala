@@ -281,6 +281,34 @@ class VectorsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.absorb.staleFloorRows")
   }
 
+  test("IVF absorb torn-rebuild fence: stamped index without assignments _SUCCESS is refused (ADVICE r18)") {
+    // writeIndex stamps BEFORE the assignments overwrite (documented
+    // crash trade): a crash mid-rebuild leaves a fresh stamp over
+    // assignments partially from the previous build. The absorb gate
+    // must refuse that state, not gate and route against it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_torn").toString
+    val rnd = new scala.util.Random(13)
+    def vecs(r: Range) = r.map(i => (i.toLong,
+      Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))).toDF("vec_id", "embedding")
+    Vectors.writeIndex(vecs(0 until 40), "vec_id", "embedding", k = 4, dir)
+    val f = graft.sources.ArtifactStore.fs(dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/assignments/_SUCCESS")
+    assert(f.exists(marker), "writeIndex should commit assignments with _SUCCESS")
+    f.delete(marker, false)
+    val e = intercept[IllegalStateException] {
+      Vectors.absorbIndex(dir, vecs(100 until 110), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("_SUCCESS") && e.getMessage.contains("rebuild"))
+    // restoring the marker (what a completed rebuild leaves) unblocks
+    f.create(marker, true).close()
+    Vectors.absorbIndex(dir, vecs(100 until 110), "vec_id", "embedding")
+    // a pre-stamp index (no meta) stays fail-open even without the
+    // marker — the documented pre-r17 compatibility behavior
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_graft_ann_meta.json"), false)
+    f.delete(marker, false)
+    Vectors.absorbIndex(dir, vecs(200 until 210), "vec_id", "embedding")
+  }
+
   test("withBucketBound: pass-through under the cap, loud in-plan error on a hot bucket") {
     import graft.queries.LlmOps
     val frame = ((0 until 20).map(i => (i.toLong, "cool")) ++
@@ -466,6 +494,32 @@ class VectorsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(want.subsetOf(fullSet), s"cap=$cap both=$both: rep-only invented a pair")
     }
+  }
+
+  test("bandPairsCapped both-orientation replay: over-cap-bucket rep forward-probing a small bucket, re-colliding later, emits once (ADVICE r18)") {
+    // band 0: bucket key5 = {1,2,3} (n=3 > cap=2, rep 1), key4 = {10}
+    // (n=1). Rep 1 forward-probes mask 1 into 10's small bucket →
+    // (1,10) emitted at band 0 even though 1's OWN bucket is over cap.
+    // band 1: 1 and 10 share small bucket key7 → mask-0 collision. A
+    // replay that required BOTH endpoints' buckets <= cap did not
+    // recognize the band-0 emission (nU = 3 > cap) and re-emitted the
+    // pair at band 1 — breaking exactly-once-per-band.
+    val keys = Seq((1L, 0, 5L), (2L, 0, 5L), (3L, 0, 5L), (10L, 0, 4L),
+        (1L, 1, 7L), (10L, 1, 7L), (2L, 1, 1L), (3L, 1, 2L))
+      .toDF("vec_id", "band", "band_key")
+    val masks = Seq(0L, 1L, 2L, 4L)
+    val got = Vectors.bandPairsCapped(keys, masks, cap = 2L,
+        repOnlyProbes = true, repBothOrientations = true)
+      .as[(Long, Long)].collect()
+    assert(got.count(_ == ((1L, 10L))) == 1,
+      s"(1,10) must be emitted exactly once, got ${got.toSeq}")
+    assert(got.length == got.toSet.size,
+      s"duplicate pair rows: ${got.toSeq}")
+    val want = Vectors.bandPairsCappedDistinct(keys, masks, cap = 2L,
+      repOnlyProbes = true, repBothOrientations = true)
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet == want,
+      s"extra=${got.toSet -- want} missing=${want -- got.toSet}")
   }
 
   test("semdedup_ann star + rep-only regimes: measured recall on an over-cap clone corpus") {
