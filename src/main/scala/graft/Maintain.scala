@@ -19,6 +19,9 @@ import graft.sources.{ArtifactStore, DedupIndex, Tables}
   *    sidecar's superseded versions and stale claims/stages;
   *  - any other [[ArtifactStore]] base: vacuum only (build-once
   *    artifacts are immutable per stamp — there is nothing to compact);
+  *  - an ANN INDEX root ([[graft.operators.Vectors.writeIndex]] layout,
+  *    `_graft_ann_meta.json` at the root): compact the absorb-accreted
+  *    `assignments` posting files (round 19, VERDICT r18 #3);
   *  - a FLAT parquet dataset root (data files directly under the root,
   *    no version lineage — the shape every incremental sink accretes):
   *    [[Writers.compactSmallFiles]], merging undersized files into
@@ -57,11 +60,29 @@ object Maintain {
     val f = ArtifactStore.fs(root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val before = ArtifactStore.versions(f, root).length
+    // IVF/ANN index root: the design-point stamp at the root marks a
+    // writeIndex layout (centroids + assignments subdirs). Absorbs
+    // append one file set to `assignments` per batch with NO file-count
+    // bound (VERDICT r18 #3 — the one lifecycle leg the doc index had
+    // and the vector index didn't), so maintenance here = small-file
+    // compaction of the posting lists, under the same root claim every
+    // flat-dataset mutator takes. Centroids are write-once per rebuild
+    // (never accrete) and the meta stamp is untouched; `_SUCCESS`
+    // survives compaction (only .parquet files move), so the absorb
+    // gate's torn-rebuild fence stays satisfied.
+    val isAnnIndex = f.exists(
+      new org.apache.hadoop.fs.Path(root, "_graft_ann_meta.json"))
     // flat dataset: parquet files directly under the root, no lineage
-    val isFlatDataset = before == 0 && !DedupIndex.isIndexRoot(root) &&
+    val isFlatDataset = before == 0 && !isAnnIndex &&
+      !DedupIndex.isIndexRoot(root) &&
       f.exists(rootPath) && f.listStatus(rootPath)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (isFlatDataset) {
+    if (isAnnIndex) {
+      val cs = Writers.compactSmallFiles(s, s"$root/assignments",
+        targetBytes = compactTargetBytes, minBytes = compactMinBytes)
+      Report(root, "ann-index", compacted = cs.filesCompacted > 0,
+        bloomRebuilt = false, 0, 0, cs.filesBefore, cs.filesAfter)
+    } else if (isFlatDataset) {
       val cs = Writers.compactSmallFiles(s, root,
         targetBytes = compactTargetBytes, minBytes = compactMinBytes)
       Report(root, "dataset", compacted = cs.filesCompacted > 0,
@@ -106,7 +127,7 @@ object Maintain {
       } + "\""
     val reports = args.toSeq.map { root =>
       val r = maintainRoot(spark, root, keep, staleMs, cmpTarget, cmpMin)
-      val tail = if (r.kind == "dataset")
+      val tail = if (r.kind == "dataset" || r.kind == "ann-index")
         s""""files":{"before":${r.filesBefore},"after":${r.filesAfter}}}"""
       else
         s""""versions":{"before":${r.versionsBefore},"after":${r.versionsAfter}}}"""

@@ -83,15 +83,29 @@ case class TopKBy(
   override def update(b: TopKBy.Buffer, input: InternalRow): TopKBy.Buffer = {
     val o = ord.eval(input)
     if (o != null) {
-      val i = id.eval(input)
-      if (i != null) b.insert(i.asInstanceOf[Long], o.asInstanceOf[Double])
+      val od = o.asInstanceOf[Double]
+      // early exit BEFORE id.eval when the row strictly loses to the
+      // current worst on ord alone (VERDICT r18 #2): once the buffer is
+      // warm, almost every row of a corpus-sized stream takes this
+      // branch — one interpreted eval + one compare per row, skipping
+      // the id eval and the insert call. Ties (c == 0) still go through
+      // insert: the id ASC tiebreak needs the id.
+      if (!b.rejectsOnOrd(od)) {
+        val i = id.eval(input)
+        if (i != null) b.insert(i.asInstanceOf[Long], od)
+      }
     }
     b
   }
 
   override def merge(b: TopKBy.Buffer, other: TopKBy.Buffer): TopKBy.Buffer = {
+    // other's entries are rank-sorted best-first: the first entry that
+    // strictly loses to b's worst on ord ends the walk (everything
+    // after it is <= that ord, so also strictly loses)
     var j = 0
-    while (j < other.n) { b.insert(other.ids(j), other.ords(j)); j += 1 }
+    while (j < other.n && !b.rejectsOnOrd(other.ords(j))) {
+      b.insert(other.ids(j), other.ords(j)); j += 1
+    }
     b
   }
 
@@ -154,6 +168,12 @@ object TopKBy {
       val c = SQLOrderingUtil.compareDoubles(o, ords(j))
       c > 0 || (c == 0 && i < ids(j))
     }
+
+    /** Full buffer and `o` STRICTLY below the worst kept ord: the row
+      * cannot enter regardless of its id (ties need the id tiebreak and
+      * return false here). The update path's pre-`id.eval` early exit. */
+    def rejectsOnOrd(o: Double): Boolean =
+      n == k && SQLOrderingUtil.compareDoubles(o, ords(n - 1)) < 0
 
     def insert(i: Long, o: Double): Unit = {
       if (n == k && !beats(o, i, n - 1)) return

@@ -254,7 +254,7 @@ object Vectors {
     * is not jointly atomic on HDFS-semantics stores; a crash exactly
     * between them leaves NO stamp, which absorbs treat as a pre-stamp
     * index — fail-open and visible, never a stale design point.) */
-  private def writeAnnMeta(path: String, builtN: Long, k: Int,
+  private[graft] def writeAnnMeta(path: String, builtN: Long, k: Int,
       routeK: Int): Unit = {
     val f = graft.sources.ArtifactStore.fs(path)
     val fin = new org.apache.hadoop.fs.Path(path, "_graft_ann_meta.json")

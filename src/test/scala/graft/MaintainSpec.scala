@@ -148,4 +148,53 @@ class MaintainSpec extends SparkSpec {
     assert(r2.kind == "dataset")
     assert(r2.filesAfter == r.filesAfter)
   }
+
+  test("ANN index root: absorb-accreted assignments compacted, probes unchanged, fence marker survives (VERDICT r18 #3)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Vectors
+    val dir = Files.createTempDirectory("graft_maint_ivf").toString + "/ivf"
+    val rnd = new scala.util.Random(17)
+    def vecs(r: Range) = r.map(i => (i.toLong,
+      Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+    val corpus0 = vecs(0 until 40)
+    Vectors.writeIndex(corpus0.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, dir)
+    // five tiny absorb batches: each appends its own file set to
+    // assignments — the unbounded accretion Maintain must bound
+    val batches = (1 to 5).map(b => vecs(100 * b until 100 * b + 8))
+    batches.foreach(b =>
+      Vectors.absorbIndex(dir, b.toDF("vec_id", "embedding"),
+        "vec_id", "embedding"))
+    val f = ArtifactStore.fs(dir)
+    def parquetFiles() = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val assignedBefore = spark.read.parquet(s"$dir/assignments")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val nBefore = parquetFiles()
+    val r = Maintain.maintainRoot(spark, dir, keep = 1, staleMs = 0L,
+      compactTargetBytes = 1L << 30, compactMinBytes = 1L << 30)
+    assert(r.kind == "ann-index" && r.compacted, s"unexpected report $r")
+    assert(r.filesBefore == nBefore && r.filesAfter < nBefore,
+      s"assignments not compacted: $r")
+    // content byte-identical (same (vec_id, centroid_id) multiset) and
+    // the meta stamp untouched
+    val assignedAfter = spark.read.parquet(s"$dir/assignments")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(assignedAfter == assignedBefore, "compaction changed assignments")
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "_graft_ann_meta.json")))
+    // the absorb gate's torn-rebuild fence still passes (_SUCCESS kept)
+    // and the index keeps absorbing + probing correctly post-compaction
+    val more = vecs(900 until 908)
+    Vectors.absorbIndex(dir, more.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val corpus = (corpus0 ++ batches.flatten ++ more).toDF("vec_id", "embedding")
+    val queries = more.map { case (i, v) => (i + 5000L, v) }.toDF("qid", "qv")
+    val hits = Vectors.ivfSearchIndexed(dir, corpus, "vec_id", "embedding",
+        queries, "qid", "qv", nprobe = 1, k = 1)
+      .select(col("qid"), col("cand_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more.forall { case (i, _) => hits(i + 5000L) == i },
+      s"post-compaction absorb not findable: $hits")
+  }
 }
