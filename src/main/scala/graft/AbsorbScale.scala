@@ -28,6 +28,8 @@ import graft.sources.{ArtifactStore, DedupIndex, Tables}
   * Usage: `jrun.sh graft.AbsorbScale <sfDir> [outJson]`; env knobs match
   * Bench (`SPARK_GRAFT_CPUS`, `SPARK_GRAFT_SHUFFLE`), plus
   * `SPARK_GRAFT_ABSORB_EVERY` (batch = 1/N of the corpus, default 10)
+  * `SPARK_GRAFT_ABSORB_VEC=0` to skip the vector leg (doc-leg-only
+  * fixtures above sf100 carry no embeddings table),
   * and `SPARK_GRAFT_ABSORB_DOCS=0` to skip the document-index leg (its
   * signature-carrying band table is ~150 B × 4 rows/doc — a 50 M-doc
   * index is ~30 GB of scratch, over this box's free disk at sf1000; the
@@ -68,6 +70,9 @@ object AbsorbScale {
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val every = sys.env.getOrElse("SPARK_GRAFT_ABSORB_EVERY", "10").toLong
     val doDocs = sys.env.getOrElse("SPARK_GRAFT_ABSORB_DOCS", "1") != "0"
+    // vector leg skippable the same way (round 19): the doc-leg-only
+    // fixtures above sf100 (sf300 documents) carry no embeddings table
+    val doVec = sys.env.getOrElse("SPARK_GRAFT_ABSORB_VEC", "1") != "0"
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -82,10 +87,14 @@ object AbsorbScale {
     val parts = collection.mutable.Buffer.empty[String]
     def j(k: String, v: Double): Unit = parts += s""""$k":${math.rint(v * 1000) / 1000}"""
 
-    // ---- vector index (IVF) leg --------------------------------------
-    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
-    val n = graft.operators.AnnGeometry.corpusRows(spark, s"$sfDir/embeddings.parquet")
+    val n = if (doVec)
+      graft.operators.AnnGeometry.corpusRows(spark, s"$sfDir/embeddings.parquet")
+    else 0L
     val idShift = math.max(n, 1L << 32)
+
+    // ---- vector index (IVF) leg --------------------------------------
+    if (doVec) {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     // clone the STANDING catalog artifact (absorbs mutate; the artifact
     // must stay byte-identical for every other catalog row)
     val standing = graft.queries.LlmOps.ivfIndexDir(spark, sfDir)
@@ -249,6 +258,7 @@ object AbsorbScale {
       j("ivf_rebuild_search_hits", found2.toDouble)
       j("ivf_rebuild_search_sec", tSearch2)
     }
+    } // doVec
 
     // ---- document index (DedupIndex) leg -----------------------------
     if (doDocs) {
