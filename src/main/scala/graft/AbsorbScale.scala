@@ -297,7 +297,13 @@ object AbsorbScale {
       j("doc_gate_probe_sec", tDProbe)
     }
 
-    // scratch cleanup: the clones are per-run throwaways
+    // scratch cleanup: the clones are per-run throwaways. Cancel any
+    // straggler jobs first — AQE materializes every query stage eagerly,
+    // and a stage the final plan ended up not needing (e.g. a pruned
+    // broadcast side of the dedup probe) can still be reading the clone
+    // when the delete lands, aborting itself with a benign-but-alarming
+    // FILE_NOT_EXIST in the log (observed in the r19 sf100 run).
+    spark.sparkContext.cancelAllJobs()
     try ArtifactStore.fs(scratch).delete(new org.apache.hadoop.fs.Path(scratch), true)
     catch { case _: Throwable => }
     val line = s"""{"metric":"absorb_scale","sf":"$sfDir","every":$every,${parts.mkString(",")}}"""
