@@ -174,6 +174,45 @@ object AbsorbScale {
     j("ivf_absorb_spill_mb", ivfBytes.spill / 1048576.0)
     j("ivf_probe_equiv_sec", tProbe)
 
+    // ---- maintenance leg: Maintain compacts the accreted postings ----
+    // (round 19) absorb four MORE small batches so the assignments dir
+    // carries a realistic file accretion (each absorb appends one file
+    // set), then run the same graft.Maintain entry an operator's cron
+    // would — records the compaction wall and the file-count collapse,
+    // and re-proves probe equivalence through the compacted index.
+    if (sys.env.get("SPARK_GRAFT_ABSORB_MAINTAIN").contains("1")) {
+      // pre-stamp clones (see the rebuild leg): Maintain keys its
+      // ANN-root detection on the design-point stamp, so give the
+      // clone the stamp a post-r17 build would carry
+      if (Vectors.readAnnMeta(ivfDir).isEmpty)
+        Vectors.writeAnnMeta(ivfDir, existingRows,
+          graft.operators.AnnGeometry.ivfK(existingRows), rk)
+      (1 to 4).foreach { i =>
+        val bi = batch.filter($"vec_id" % 4 === i % 4)
+          .select(($"vec_id" + (4 + i) * idShift).as("vec_id"), $"embedding")
+        Vectors.absorbIndex(ivfDir, bi, "vec_id", "embedding", rk)
+      }
+      val fs = ArtifactStore.fs(ivfDir)
+      def pqFiles() = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$ivfDir/assignments"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val filesBefore = pqFiles()
+      val (rep, tMaint) = timed(Maintain.maintainRoot(spark, ivfDir))
+      require(rep.kind == "ann-index",
+        s"Maintain did not recognize the IVF root: $rep")
+      val (found3, tProbe3) = timed {
+        Vectors.ivfSearchIndexed(ivfDir, vAll, "vec_id", "embedding",
+            qs, "qid", "qe", nprobe = 2, k = 3)
+          .filter($"cand_id" === $"qid" - idShift).count()
+      }
+      require(found3 == nQueries,
+        s"post-compaction probe equivalence failed: $found3 of $nQueries")
+      j("ivf_maint_files_before", filesBefore.toDouble)
+      j("ivf_maint_files_after", pqFiles().toDouble)
+      j("ivf_maint_sec", tMaint)
+      j("ivf_maint_probe_equiv_sec", tProbe3)
+    }
+
     // ---- terminal path: gate trip → rebuild runbook (VERDICT r18 #3) --
     if (sys.env.get("SPARK_GRAFT_ABSORB_REBUILD").contains("1")) {
       // the clone may be a PRE-STAMP artifact (BuildOnce reuses any
