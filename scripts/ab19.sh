@@ -17,7 +17,17 @@ WT=/tmp/wt_r18
 if [ ! -d "$WT" ]; then
   git worktree add "$WT" "$R18" || exit 1
 fi
+# a surviving worktree from an earlier experiment may sit on a
+# different commit than the label claims (r19 review) — verify, and
+# recompile BOTH sides so neither classpath ships stale bytecode
+WT_HEAD=$(git -C "$WT" rev-parse HEAD)
+WANT=$(git rev-parse "$R18")
+if [ "$WT_HEAD" != "$WANT" ]; then
+  echo "worktree at $WT_HEAD, expected $WANT — refusing to mislabel legs" >> "$OUT/ab.log"
+  exit 1
+fi
 ( cd "$WT" && sbt -batch compile ) >> "$OUT/ab.log" 2>&1 || { echo "r18 compile failed" >> "$OUT/ab.log"; exit 1; }
+( cd /root/repo && sbt -batch compile ) >> "$OUT/ab.log" 2>&1 || { echo "r19 compile failed" >> "$OUT/ab.log"; exit 1; }
 rm -rf /tmp/cls_ab_r18 && cp -a "$WT/target/scala-2.13/classes" /tmp/cls_ab_r18
 rm -rf /tmp/cls_ab_r19 && cp -a /root/repo/target/scala-2.13/classes /tmp/cls_ab_r19
 

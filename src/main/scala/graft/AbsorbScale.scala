@@ -90,7 +90,16 @@ object AbsorbScale {
     val n = if (doVec)
       graft.operators.AnnGeometry.corpusRows(spark, s"$sfDir/embeddings.parquet")
     else 0L
-    val idShift = math.max(n, 1L << 32)
+    // idShift must clear every REAL id — the row count does NOT (a
+    // sparse corpus can contain both x and x + count, r19 review), so
+    // derive it from the max id of each active table, floored at 2^32
+    val maxVecId = if (doVec)
+      Tables.embeddings(spark, sfDir).agg(max($"vec_id")).first().getLong(0)
+    else 0L
+    val maxDocId = if (doDocs)
+      Tables.documents(spark, sfDir).agg(max($"doc_id")).first().getLong(0)
+    else 0L
+    val idShift = math.max(1L << 32, math.max(maxVecId, maxDocId) + 1)
 
     // ---- vector index (IVF) leg --------------------------------------
     if (doVec) {
@@ -174,23 +183,39 @@ object AbsorbScale {
     j("ivf_absorb_spill_mb", ivfBytes.spill / 1048576.0)
     j("ivf_probe_equiv_sec", tProbe)
 
+    val wantsMaint = sys.env.get("SPARK_GRAFT_ABSORB_MAINTAIN").contains("1")
+    val wantsRebuild = sys.env.get("SPARK_GRAFT_ABSORB_REBUILD").contains("1")
+    // pre-stamp clones: the maintenance and terminal legs both key on
+    // the design-point stamp (Maintain's ANN-root detection; the
+    // staleness gate), but BuildOnce reuses any committed index whose
+    // source+algo stamp matches and pre-r17 builds carry no meta — the
+    // sf0.01 standing artifact is one. Give the clone the stamp a
+    // post-r17 build would have recorded for this corpus (hoisted once
+    // for both legs, r19 review).
+    if ((wantsMaint || wantsRebuild) && Vectors.readAnnMeta(ivfDir).isEmpty)
+      Vectors.writeAnnMeta(ivfDir, existingRows,
+        graft.operators.AnnGeometry.ivfK(existingRows), rk)
+    // frames the maintenance leg absorbed — the terminal leg's rebuild
+    // corpus must include them or the rebuilt index silently drops
+    // vectors this run just proved findable (r19 review)
+    var maintBatches: Seq[DataFrame] = Nil
+
     // ---- maintenance leg: Maintain compacts the accreted postings ----
     // (round 19) absorb four MORE small batches so the assignments dir
     // carries a realistic file accretion (each absorb appends one file
     // set), then run the same graft.Maintain entry an operator's cron
     // would — records the compaction wall and the file-count collapse,
     // and re-proves probe equivalence through the compacted index.
-    if (sys.env.get("SPARK_GRAFT_ABSORB_MAINTAIN").contains("1")) {
-      // pre-stamp clones (see the rebuild leg): Maintain keys its
-      // ANN-root detection on the design-point stamp, so give the
-      // clone the stamp a post-r17 build would carry
-      if (Vectors.readAnnMeta(ivfDir).isEmpty)
-        Vectors.writeAnnMeta(ivfDir, existingRows,
-          graft.operators.AnnGeometry.ivfK(existingRows), rk)
+    if (wantsMaint) {
       (1 to 4).foreach { i =>
-        val bi = batch.filter($"vec_id" % 4 === i % 4)
+        // quarter the batch by HASH, not by raw id modulus: batch ids
+        // are multiples of `every` (plus idShift), so `% 4` residues
+        // collapse to {0, 2} at any even `every` and two of the four
+        // "batches" were empty appends (r19 review)
+        val bi = batch.filter(pmod(hash($"vec_id"), lit(4)) === i % 4)
           .select(($"vec_id" + (4 + i) * idShift).as("vec_id"), $"embedding")
         Vectors.absorbIndex(ivfDir, bi, "vec_id", "embedding", rk)
+        maintBatches :+= bi
       }
       val fs = ArtifactStore.fs(ivfDir)
       def pqFiles() = fs.listStatus(
@@ -214,16 +239,7 @@ object AbsorbScale {
     }
 
     // ---- terminal path: gate trip → rebuild runbook (VERDICT r18 #3) --
-    if (sys.env.get("SPARK_GRAFT_ABSORB_REBUILD").contains("1")) {
-      // the clone may be a PRE-STAMP artifact (BuildOnce reuses any
-      // committed index whose source+algo stamp matches, and pre-r17
-      // builds carry no design-point meta — the sf0.01 standing
-      // artifact is one); the terminal path needs the gate, so stamp
-      // the clone at its observed design point — exactly what a
-      // writeIndex rebuild would have recorded for this corpus
-      if (Vectors.readAnnMeta(ivfDir).isEmpty)
-        Vectors.writeAnnMeta(ivfDir, existingRows,
-          graft.operators.AnnGeometry.ivfK(existingRows), rk)
+    if (wantsRebuild) {
       // grow the absorbed clone past 2× its design point in ONE batch: a
       // full-corpus copy under fresh ids (existing = n + n/every, so +n
       // crosses 2n); the gate must refuse it atomically — nothing lands.
@@ -242,9 +258,13 @@ object AbsorbScale {
       require(ArtifactStore.parquetRowCount(s"$ivfDir/assignments") == preTrip,
         "refused absorb leaked rows into the assignments")
       // the runbook: re-writeIndex over the grown corpus at its NEW
-      // design point — k ≈ √n2, Lloyd on a ~64·k sample, √k routing
-      val full = vAll.union(grow)
-      val n2 = existingRows + batchN + growN
+      // design point — k ≈ √n2, Lloyd on a ~64·k sample, √k routing.
+      // The corpus includes whatever the maintenance leg absorbed (the
+      // four hash-quarters of `batch` partition it exactly, so their
+      // total is batchN)
+      val full = maintBatches.foldLeft(vAll.union(grow))(_ union _)
+      val n2 = existingRows + batchN + growN +
+        (if (maintBatches.nonEmpty) batchN else 0L)
       val k2 = graft.operators.AnnGeometry.ivfK(n2)
       val sp2 = graft.operators.AnnGeometry.lloydSamplePeriod(n2, k2)
       val ck2 = graft.operators.AnnGeometry.ivfCoarseK(k2)

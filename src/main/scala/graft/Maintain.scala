@@ -46,7 +46,8 @@ import graft.sources.{ArtifactStore, DedupIndex, Tables}
 object Maintain {
 
   /** What maintenance did to one root (`filesBefore`/`filesAfter` are
-    * meaningful for `kind = "dataset"` roots only). */
+    * meaningful for the file-compacting kinds, `"dataset"` and
+    * `"ann-index"`; version counts for the lineage kinds). */
   final case class Report(root: String, kind: String,
       compacted: Boolean, bloomRebuilt: Boolean,
       versionsBefore: Int, versionsAfter: Int,

@@ -209,8 +209,19 @@ object Vectors {
     // mid-assignments leaves a visibly torn assignments dir under an
     // already-correct stamp — "visibly" made mechanical in round 19:
     // the absorb gate REFUSES a stamped index whose assignments dir
-    // lacks its _SUCCESS job-commit marker, ADVICE r18)
+    // lacks its _SUCCESS job-commit marker, ADVICE r18).
+    // The marker is RETRACTED before anything is overwritten (r19
+    // review): centroids land first, so a crash between the centroids
+    // overwrite and the stamp would otherwise leave NEW centroids
+    // under the OLD stamp and OLD assignments with their _SUCCESS
+    // intact — a mixed build the fence would accept. Deleting the
+    // marker up front makes assignments/_SUCCESS the single commit
+    // marker for the WHOLE rebuild: absent through every intermediate
+    // state, restored only by the final assignments job commit.
     val builtN = v.count()
+    val f = graft.sources.ArtifactStore.fs(path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")
+    if (f.exists(marker)) f.delete(marker, false)
     buildCentroids(v, idCol, vecCol, k, samplePeriod)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cent = v.sparkSession.read.parquet(s"$path/centroids")
@@ -840,8 +851,14 @@ object Vectors {
         // collision re-emitted it (VectorsSpec pins the repro)
         val hamming = xu =!= 0 && xu.isin(nonzero: _*) &&
           nV <= cap && (repU || (repV && nU <= cap))
+        // the mask-0 probed channel only EXISTS when 0 ∈ masks (the
+        // aKeys m0 branch is guarded on it), so its replay must be too
+        // (r19 review — the single-orientation branch gets this via
+        // xa.isin(masks)); the star channel is mask-independent
+        val probedM0 =
+          if (masks.contains(0L)) xu === 0 && nV <= cap else lit(false)
         coalesce(
-          (xu === 0 && nV <= cap) || hamming || (xu === 0 && nV > cap && repU),
+          probedM0 || hamming || (xu === 0 && nV > cap && repU),
           lit(false))
       }
     val firstBand = (0 until bands - 1)

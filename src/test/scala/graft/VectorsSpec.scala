@@ -496,6 +496,28 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("bandPairsCapped without mask 0: replay does not hallucinate the absent mask-0 channel (r19 review)") {
+    // masks = {1, 2} only — no in-bucket pairing anywhere. Two vectors
+    // share a small bucket at band 0 (NOT emitted: no mask-0 probes)
+    // and collide via mask 1 at band 1 (the only real emission). A
+    // replay that treats xu == 0 at band 0 as "already emitted" would
+    // silence band 1 and drop the pair entirely.
+    val keys = Seq((1L, 0, 3L), (2L, 0, 3L), (1L, 1, 4L), (2L, 1, 5L))
+      .toDF("vec_id", "band", "band_key")
+    val masks = Seq(1L, 2L)
+    for (repOnly <- Seq(false, true); both <- Seq(false, true)) {
+      val got = Vectors.bandPairsCapped(keys, masks, cap = 8L,
+          repOnlyProbes = repOnly, repBothOrientations = both)
+        .as[(Long, Long)].collect()
+      val want = Vectors.bandPairsCappedDistinct(keys, masks, cap = 8L,
+        repOnlyProbes = repOnly, repBothOrientations = both)
+        .as[(Long, Long)].collect().toSet
+      assert(got.toSet == want && got.length == got.toSet.size,
+        s"repOnly=$repOnly both=$both: got=${got.toSeq} want=$want")
+      assert(want == Set((1L, 2L)), s"fixture expectation drifted: $want")
+    }
+  }
+
   test("bandPairsCapped both-orientation replay: over-cap-bucket rep forward-probing a small bucket, re-colliding later, emits once (ADVICE r18)") {
     // band 0: bucket key5 = {1,2,3} (n=3 > cap=2, rep 1), key4 = {10}
     // (n=1). Rep 1 forward-probes mask 1 into 10's small bucket →
