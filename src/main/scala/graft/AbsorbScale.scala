@@ -81,6 +81,13 @@ object AbsorbScale {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // production bucket sizing for the doc-index leg (round 20, the
+    // 50 M-doc create): DedupIndex scaladoc's "corpus/target-file-size"
+    // rule, surfaced as the env knob the other geometry levers use. At
+    // the default 8 the fourth decade's ~30 GB band table is ~3.7 GB
+    // per bucket FILE — far past any sane file target.
+    sys.env.get("SPARK_GRAFT_DEDUP_BUCKETS").foreach(n =>
+      spark.conf.set("spark.graft.dedup.buckets", n))
 
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_absorb_" +
       s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
@@ -131,7 +138,7 @@ object AbsorbScale {
     // catalog build stamped into its BuildOnce token, so the absorb
     // still assigns the way the index was built
     val rk = Vectors.readAnnMeta(ivfDir)
-      .map(m => graft.operators.AnnGeometry.ivfCoarseK(m._2))
+      .map(m => graft.operators.AnnGeometry.ivfCoarseK(m.k))
       .getOrElse(graft.operators.AnnGeometry.ivfCoarseK(
         graft.operators.AnnGeometry.ivfK(n)))
     val profile = sys.env.get("SPARK_GRAFT_ABSORB_PROFILE").contains("1")
@@ -249,10 +256,15 @@ object AbsorbScale {
       val grow = emb.select(($"vec_id" + 3 * idShift).as("vec_id"), $"embedding")
       val growN = grow.count()
       val preTrip = ArtifactStore.parquetRowCount(s"$ivfDir/assignments")
+      // the TYPED staleness refusal (ADVICE r19: a bare
+      // IllegalStateException catch here also matched the torn-rebuild
+      // fence, so a wrong-reason refusal — e.g. a missing _SUCCESS on
+      // the clone — would have been recorded as a successful gate trip
+      // and the leg would have rebuilt over a possibly-torn clone)
       val (refused, tTrip) = timed {
         try {
           Vectors.absorbIndex(ivfDir, grow, "vec_id", "embedding", rk); false
-        } catch { case _: IllegalStateException => true }
+        } catch { case _: graft.operators.StaleIndexException => true }
       }
       require(refused, "staleness gate did not refuse at 2x the design point")
       require(ArtifactStore.parquetRowCount(s"$ivfDir/assignments") == preTrip,
@@ -268,10 +280,30 @@ object AbsorbScale {
       val k2 = graft.operators.AnnGeometry.ivfK(n2)
       val sp2 = graft.operators.AnnGeometry.lloydSamplePeriod(n2, k2)
       val ck2 = graft.operators.AnnGeometry.ivfCoarseK(k2)
+      // two executors for the same runbook: the direct writeIndex call
+      // this leg measured through round 19, or (SPARK_GRAFT_ABSORB_
+      // REBUILD_VIA=maintain, round 20) the PRODUCTION entry — the same
+      // graft.Maintain walk an operator's cron runs, armed with the
+      // standing corpus — which detects the staleness, takes the root
+      // claim, rebuilds at the same re-derived design point, and gates
+      // assignment consistency + a search recall floor BEFORE releasing
+      // (Vectors.rebuildIndex). Via-maintain walls include that
+      // in-claim verification; the record carries the split.
+      val viaMaintain =
+        sys.env.get("SPARK_GRAFT_ABSORB_REBUILD_VIA").contains("maintain")
+      var maintStats: Option[Maintain.Report] = None
       val ((_, rbBytes), tRebuild) = timed(
         graft.plans.PlanMetrics.measureTasks(spark) {
-          Vectors.writeIndex(full, "vec_id", "embedding", k2, ivfDir,
-            samplePeriod = sp2, routeCoarseK = ck2)
+          if (viaMaintain) {
+            val rep = Maintain.maintainRoot(spark, ivfDir,
+              rebuildCorpus = Some(full))
+            require(rep.rebuilt && rep.rebuiltN == n2 && rep.rebuiltK == k2,
+              s"Maintain rebuild diverged from the design-point " +
+                s"arithmetic: $rep (expected n=$n2 k=$k2)")
+            maintStats = Some(rep)
+          } else
+            Vectors.writeIndex(full, "vec_id", "embedding", k2, ivfDir,
+              samplePeriod = sp2, routeCoarseK = ck2)
         })
       // post-rebuild probe equivalence, exact BY CONSTRUCTION: an
       // identical embedding routes — through the SAME two-level
@@ -302,6 +334,14 @@ object AbsorbScale {
             qs, "qid", "qe", nprobe = 2, k = 3)
           .filter($"cand_id" === $"qid" - idShift).count()
       }
+      // search-path recall FLOOR (VERDICT r19 #2: the hit count was
+      // recorded but not floored, so a rebuild whose search-path recall
+      // collapsed would still have passed the consistency gate). Same
+      // 0.6 floor Vectors.rebuildIndex gates in-claim — the 4/5
+      // toy-geometry case passes, a routing collapse to 0–2/5 cannot.
+      require(found2 >= math.ceil(0.6 * nQueries).toLong,
+        s"post-rebuild search recall below floor: $found2 of $nQueries " +
+          "absorbed twins findable at nprobe=2")
       // and the rebuilt index absorbs again at its new design point
       val reabsorb = emb.limit(1000)
         .select(($"vec_id" + 4 * idShift).as("vec_id"), $"embedding")
@@ -311,6 +351,11 @@ object AbsorbScale {
       j("ivf_rebuild_n", n2.toDouble)
       j("ivf_rebuild_k", k2.toDouble)
       j("ivf_rebuild_sec", tRebuild)
+      maintStats.foreach { rep =>
+        parts += """"ivf_rebuild_via_maintain":true"""
+        j("ivf_rebuild_maintain_build_sec", rep.rebuildSec)
+        j("ivf_rebuild_maintain_verify_sec", rep.verifySec)
+      }
       j("ivf_rebuild_shuffle_mb", rbBytes.shuffleWrite / 1048576.0)
       j("ivf_rebuild_spill_mb", rbBytes.spill / 1048576.0)
       j("ivf_rebuild_probe_equiv_sec", tProbe2)

@@ -38,26 +38,60 @@ import graft.sources.{ArtifactStore, DedupIndex, Tables}
   * SPARK_GRAFT_STALE_MS (staleness horizon for uncommitted stages and
   * crashed claims, default 10 min — 0 in tests),
   * SPARK_GRAFT_COMPACT_TARGET / SPARK_GRAFT_COMPACT_MIN (dataset
-  * compaction geometry in bytes, defaults 128 MiB / 32 MiB). Output:
-  * one JSON line
-  * per root plus a closing summary line, same stdout discipline as
-  * [[Bench]].
+  * compaction geometry in bytes, defaults 128 MiB / 32 MiB).
+  *
+  * SPARK_GRAFT_REBUILD_CORPUS (round 20, VERDICT r19 #1 — the
+  * `--rebuild-stale` leg): a parquet path holding the STANDING corpus
+  * of any ANN index roots in the walk (id/vector column names via
+  * SPARK_GRAFT_REBUILD_ID / SPARK_GRAFT_REBUILD_VEC, defaults
+  * `vec_id`/`embedding`; recall floor via SPARK_GRAFT_REBUILD_FLOOR,
+  * default 0.6). With it set, an ANN root whose corpus has outgrown 2×
+  * its stamped design point — the state where every absorb throws
+  * [[graft.operators.StaleIndexException]] — is REBUILT at its
+  * re-derived design point under the root claim, with
+  * assignment-consistency and search-recall gates before the claim
+  * releases, instead of compacted; absorbs then resume against the
+  * fresh stamp. Without it, stale ANN roots keep compacting and the
+  * cron's absorb keeps refusing — the pre-r20 behavior. Output: one
+  * JSON line per root plus a closing summary line, same stdout
+  * discipline as [[Bench]].
   */
 object Maintain {
 
   /** What maintenance did to one root (`filesBefore`/`filesAfter` are
     * meaningful for the file-compacting kinds, `"dataset"` and
-    * `"ann-index"`; version counts for the lineage kinds). */
+    * `"ann-index"`; version counts for the lineage kinds; the
+    * `rebuilt*` fields for an ann-index root whose staleness trip was
+    * answered by a [[graft.operators.Vectors.rebuildIndex]]). */
   final case class Report(root: String, kind: String,
       compacted: Boolean, bloomRebuilt: Boolean,
       versionsBefore: Int, versionsAfter: Int,
-      filesBefore: Int = 0, filesAfter: Int = 0)
+      filesBefore: Int = 0, filesAfter: Int = 0,
+      rebuilt: Boolean = false, rebuiltN: Long = 0L, rebuiltK: Int = 0,
+      rebuildSec: Double = 0.0, verifySec: Double = 0.0)
 
-  /** Maintain one root (library form — MaintainSpec drives this). */
+  /** Maintain one root (library form — MaintainSpec drives this).
+    *
+    * `rebuildCorpus` (round 20, VERDICT r19 #1) arms the TERMINAL leg
+    * of the ANN lifecycle: when an ann-index root's standing corpus has
+    * outgrown [[Vectors.AbsorbStaleFactor]]× the stamped design point —
+    * the state in which every further [[Vectors.absorbIndex]] throws
+    * [[graft.operators.StaleIndexException]] — the walker rebuilds the
+    * index over that corpus at its re-derived design point
+    * ([[Vectors.rebuildIndex]]: root claim, re-`writeIndex`,
+    * assignment-consistency + recall-floor gates before the claim
+    * releases) instead of compacting it. Not-yet-stale ANN roots
+    * compact as before; the corpus frame is read only for its count
+    * unless the rebuild actually runs. Opt-in by construction: no
+    * corpus, no rebuild — a cron without the corpus path keeps today's
+    * compact-only behavior. */
   def maintainRoot(s: SparkSession, root: String,
       keep: Int = 1, staleMs: Long = 10 * 60 * 1000L,
       compactTargetBytes: Long = 128L << 20,
-      compactMinBytes: Long = 32L << 20): Report = {
+      compactMinBytes: Long = 32L << 20,
+      rebuildCorpus: Option[org.apache.spark.sql.DataFrame] = None,
+      rebuildIdCol: String = "vec_id", rebuildVecCol: String = "embedding",
+      rebuildRecallFloor: Double = 0.6): Report = {
     val f = ArtifactStore.fs(root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val before = ArtifactStore.versions(f, root).length
@@ -66,11 +100,17 @@ object Maintain {
     // append one file set to `assignments` per batch with NO file-count
     // bound (VERDICT r18 #3 — the one lifecycle leg the doc index had
     // and the vector index didn't), so maintenance here = small-file
-    // compaction of the posting lists, under the same root claim every
-    // flat-dataset mutator takes. Centroids are write-once per rebuild
-    // (never accrete) and the meta stamp is untouched; `_SUCCESS`
-    // survives compaction (only .parquet files move), so the absorb
-    // gate's torn-rebuild fence stays satisfied.
+    // compaction of the posting lists. Since round 20 every CLAIM-TAKING
+    // mutator of an ANN root — absorbIndex, this compaction, a
+    // rebuildIndex — serializes on the index-root claim (ADVICE r19:
+    // absorbIndex used to append unclaimed, so "under the same root
+    // claim" was only true of the compactor); plain READERS still never
+    // block and may transiently observe duplicated compacted rows
+    // during the swap window, the caveat every non-transactional table
+    // format carries. Centroids are write-once per rebuild (never
+    // accrete) and the meta stamp is untouched; `_SUCCESS` survives
+    // compaction (only .parquet files move), so the absorb gate's
+    // torn-rebuild fence stays satisfied.
     val isAnnIndex = f.exists(
       new org.apache.hadoop.fs.Path(root, "_graft_ann_meta.json"))
     // flat dataset: parquet files directly under the root, no lineage
@@ -79,10 +119,40 @@ object Maintain {
       f.exists(rootPath) && f.listStatus(rootPath)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (isAnnIndex) {
-      val cs = Writers.compactSmallFiles(s, s"$root/assignments",
-        targetBytes = compactTargetBytes, minBytes = compactMinBytes)
-      Report(root, "ann-index", compacted = cs.filesCompacted > 0,
-        bloomRebuilt = false, 0, 0, cs.filesBefore, cs.filesAfter)
+      val meta = graft.operators.Vectors.readAnnMeta(root)
+      // stale past the design point AND armed with a corpus → rebuild
+      // (compaction of postings the rebuild is about to overwrite would
+      // be wasted work). Same threshold arithmetic as the absorb gate,
+      // on the STANDING corpus the operator supplies — the corpus is
+      // what outgrew the stamp; the landed assignments never can (the
+      // gate refuses the absorb that would cross).
+      val stale = for {
+        c <- rebuildCorpus; m <- meta
+        n2 = c.count()
+        if n2 > math.max(
+          graft.operators.Vectors.AbsorbStaleFactor * m.builtN,
+          graft.operators.Vectors.absorbStaleFloor(s))
+      } yield (c, n2)
+      stale match {
+        case Some((c, n2)) =>
+          val st = graft.operators.Vectors.rebuildIndex(root, c,
+            rebuildIdCol, rebuildVecCol, knownN = n2,
+            recallFloor = rebuildRecallFloor)
+          Report(root, "ann-index", compacted = false, bloomRebuilt = false,
+            0, 0, 0, 0, rebuilt = true, rebuiltN = st.n, rebuiltK = st.k,
+            rebuildSec = st.rebuildSec, verifySec = st.verifySec)
+        case None =>
+          // torn-rebuild fence (ADVICE r19): compacting a stamp-
+          // published-but-torn assignments dir would churn garbage —
+          // refuse loudly, same contract as absorbs and probes
+          graft.operators.Vectors.requireCommittedAssignments(s, root, meta)
+          ArtifactStore.withRootClaim(f, root) {
+            val cs = Writers.compactSmallFiles(s, s"$root/assignments",
+              targetBytes = compactTargetBytes, minBytes = compactMinBytes)
+            Report(root, "ann-index", compacted = cs.filesCompacted > 0,
+              bloomRebuilt = false, 0, 0, cs.filesBefore, cs.filesAfter)
+          }
+      }
     } else if (isFlatDataset) {
       val cs = Writers.compactSmallFiles(s, root,
         targetBytes = compactTargetBytes, minBytes = compactMinBytes)
@@ -126,12 +196,24 @@ object Maintain {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    val rebuildCorpus = sys.env.get("SPARK_GRAFT_REBUILD_CORPUS")
+      .map(p => spark.read.parquet(p))
+    val rebuildId = sys.env.getOrElse("SPARK_GRAFT_REBUILD_ID", "vec_id")
+    val rebuildVec = sys.env.getOrElse("SPARK_GRAFT_REBUILD_VEC", "embedding")
+    val rebuildFloor =
+      sys.env.getOrElse("SPARK_GRAFT_REBUILD_FLOOR", "0.6").toDouble
     val reports = args.toSeq.map { root =>
-      val r = maintainRoot(spark, root, keep, staleMs, cmpTarget, cmpMin)
-      val tail = if (r.kind == "dataset" || r.kind == "ann-index")
-        s""""files":{"before":${r.filesBefore},"after":${r.filesAfter}}}"""
-      else
-        s""""versions":{"before":${r.versionsBefore},"after":${r.versionsAfter}}}"""
+      val r = maintainRoot(spark, root, keep, staleMs, cmpTarget, cmpMin,
+        rebuildCorpus, rebuildId, rebuildVec, rebuildFloor)
+      val tail =
+        if (r.rebuilt)
+          s""""rebuilt":true,"rebuilt_n":${r.rebuiltN},"rebuilt_k":${r.rebuiltK},""" +
+            s""""rebuild_sec":${math.rint(r.rebuildSec * 1000) / 1000},""" +
+            s""""verify_sec":${math.rint(r.verifySec * 1000) / 1000}}"""
+        else if (r.kind == "dataset" || r.kind == "ann-index")
+          s""""files":{"before":${r.filesBefore},"after":${r.filesAfter}}}"""
+        else
+          s""""versions":{"before":${r.versionsBefore},"after":${r.versionsAfter}}}"""
       println(s"""{"root":${jstr(r.root)},"kind":"${r.kind}","compacted":${r.compacted},""" +
         s""""bloom_rebuilt":${r.bloomRebuilt},""" + tail)
       r

