@@ -94,6 +94,40 @@ object Components {
       val out = try df.localCheckpoint() finally sc.setJobDescription(null)
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
+    // label-frame checkpoint with the fixpoint sums FUSED into the
+    // materializing action (round 20): the sums ride an `observe` node
+    // on the SAME pass that localCheckpoint already runs, so a round
+    // costs its two materializations and nothing else — the old
+    // separate `labelSum` action was one extra job per round (plus one
+    // for the initial labels), pure driver-latency at every scale and
+    // ~15% of dup_clusters' 47-job budget at sf0.1. `sum(id)` rides
+    // along because label frames always carry each node exactly once:
+    // round 0 reads it as "what the sum WAS before this propagate"
+    // (identity labels), which replaces the old labelSum0 action too.
+    // Both sums are exact decimal(38,0) — see the wrap-proof scaladoc.
+    def checkpointSummed(desc: String, df: DataFrame)
+        : (DataFrame, Set[Int], java.math.BigDecimal, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (out, ids) = checkpointTracked(desc,
+        df.observe(obs,
+          sum(col("comp").cast(dec)).as("_comp_sum"),
+          sum(col("id").cast(dec)).as("_id_sum")))
+      // the eager localCheckpoint above has already driven the plan, so
+      // the observed row is available; the await inside `get` returns
+      // immediately (bounded wait as a listener-race guard)
+      val m = scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get)(
+          scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(30, "s"))
+      def d(v: Any): java.math.BigDecimal = v match {
+        case null => java.math.BigDecimal.ZERO
+        case b: java.math.BigDecimal => b
+        case b: scala.math.BigDecimal => b.bigDecimal
+        case x => new java.math.BigDecimal(x.toString)
+      }
+      (out, ids, d(m.getOrElse("_comp_sum", null)), d(m.getOrElse("_id_sum", null)))
+    }
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // The caller's edge frame is materialized FIRST — untouched, before
@@ -137,21 +171,19 @@ object Components {
       e.union(e.select(col("v").as("u"), col("u").as("v")))
         .union(nodes.select(col("n").as("u"), col("n").as("v")))
         .distinct())
-
-    var (labels, labelIds) = checkpointTracked("cc:labels0",
-      nodes.select(col("n").as("id"), col("n").as("comp")))
-    // both consumers of the raw edges (sym, labels) are materialized —
-    // free the caller's blocks now
+    // sym is the loop's ONLY input — the initial identity labeling is
+    // not materialized at all (round 20): round 0's propagate over
+    // identity labels algebraically needs no label join
+    // (min over comp=id of u∈N(v)∪{v} is just groupBy(v).min(u) of the
+    // self-looped sym), so the old `cc:labels0` checkpoint and its
+    // separate `cc:labelSum0` action are gone — their information rides
+    // round 0's fused observe (`sum(id)` of a label frame IS the
+    // identity-label sum).
     drop(rawIds)
-    // exact (wrap-proof) label sum — see scaladoc on fixpoint detection
-    def labelSum(desc: String, l: DataFrame): java.math.BigDecimal = {
-      sc.setJobDescription(desc)
-      try Option(l.agg(sum(col("comp")
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-      finally sc.setJobDescription(null)
-    }
-    var prevSum = labelSum("cc:labelSum0", labels)
+
+    var labels: DataFrame = null
+    var labelIds: Set[Int] = Set.empty
+    var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -161,27 +193,52 @@ object Components {
       // the join side sits on a dedicated shuffle stage — fused onto the
       // aggregate output, the giant component's hot label key would be
       // read whole by one task (ScaleTechniquesSpec pins the split)
-      val (propagated, propIds) = checkpointTracked(s"cc:round$round:propagate",
-        sym.join(labels, sym("u") === labels("id"))
-          .select(sym("v").as("id"), labels("comp"))
-          .groupBy("id").agg(min("comp").as("comp")))
-      // pointer jump: comp ← comp's own label (comp values are node ids,
-      // and every node has a label row, so the inner join is total)
-      val (jumped, jumpIds) = checkpointTracked(s"cc:round$round:jump",
-        propagated.as("a")
-          .join(propagated.as("b"), col("a.comp") === col("b.id"))
-          .select(col("a.id").as("id"), col("b.comp").as("comp")))
-      // fixpoint = the exact label sum stopped decreasing (labels are
-      // monotone non-increasing; decimal(38,0) cannot wrap — scaladoc)
-      val s = labelSum(s"cc:round$round:labelSum", jumped)
-      // jumped is materialized (eager checkpoint) — this round's inputs
-      // can never be read again; free them now, not at ContextCleaner's
-      // leisure
-      drop(labelIds); drop(propIds)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = jumped
-      labelIds = jumpIds
+      val (propagated, propIds, propSum, propIdSum) =
+        checkpointSummed(s"cc:round$round:propagate",
+          if (round == 0)
+            sym.select(col("v").as("id"), col("u").as("comp"))
+              .groupBy("id").agg(min("comp").as("comp"))
+          else
+            sym.join(labels, sym("u") === labels("id"))
+              .select(sym("v").as("id"), labels("comp"))
+              .groupBy("id").agg(min("comp").as("comp")))
+      // fixpoint = the exact label sum stopped decreasing under a
+      // propagate step (labels are monotone non-increasing per node and
+      // decimal(38,0) cannot wrap — scaladoc). An unchanged PROPAGATE is
+      // the convergence condition itself (every node already holds the
+      // min over its closed neighborhood ⇒ labels are constant per
+      // component ⇒ = the component min), so the confirming round skips
+      // the pointer jump entirely — the old jumped-sum check paid one
+      // extra jump join + labelSum action for the same information.
+      // Round 0's baseline is the identity-label sum, observed on the
+      // same pass (propagate emits every node exactly once).
+      val baseline = if (round == 0) propIdSum else prevSum
+      if (propSum.compareTo(baseline) == 0) {
+        // propagate was a no-op ⇒ `propagated` row-equals `labels` (or
+        // the identity labeling at round 0, the no-edges case); return
+        // it and free the superseded previous round
+        drop(labelIds)
+        labels = propagated
+        labelIds = propIds
+        converged = true
+      } else {
+        // pointer jump: comp ← comp's own label (comp values are node
+        // ids, and every node has a label row, so the inner join is
+        // total). The jump's sum seeds the next round's baseline — also
+        // fused into its checkpoint.
+        val (jumped, jumpIds, jumpSum, _) =
+          checkpointSummed(s"cc:round$round:jump",
+            propagated.as("a")
+              .join(propagated.as("b"), col("a.comp") === col("b.id"))
+              .select(col("a.id").as("id"), col("b.comp").as("comp")))
+        // jumped is materialized (eager checkpoint) — this round's inputs
+        // can never be read again; free them now, not at ContextCleaner's
+        // leisure
+        drop(labelIds); drop(propIds)
+        prevSum = jumpSum
+        labels = jumped
+        labelIds = jumpIds
+      }
       round += 1
     }
     drop(symIds)

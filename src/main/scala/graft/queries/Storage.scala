@@ -20,9 +20,18 @@ object Storage {
     import s.implicits._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
+    // repartition by the partition columns before the partitioned write
+    // (guide §6 / §2.4): without it every input task opens a writer for
+    // every (year,month) it touches — T×84 small files, and at sf0.1 the
+    // single-task input serializes all 84 file writes through one core.
+    // Hash-clustered on the partition key the write runs one task per
+    // populated shuffle partition, each emitting whole directories (one
+    // file per partition at any scale — the layout a 100 TB reader
+    // wants). Values are unchanged; only file layout/parallelism move.
     Tables.orders(s, d)
       .withColumn("year", date_format($"o_orderdate", "yyyy"))
       .withColumn("month", date_format($"o_orderdate", "MM"))
+      .repartition($"year", $"month")
       .write.mode("overwrite").partitionBy("year", "month").parquet(path)
     // partition-value type inference reads year/month back as ints —
     // normalize month to the zero-padded hive string for the oracle

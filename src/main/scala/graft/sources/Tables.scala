@@ -66,7 +66,18 @@ object Tables {
     // (Vectors.withBucketBound / the LSH geometry), not by this knob.
     // Key verified against the Spark 4.1.2 jars (the r17 fake-key
     // lesson: unknown spark.sql.* keys no-op silently).
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1048576")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1048576",
+    // Partition discovery launches a DISTRIBUTED listing job once a read
+    // sees more than this many paths (default 32). Every read of a
+    // hive-partitioned artifact here (the pruned dedup index's ~199
+    // partition dirs, partition_prune's 84 year/month dirs) paid a
+    // ~200-task listing job PER EXECUTION — 0.4 s of scheduler overhead
+    // at sf0.1 (r20 JobProfile: job "Listing leaf files" 199 tasks) for
+    // directories a driver thread stats in milliseconds. 1024 keeps
+    // driver-side listing for catalog-scale partition counts and still
+    // hands genuinely huge layouts (10k+ partitions at 100 TB) to the
+    // distributed path. Key verified against the Spark 4.1.2 jars.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024")
 
   /** One driver table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
