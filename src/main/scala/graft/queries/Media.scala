@@ -72,7 +72,15 @@ object Media {
   val mediaKnn = Q("media_knn", (s, d) => {
     import s.implicits._
     import graft.operators.Vectors
+    // the codec kernel (PNG encode in synthAsset + ImageIO decode) is fed
+    // by ONE 8-byte column: repartition the ID STREAM to the session's
+    // parallelism before the heavy per-row work (guide §8 — move the
+    // lightweight proxy, compute the heavy bytes distributed). The
+    // exchange carries ids only (~40 KB at sf0.1) and unlocks every core
+    // for the codec; on a cluster the same move spreads object decode
+    // across executors instead of inheriting the scan's task layout.
     val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map(Multimodal.synthAsset))
     val feats = Multimodal.decodePixels(assets)
       .filter($"err".isNull)
@@ -204,7 +212,10 @@ object Media {
     * as [[graft.functions.ImageHeader]] models — rows, not exceptions. */
   val mediaPixels = Q("media_pixels", (s, d) => {
     import s.implicits._
+    // same narrow-id repartition as media_knn: the exchange ships ids,
+    // the codec runs at session parallelism (guide §8)
     val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map(Multimodal.synthAsset))
     Multimodal.decodePixels(assets)
       .select($"id".as("doc_id"), $"width", $"height",
