@@ -134,11 +134,12 @@ object Components {
     // this function's own select/filter/distinct is stacked on it — for
     // two reasons, both measured on dup_clusters at sf1000 (per-job
     // attribution: r15m/sf1000_ccfix/dup_clusters_jobs):
-    //  1. it is consumed by TWO separate materializing actions (the
-    //     `sym` checkpoint and the initial `labels` checkpoint), and
-    //     exchange reuse is per-execution — un-checkpointed, the second
-    //     action re-ran the entire verified-pairs pipeline (~137 s /
-    //     12 GB spill) from scratch;
+    //  1. the `sym` checkpoint references it THREE times (both union
+    //     orientations + the node self-loops) — materialized, those are
+    //     three reads of edge-sized blocks; un-checkpointed they are
+    //     three subplan copies of the caller's entire pipeline, whose
+    //     reuse is at the optimizer's mercy (when round-15 measured it
+    //     across two actions, the re-run cost ~137 s / 12 GB spill);
     //  2. the self-loop filter below, if planned in the SAME query as
     //     the caller's pipeline, is pushed down INTO it and splits its
     //     internally-shared candidate frame into two canonical variants
