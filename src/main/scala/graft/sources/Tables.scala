@@ -79,9 +79,26 @@ object Tables {
     // distributed path. Key verified against the Spark 4.1.2 jars.
     "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024")
 
+  // Schema cache, one entry per (JVM, parquet path): every q.run
+  // re-reads the table footers at DataFrame CONSTRUCTION time just to
+  // re-infer a schema that cannot change under a fixed fixture — the
+  // same per-JVM memo contract as AnnGeometry's row-count cache.
+  // Metadata only (never rows/results); a catalog would serve exactly
+  // this. The data read itself still lists and reads files per query.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
   /** One driver table: `dir/name.parquet`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** Test seam: forget cached schemas (a spec that rewrites a fixture
+    * path must not inherit a stale schema). */
+  private[graft] def invalidateSchemas(): Unit = schemaCache.clear()
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
