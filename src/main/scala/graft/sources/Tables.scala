@@ -143,7 +143,7 @@ object Tables {
     * comes from a batch read of the same path (streams can't infer). */
   def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = table(s, dir, name).schema // per-JVM schema cache above
     val p = new org.apache.hadoop.fs.Path(path)
     val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(p).isDirectory
