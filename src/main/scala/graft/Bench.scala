@@ -98,7 +98,11 @@ object Bench {
         }
         val lines = tail.linesIterator.map(_.trim.stripPrefix("[info] ").trim)
           .filter(l => l.startsWith("{") && l.contains("\"metric\""))
-          .toSeq.reverse // last line first: skip the short total-only record
+          // last line first: records through r20 closed with the short
+          // total-only line (no queries map — skipped by the match
+          // below); from r21 the per-query line itself is last. Either
+          // way the newest line WITH a queries map wins.
+          .toSeq.reverse
         lines.iterator.flatMap { l =>
           try {
             val j = JsonMethods.parse(l)
@@ -165,6 +169,36 @@ object Bench {
         }
       }
     } catch { case _: Throwable => None }
+  }
+
+  /** The stdout per-query contract line (extracted for BenchSpec).
+    * See the call site for the round-21 layout rationale: `queries`
+    * sorted ASCENDING by seconds with `value`/`sf` at the line's END
+    * (what survives the driver's head-truncating 2000-char tail capture
+    * is the expensive rows + the headline), and the precision fallback
+    * is MIXED (1 decimal below 10 s, integer above) instead of the old
+    * all-integer floor that blinded PERF_r20's per-query table. */
+  private[graft] def contractLine(results: Seq[(String, Double)],
+      total: Double, recordFile: String, sfDir: String): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def qJsonSorted(fmt: Double => String): String =
+      results.sortBy { case (k, v) => (v, k) }
+        .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
+        .mkString("{", ",", "}")
+    def stdoutLine(fmt: Double => String): String =
+      s"""{"metric":"total","unit":"sec","detail":"$recordFile","queries":${qJsonSorted(
+          fmt)},"value":$total,"sf":"$sfDir"}"""
+    def trim1(v: Double): String = {
+      val r = math.rint(v * 10) / 10
+      if (r == math.rint(r)) r.toLong.toString else r.toString
+    }
+    val two = stdoutLine(v => (math.rint(v * 100) / 100).toString)
+    if (two.length <= 1850) two
+    else stdoutLine(v => if (v < 10) trim1(v) else math.rint(v).toLong.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -453,22 +487,30 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage)
     // ADVICE r06: the stdout line carries NO error strings (errored
     // queries surface as -1 timings here; messages live in
-    // bench_full.json), so its length is bounded by query count alone;
-    // adaptive precision drops to 1-decimal minima if even that would
-    // risk head-truncation in the driver's 2000-char capture
-    def stdoutLine(fmt: Double => String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJsonAt(fmt)},"detail":"$recordFile","sf":"$sfDir"}"""
-    val line = {
-      val two = stdoutLine(v => r2(v).toString)
-      lazy val one = stdoutLine(v => (math.rint(v * 10) / 10).toString)
-      if (two.length <= 1850) two
-      else if (one.length <= 1850) one
-      // terminal fallback: integer seconds WITHOUT the Double ".0" tail
-      // (a Double-typed rint saves nothing — "17.0" is as long as "17.2")
-      // — ~4 chars/row, so even a multi-hundred-row catalog stays inside
-      // the capture window
-      else stdoutLine(v => math.rint(v).toLong.toString)
-    }
+    // bench_full.json), so its length is bounded by query count alone.
+    //
+    // Measurement-bug fix, round 21 (VERDICT r20 next-round #2): the old
+    // terminal fallback degraded the whole map to INTEGER seconds once
+    // the 1-decimal line exceeded 1850 chars — which a 120-row catalog
+    // always does (the query NAMES alone are ~2000 chars, so NO
+    // precision fits the driver's 2000-char tail capture) — and that
+    // left PERF_r20 with nothing but 1.0/2.0 rounding artifacts and a
+    // garbage scaling block. The driver demonstrably parses the FULL
+    // stdout line, not just the tail it archives (BENCH_r20.parsed
+    // carries every query, including the ~22 rows its head-truncated
+    // tail lost), so the fix is to stop destroying precision the parser
+    // can use: the fallback is now MIXED precision (1 decimal below
+    // 10 s — every current row; integers above, where a tenth is noise)
+    // with whole values trimmed of the ".0" tail. For any tail-only
+    // reader the line is additionally ordered so what survives
+    // head-truncation is what matters most: the `queries` map is sorted
+    // ASCENDING by seconds (the expensive rows sit nearest the end) and
+    // the headline `value`/`sf` fields come AFTER the map, at the
+    // guaranteed-surviving end of the line. Field order is irrelevant
+    // to any JSON parser (previousBench included); bench_full.json
+    // keeps full 3-decimal precision in catalog order as before.
+    val line = contractLine(
+      results.map { case (k, v, _, _) => (k, v) }, total, recordFile, sfDir)
     val contamJson =
       if (contaminated.isEmpty) ""
       else s""","contaminated":${contaminated.map(jstr).mkString("[", ",", "]")}"""
@@ -524,15 +566,19 @@ object Bench {
         System.err.println(s"[bench] could not write $recordFile: $e")
     }
     spark.stop()
-    // the per-query contract line goes out after Spark shutdown (so no
-    // chatter lands between the two records), and then the VERY LAST
-    // line is the SHORT total-only record (VERDICT r08/r09 finding 1):
-    // the per-query line grows with the catalog and will eventually
-    // overflow ANY tail capture, so the headline total must not ride on
-    // it — this ~100-char closing line stays parseable at every catalog
-    // size, with bench_full.json as the pointer to per-query detail.
-    println(line)
+    // Both records go out after Spark shutdown (so no chatter lands
+    // between them). Round 21 ORDER SWAP (VERDICT r20 next-round #2):
+    // the per-query contract line is now the VERY LAST line, so the
+    // driver's 2000-char tail capture is spent on ITS tail (≈85 of the
+    // 120 rows, plus the value/sf fields deliberately placed at the
+    // line's end) instead of on a second line. The SHORT total-only
+    // record (VERDICT r08/r09 finding 1 — a headline number that stays
+    // parseable at every catalog size) is kept, printed FIRST: up there
+    // it costs the capture nothing (it self-truncates before the
+    // per-query line does) while any full-stdout scanner still gets a
+    // guaranteed-complete total line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","detail":"$recordFile","sf":"$sfDir"}""")
+    println(line)
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }

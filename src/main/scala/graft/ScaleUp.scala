@@ -85,6 +85,12 @@ object ScaleUp {
     * collide and within-copy dup structure is still preserved exactly. */
   def derive(spark: SparkSession, src: String, dst: String, copies: Int,
       tables: Seq[String] = AllTables, span: Long = Span): Unit = {
+    // this OVERWRITES dst table paths: drop the per-JVM schema/row-count
+    // memos so a same-JVM reader of a re-derived path can never see a
+    // stale schema or geometry (ADVICE r20 #2 — the seam existed with
+    // zero callers; a silent stale-schema read yields nulls, not errors)
+    graft.sources.Tables.invalidateSchemas()
+    graft.operators.AnnGeometry.invalidateCounts()
     def write(name: String)(xform: (DataFrame, Int) => DataFrame): Unit =
       if (tables.contains(name)) {
         val base = spark.read.parquet(s"$src/$name.parquet")

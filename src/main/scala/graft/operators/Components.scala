@@ -109,6 +109,14 @@ object Components {
         : (DataFrame, Set[Int], java.math.BigDecimal, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      // EXACTNESS INVARIANT (ADVICE r20 #3): the observe node must sit
+      // at the TOP of the checkpointed plan, where it executes in the
+      // RESULT stage of the checkpoint action — accumulator updates from
+      // a result stage apply exactly once, so the sums are exact. A
+      // refactor that pushes the observe BELOW a shuffle boundary would
+      // expose the sums to stage-retry over-counting and perturb
+      // convergence detection. `df.observe(...)` immediately under
+      // `localCheckpoint()` (inside checkpointTracked) is that placement.
       val (out, ids) = checkpointTracked(desc,
         df.observe(obs,
           sum(col("comp").cast(dec)).as("_comp_sum"),
@@ -116,17 +124,33 @@ object Components {
       // the eager localCheckpoint above has already driven the plan, so
       // the observed row is available; the await inside `get` returns
       // immediately (bounded wait as a listener-race guard)
-      val m = scala.concurrent.Await.result(
-        scala.concurrent.Future(obs.get)(
-          scala.concurrent.ExecutionContext.global),
-        scala.concurrent.duration.Duration(30, "s"))
       def d(v: Any): java.math.BigDecimal = v match {
         case null => java.math.BigDecimal.ZERO
         case b: java.math.BigDecimal => b
         case b: scala.math.BigDecimal => b.bigDecimal
         case x => new java.math.BigDecimal(x.toString)
       }
-      (out, ids, d(m.getOrElse("_comp_sum", null)), d(m.getOrElse("_id_sum", null)))
+      try {
+        val m = scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(
+            scala.concurrent.ExecutionContext.global),
+          scala.concurrent.duration.Duration(30, "s"))
+        (out, ids, d(m.getOrElse("_comp_sum", null)), d(m.getOrElse("_id_sum", null)))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          // ADVICE r20 #1: metric delivery rides the listener bus, and a
+          // congested bus (large bench JVMs, queued events) could starve
+          // the 30 s guard even though the data is already materialized.
+          // Rather than abort the whole query, recompute the sums with a
+          // direct aggregate over the just-checkpointed frame — same rows
+          // (lineage is truncated to the checkpoint blocks), same exact
+          // decimal(38,0) arithmetic, one extra scan of cached blocks on
+          // a path that by construction almost never runs.
+          val r = out.agg(
+            sum(col("comp").cast(dec)).as("_comp_sum"),
+            sum(col("id").cast(dec)).as("_id_sum")).head()
+          (out, ids, d(r.get(0)), d(r.get(1)))
+      }
     }
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -166,7 +190,12 @@ object Components {
       .distinct()
     // symmetrize AND add a self-loop per node: with (v,v) present, one
     // edge-join + groupBy-min computes min(own label, neighbor labels) in a
-    // single shuffle pair — no label∪neighbor union inside the loop
+    // single shuffle pair — no label∪neighbor union inside the loop.
+    // (The apparent redundant exchange here — distinct-under-distinct on
+    // the node list — was checked in round 21 and is NOT one: the
+    // optimizer pushes the outer distinct into every union leg and
+    // eliminates the inner aggregate, so the plan with and without this
+    // .distinct() is bit-identical. Kept as written.)
     val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct()
     val (sym, symIds) = checkpointTracked("cc:sym",
       e.union(e.select(col("v").as("u"), col("u").as("v")))

